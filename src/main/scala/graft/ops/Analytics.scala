@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** General analytics over the TPC-H-ish star schema — the engine-
+  * completeness half of the inventory (SURVEY.md §2C) and the bench
+  * headliners.
+  *
+  * Numeric-determinism policy: money sums are computed over
+  * DECIMAL-cast summands (exact, order-independent — safe to hash
+  * against the DuckDB oracle); averages are rounded at the output
+  * boundary.
+  *
+  * Scale notes per query are inline; the recurring rules:
+  *  - dimension tables (region/nation/supplier/part/customer) are
+  *    explicitly broadcast — no shuffle of the fact table for them;
+  *  - lineitem⋈orders is the only genuine big shuffle; AQE re-plans it
+  *    at runtime;
+  *  - every filter is a plain column predicate so Catalyst pushes it
+  *    into the parquet scan.
+  */
+object Analytics {
+
+  private def dec(c: String, scale: Int = 2) = col(c).cast(DecimalType(18, scale))
+
+  /** TPC-H Q1 shape: scan-heavy grouped aggregation over lineitem.
+    * Whole-stage-codegen'd scan→partial-agg→final-agg; one shuffle over
+    * 4 grouping cells.
+    */
+  def q1PricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= tsLit("1998-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).as("sum_qty"),
+        sum(dec("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3 shape: customer(filtered, broadcast) ⋈ orders ⋈ lineitem,
+    * revenue top-10. customer is a dim → broadcast; orders⋈lineitem
+    * co-shuffles on orderkey. The final top-k is a TakeOrderedAndProject
+    * (no global sort materialization).
+    */
+  def q3Shipping(spark: SparkSession, customer: DataFrame, orders: DataFrame,
+                 lineitem: DataFrame): DataFrame = {
+    val cut = tsLit("1998-03-15 00:00:00")
+    customer.filter(col("c_mktsegment") === "BUILDING")
+      .join(orders.filter(col("o_orderdate") < cut),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem.filter(col("l_shipdate") > cut),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: 6-way join; every dimension side broadcast, so the
+    * fact table is shuffled exactly once (for the orders join).
+    */
+  def q5LocalSupplier(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                      orders: DataFrame, lineitem: DataFrame,
+                      supplier: DataFrame): DataFrame = {
+    val dims = broadcast(
+      region.filter(col("r_name") === "ASIA")
+        .join(nation, col("r_regionkey") === col("n_regionkey")))
+    lineitem
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(orders.filter(col("o_orderdate") >= tsLit("1996-01-01 00:00:00") &&
+        col("o_orderdate") < tsLit("1998-01-01 00:00:00")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(dims, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Top-k per group: 3 priciest parts per brand. Keyed window → one
+    * shuffle; at scale, a pre-aggregation per partition (AQE) bounds the
+    * sort. Deterministic tie-break on p_partkey.
+    */
+  def topKPerGroup(part: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    part.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("p_brand", "rnk", "p_partkey", "p_name", "p_retailprice")
+      .orderBy(col("p_brand"), col("rnk"))
+  }
+
+  /** Gap-based sessionization of the event stream: a new session starts
+    * after >30 min of inactivity per user. Two stacked windows over the
+    * SAME (user_id × ts) partitioning — Catalyst reuses one shuffle+sort
+    * for both. The standard lag→flag→cumsum formulation.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapSec = gapMinutes * 60L
+    events
+      .withColumn("__prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev_ts").isNull ||
+          col("ts").cast("timestamp").cast("double") -
+            col("__prev_ts").cast("timestamp").cast("double") > gapSec.toDouble, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("__new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Multi-level ROLLUP over (event_type, user bucket): partial-agg
+    * friendly; Spark expands rollup into a single Expand+Aggregate (one
+    * shuffle), not one pass per level.
+    */
+  def rollupEvents(events: DataFrame): DataFrame =
+    events
+      .withColumn("user_bucket", pmod(col("user_id"), lit(10L)))
+      .rollup(col("event_type"), col("user_bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("total_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("user_bucket").asc_nulls_first)
+}

@@ -46,8 +46,39 @@ object SparkEntry {
       Tables.orders(s, d), Tables.lineitem(s, d), Tables.supplier(s, d))),
     "top_k_per_group" -> ((s, d) => Analytics.topKPerGroup(Tables.part(s, d))),
     "events_sessionize" -> ((s, d) => Analytics.sessionize(Tables.events(s, d))),
-    "rollup_events" -> ((s, d) => Analytics.rollupEvents(Tables.events(s, d)))
+    "rollup_events" -> ((s, d) => Analytics.rollupEvents(Tables.events(s, d))),
+    // ── D. LLM-training-data pipeline (SURVEY §2D) ─────────────────────
+    "dedup_exact" -> ((s, d) => TextDedup.exact(Tables.documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => TextDedup.ngramJaccard(Tables.documents(s, d))),
+    "dedup_minhash" -> ((s, d) => TextDedup.minhashLsh(Tables.documents(s, d))),
+    "dedup_simhash" -> ((s, d) => TextDedup.simhashNearDups(Tables.documents(s, d))),
+    "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDups(Tables.embeddings(s, d))),
+    "knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d))),
+    "knn_lsh" -> ((s, d) => Similarity.knnLsh(Tables.embeddings(s, d))),
+    "text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
+    "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
+    "multimodal_meta" -> ((s, d) => Multimodal.metadata(Tables.documents(s, d))),
+    "multimodal_features" -> ((s, d) => Multimodal.features(s, Tables.documents(s, d)))
   )
+
+  // Shared SQL fragments for the D-section oracles (DuckDB dialect).
+  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private val wsSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+  private val stopSetSql = "('the','a','an','of','and','to','in','is','it','for','on','with')"
+  private val statsSubSql =
+    s"""SELECT doc_id, length(text) AS n_chars, len(ws) AS n_tokens,
+       |  len(list_distinct(ws)) AS n_distinct_tokens,
+       |  round(length(replace(norm, ' ', '')) * 1.0 / len(ws), 4) AS avg_token_len,
+       |  round(len(list_filter(ws, t -> t IN $stopSetSql)) * 1.0 / len(ws), 4) AS stopword_ratio,
+       |  round((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) * 1.0
+       |    / length(text), 4) AS punct_ratio
+       |FROM (SELECT doc_id, text, $normSql AS norm, $wsSql AS ws FROM documents) raw""".stripMargin
+  private val shingleSubSql =
+    s"""SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(ws) - 1, 1)),
+       |  i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS s
+       |FROM (SELECT doc_id, $wsSql AS ws FROM documents) w""".stripMargin
 
   // Validation predicate fragments reused across the A-section oracles —
   // MUST stay in sync with graft.ops.Ingest.
@@ -151,6 +182,78 @@ object SparkEntry {
         | sum(cast(value AS DECIMAL(18,2))) AS total_value
         |FROM (SELECT event_type, user_id % 10 AS user_bucket, value FROM events) t
         |GROUP BY ROLLUP(event_type, user_bucket)
-        |ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""".stripMargin
+        |ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""".stripMargin,
+    "dedup_exact" ->
+      s"""SELECT doc_id, canonical_id, doc_id != canonical_id AS is_dup FROM (
+         | SELECT doc_id, min(doc_id) OVER (PARTITION BY $normSql) AS canonical_id
+         | FROM documents) t ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH sh AS ($shingleSubSql),
+         | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         | pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, round(c * 1.0 / (sa.n_sh + sb.n_sh - c), 4) AS jaccard
+         |FROM pairs
+         | JOIN sz sa ON sa.doc_id = a_id
+         | JOIN sz sb ON sb.doc_id = b_id
+         |WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |   CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |   CAST(b.embedding AS DOUBLE[])) >= 0.45
+        |ORDER BY a_id, b_id""".stripMargin,
+    "knn_bruteforce" ->
+      """SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |    CAST(c.embedding AS DOUBLE[])), 4) AS cos_sim,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |   ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |     CAST(c.embedding AS DOUBLE[])), 4) DESC, c.vec_id) AS rnk
+        | FROM embeddings q, embeddings c
+        | WHERE q.vec_id < 10 AND c.vec_id != q.vec_id) t
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "text_stats" ->
+      s"""SELECT * FROM ($statsSubSql) st ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      s"""SELECT doc_id, lang AS lang_label,
+         | CASE WHEN s_en + s_es + s_de + s_fr = 0 THEN 'und'
+         |      WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+         |      WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+         |      WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang_guess,
+         | s_en, s_es, s_de, s_fr
+         |FROM (
+         | SELECT doc_id, lang,
+         |  len(list_filter(ws, t -> t IN ('the','and','of','is','to'))) AS s_en,
+         |  len(list_filter(ws, t -> t IN ('el','la','los','de','que'))) AS s_es,
+         |  len(list_filter(ws, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+         |  len(list_filter(ws, t -> t IN ('le','les','et','est','une'))) AS s_fr
+         | FROM (SELECT doc_id, lang, $wsSql AS ws FROM documents) w) sc
+         |ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      s"""SELECT doc_id, md5(norm) AS fp_md5, length(norm) AS fp_len,
+         | substr(norm, 1, 16) AS fp_head
+         |FROM (SELECT doc_id, $normSql AS norm FROM documents) t ORDER BY doc_id""".stripMargin,
+    "quality_filter" ->
+      s"""SELECT doc_id, n_tokens, stopword_ratio, avg_token_len, quality_score FROM (
+         | SELECT doc_id, n_tokens, stopword_ratio, avg_token_len,
+         |  (CASE WHEN n_tokens BETWEEN 10 AND 2000 THEN 0.25 ELSE 0.0 END +
+         |   CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END +
+         |   CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END +
+         |   CASE WHEN n_distinct_tokens * 1.0 / n_tokens >= 0.3 THEN 0.25 ELSE 0.0 END)
+         |   AS quality_score
+         | FROM ($statsSubSql) st) q
+         |WHERE quality_score >= 0.75 ORDER BY doc_id""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS size_bytes,
+        | substr(hex(CAST(text AS BLOB)), 1, 8) AS magic_hex,
+        | md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -95,7 +95,7 @@ object Analytics {
   def topKPerGroup(part: DataFrame, k: Int = 3): DataFrame = {
     val w = Window.partitionBy(col("p_brand"))
       .orderBy(col("p_retailprice").desc, col("p_partkey"))
-    part.withColumn("rnk", row_number().over(w))
+    part.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select("p_brand", "rnk", "p_partkey", "p_name", "p_retailprice")
       .orderBy(col("p_brand"), col("rnk"))

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (SURVEY.md §2D):
+  * brute-force cosine top-k as the exact baseline/oracle, and a
+  * random-hyperplane LSH bucketed variant as the 100 TB path.
+  *
+  * All vector math happens in codegen'd higher-order array functions in
+  * DOUBLE precision with sequential accumulation — deterministic and
+  * engine-portable (the DuckDB oracle casts to DOUBLE[] likewise).
+  */
+object Similarity {
+
+  /** Sequential-order dot product of two array<double> columns. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Corpus projection: id, double vector, squared norm (computed once,
+    * not per candidate pair).
+    */
+  def prepared(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm2", aggregate(
+        col("v"), lit(0.0), (acc: Column, x: Column) => acc + x * x))
+
+  private def cosRaw(va: Column, vb: Column, na2: Column, nb2: Column): Column =
+    dot(va, vb) / (sqrt(na2) * sqrt(nb2))
+
+  /** Exact top-k cosine neighbors for the query set (vec_id < nQueries).
+    * The query side is tiny → broadcast; the corpus streams past it once
+    * (no shuffle of the corpus). Ranking uses the ROUNDED cosine with an
+    * id tie-break so the ordering is engine-deterministic.
+    */
+  def knnBruteForce(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val base = prepared(embeddings)
+    val q = broadcast(base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn2")))
+    q.join(base, col("query_id") =!= col("vec_id"))
+      .withColumn("cos_sim", round(cosRaw(col("qv"), col("v"), col("qn2"), col("norm2")), 4))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Embedding-cosine near-dup pairs (threshold chosen in a measured gap
+    * of the pair distribution — no pair sits near the boundary at any
+    * SF). The all-pairs form is the oracle; at scale candidates come
+    * from [[knnLsh]]-style bucketing instead.
+    */
+  def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val base = prepared(embeddings)
+    base.select(col("vec_id").as("a_id"), col("v").as("va"), col("norm2").as("na2"))
+      .join(base.select(col("vec_id").as("b_id"), col("v").as("vb"), col("norm2").as("nb2")),
+        col("a_id") < col("b_id"))
+      .withColumn("cos_raw", cosRaw(col("va"), col("vb"), col("na2"), col("nb2")))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos_raw"), 4).as("cos_sim"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Random-hyperplane LSH ANN — the scale path. bands×bitsPerBand
+    * pseudo-random hyperplanes (deterministic ±1 entries from xxhash64
+    * parity of (dimension, plane)); per band, the sign pattern forms a
+    * bucket key; docs sharing ANY band bucket become candidates and are
+    * exactly reranked. Candidate volume is collision-proportional — the
+    * corpus is never self-joined. Band geometry trades recall vs cost:
+    * more/narrower bands → higher recall, more candidates (tune to the
+    * corpus's similarity distribution at scale).
+    */
+  def knnLsh(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+             bands: Int = 4, bitsPerBand: Int = 4): DataFrame = {
+    val base = prepared(embeddings)
+    def bandKey(band: Int): Column = {
+      val bits = (0 until bitsPerBand).map { b =>
+        val j = band * bitsPerBand + b
+        val proj = aggregate(
+          expr(s"transform(v, (x, i) -> x * IF(pmod(xxhash64(i, $j), 2) = 0, 1.0D, -1.0D))"),
+          lit(0.0), (acc: Column, x: Column) => acc + x)
+        when(proj > 0, lit(1L << b)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _)
+    }
+    val cand = base.select(col("vec_id"), col("v"), col("norm2"),
+      explode(array((0 until bands).map { g =>
+        concat_ws(":", lit(g.toString), bandKey(g))
+      }: _*)).as("bucket"))
+    val q = broadcast(cand.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm2").as("qn2"), col("bucket")))
+    q.join(cand, Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("qv"), col("qn2"),
+        col("vec_id"), col("v"), col("norm2"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("cos_sim", round(cosRaw(col("qv"), col("v"), col("qn2"), col("norm2")), 4))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+}

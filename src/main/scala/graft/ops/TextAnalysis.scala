@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for LLM-training-data pipelines (SURVEY.md §2D):
+  * per-document quality metrics, a marker-word language heuristic,
+  * content fingerprinting, and a composite quality filter.
+  *
+  * Everything is per-row (narrow — no shuffle, embarrassingly parallel
+  * at any scale) and built from codegen'd string/array builtins.
+  */
+object TextAnalysis {
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for", "on", "with")
+
+  private def norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+  private def toks = split(norm, " ")
+
+  /** Token/char statistics + quality ratios per document. */
+  def textStats(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("__t", toks)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("__t"))).cast("long").as("n_distinct_tokens"),
+        round((length(regexp_replace(norm, " ", "")).cast("double") / size(col("__t"))), 4)
+          .as("avg_token_len"),
+        round(expr(s"size(filter(__t, t -> t IN ${Stopwords.map(w => s"'$w'").mkString("(", ",", ")")}))")
+          .cast("double") / size(col("__t")), 4).as("stopword_ratio"),
+        round((length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+          .cast("double") / length(col("text")), 4).as("punct_ratio"))
+      .orderBy(col("doc_id"))
+
+  /** Marker-word language ID. Scores each candidate language by counting
+    * tokens from a small marker list; argmax with a fixed precedence
+    * order (en > es > de > fr), 'und' when no marker hits. A real system
+    * swaps in char-n-gram profiles; the operator shape (score → argmax,
+    * per-row, no shuffle) is identical.
+    */
+  val Markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "to"),
+    "es" -> Seq("el", "la", "los", "de", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "est", "une"))
+
+  def langId(documents: DataFrame): DataFrame = {
+    def score(lang: String): Column = {
+      val set = Markers(lang).map(w => s"'$w'").mkString("(", ",", ")")
+      expr(s"size(filter(__t, t -> t IN $set))").cast("long")
+    }
+    documents
+      .withColumn("__t", toks)
+      .withColumn("s_en", score("en"))
+      .withColumn("s_es", score("es"))
+      .withColumn("s_de", score("de"))
+      .withColumn("s_fr", score("fr"))
+      .withColumn("lang_guess",
+        when(col("s_en") + col("s_es") + col("s_de") + col("s_fr") === 0, "und")
+          .when(col("s_en") >= greatest(col("s_es"), col("s_de"), col("s_fr")), "en")
+          .when(col("s_es") >= greatest(col("s_de"), col("s_fr")), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr"))
+      .select(col("doc_id"), col("lang").as("lang_label"), col("lang_guess"),
+        col("s_en"), col("s_es"), col("s_de"), col("s_fr"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Content fingerprints: md5 of the normalized text (exact-dup key)
+    * plus basic shape stats. The 64-bit rolling-hash variant lives in
+    * the rows-only simhash path (graft.functions.HashKernels).
+    */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      md5(norm).as("fp_md5"),
+      length(norm).cast("long").as("fp_len"),
+      substring(norm, 1, 16).as("fp_head"))
+      .orderBy(col("doc_id"))
+
+  /** Composite quality score: four independent indicators, 0.25 each.
+    * Filter keeps docs scoring ≥ 0.75 (at most one failed check) — the
+    * usual pre-training corpus gate.
+    */
+  def qualityFilter(documents: DataFrame, minScore: Double = 0.75): DataFrame = {
+    val stats = textStats(documents)
+    stats
+      .withColumn("quality_score",
+        when(col("n_tokens").between(10, 2000), 0.25).otherwise(0.0) +
+          when(col("stopword_ratio").between(0.01, 0.6), 0.25).otherwise(0.0) +
+          when(col("avg_token_len").between(2.0, 12.0), 0.25).otherwise(0.0) +
+          when(col("n_distinct_tokens").cast("double") / col("n_tokens") >= 0.3, 0.25)
+            .otherwise(0.0))
+      .filter(col("quality_score") >= minScore)
+      .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"),
+        col("avg_token_len"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+}

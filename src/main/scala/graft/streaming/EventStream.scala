@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.Ingest
+
+/** Structured Streaming form of the reference's ingest path (SURVEY.md
+  * §2E): the consumer loop (services/consumer/main.py:277-376) —
+  * validate → dedup → persist — expressed as readStream → transforms →
+  * writeStream with watermarked state instead of an in-memory buffer.
+  *
+  * Kafka-sourced deployment is a config change (`format("kafka")` +
+  * from_json over the value column); the transform DAG is identical.
+  * The file source stands in here (no Kafka in the container), exactly
+  * like the reference's tests bypass the broker.
+  *
+  * Scale notes: streaming dedup state is bounded by the watermark
+  * horizon (the reference's unbounded in-memory dict is the thing that
+  * does NOT survive scale); windowed aggregation state likewise. Both
+  * compile to the same keyed shuffle as the batch path.
+  */
+object EventStream {
+
+  /** Schema of the converted events table (ts already µs, see
+    * graft.Tables.events — file streams need an explicit schema).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over a directory of event parquet files. */
+  def source(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Validate → watermarked dedup on (user_id, ts). Within the watermark
+    * horizon duplicates are dropped keep-FIRST — the streaming analog of
+    * the reference's idempotent upsert (migrations/db.sql:30-33,
+    * ON CONFLICT DO NOTHING); the in-memory keep-last buffer
+    * (consumer/main.py:327-344) is a micro-batch-local detail.
+    */
+  def cleaned(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    Ingest.validate(events)
+      // watermarks require TIMESTAMP (with-tz); session tz is UTC so the
+      // NTZ→LTZ cast is value-preserving
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "ts")
+
+  /** Hourly windowed aggregation per event_type — the streaming form of
+    * the timeseries_bucket query. Append mode: a bucket emits once its
+    * watermark passes.
+    */
+  def windowedAgg(cleanedEvents: DataFrame): DataFrame =
+    cleanedEvents
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Run the whole pipeline synchronously against whatever files are in
+    * `dir`, collecting results via a memory sink. Used by the spec; a
+    * production job points the same DAG at a real sink with a
+    * checkpoint.
+    */
+  def runOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val q = windowedAgg(cleaned(source(spark, dir)))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

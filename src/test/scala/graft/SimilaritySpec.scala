@@ -1,0 +1,42 @@
+package graft
+
+import graft.ops.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("brute-force knn: k rows per query, ranked by descending cosine") {
+    val out = Similarity.knnBruteForce(Tables.embeddings(spark, sfDir))
+      .as[(Long, Long, Double, Long)].collect()
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery.size === 10)
+    assert(byQuery.values.forall(_.length === 5))
+    byQuery.values.foreach { rows =>
+      val ordered = rows.sortBy(_._4)
+      assert(ordered.map(_._3).sliding(2).forall(p => p.head >= p.last))
+    }
+  }
+
+  test("near-dup pairs are above threshold and a<b") {
+    val out = Similarity.embeddingNearDups(Tables.embeddings(spark, sfDir))
+      .as[(Long, Long, Double)].collect()
+    assert(out.forall(p => p._1 < p._2 && p._3 >= 0.45))
+  }
+
+  test("LSH ANN achieves decent recall of the exact top-5") {
+    val e = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.knnBruteForce(e)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.knnLsh(e)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, nbrs) =>
+      approx.get(q).map(a => (a intersect nbrs).size.toDouble / nbrs.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // 2×8-bit bands over random data: useful-but-lossy is expected; the
+    // operator contract is "bucketed candidates, exact rerank".
+    assert(mean > 0.2, s"mean LSH recall $mean too low")
+  }
+}

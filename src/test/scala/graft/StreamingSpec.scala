@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.Ingest
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  /** Stage the converted (µs-timestamp) events as a file-stream source
+    * directory — the stand-in for a Kafka topic.
+    */
+  private def stagedDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    Tables.events(spark, sfDir).coalesce(2).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming ingest equals the batch pipeline's windowed aggregate") {
+    val got = EventStream.runOnce(spark, stagedDir, "stream_out")
+
+    val expect = Ingest.validate(Tables.events(spark, sfDir))
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .dropDuplicates("user_id", "ts")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"),
+        col("total_value"))
+
+    val g = got.collect().map(_.toSeq).toSet
+    val e = expect.collect().map(_.toSeq).toSet
+    // Append-mode emits only watermark-expired windows; everything
+    // emitted must match the batch result, and most windows should have
+    // been emitted (the final open window may be withheld).
+    assert(g.nonEmpty)
+    assert(g.subsetOf(e), s"streaming rows not in batch result: ${(g -- e).take(3)}")
+    assert(g.size >= e.size - 25, s"too few windows emitted: ${g.size} vs ${e.size}")
+  }
+
+  test("watermarked dedup drops duplicate keys within the horizon") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dupes").toString
+    val dup = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "click", 10.0, "{}"),
+      (2L, "2024-01-01 10:00:00", 1L, "click", 99.0, "{}"), // same (user, ts)
+      (3L, "2024-01-01 10:05:00", 1L, "view", 5.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    dup.coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val q = EventStream.cleaned(EventStream.source(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("dedup_out")
+    assert(out.count() === 2)
+    assert(out.groupBy("user_id", "ts").count().filter(col("count") > 1).count() === 0)
+  }
+}

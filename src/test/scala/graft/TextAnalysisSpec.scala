@@ -1,0 +1,37 @@
+package graft
+
+import graft.ops.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("text stats computes token counts and ratios") {
+    val d = Seq((1L, "The quick the fox the end")).toDF("doc_id", "text")
+    val r = TextAnalysis.textStats(d).collect().head
+    assert(r.getAs[Long]("n_tokens") === 6)
+    assert(r.getAs[Long]("n_distinct_tokens") === 4) // the/quick/fox/end
+    assert(r.getAs[Double]("stopword_ratio") === 0.5) // the,the,the / 6
+  }
+
+  test("lang id picks the language with most marker hits") {
+    val d = Seq(
+      (1L, "en", "the cat and the dog is here"),
+      (2L, "es", "el gato de la casa que duerme"),
+      (3L, "zz", "xyzzy plugh quux")).toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.langId(d).select("doc_id", "lang_guess")
+      .as[(Long, String)].collect().toMap
+    assert(r === Map(1L -> "en", 2L -> "es", 3L -> "und"))
+  }
+
+  test("fingerprint is stable under whitespace normalization") {
+    val d = Seq((1L, "a  b\tc"), (2L, "a b c")).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(d).select("fp_md5").as[String].collect()
+    assert(fps(0) === fps(1))
+  }
+
+  test("quality filter keeps well-formed docs from the real table") {
+    val kept = TextAnalysis.qualityFilter(Tables.documents(spark, sfDir)).count()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(kept > 0 && kept <= total)
+  }
+}

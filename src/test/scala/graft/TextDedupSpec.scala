@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.TextDedup
+import graft.functions.Hashes
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exact dedup maps whitespace-variant duplicates to one canonical id") {
+    val d = docs(
+      (1L, "hello  world  foo"),
+      (2L, "Hello world foo"),     // case+space variant → dup of 1
+      (3L, "different text entirely"))
+    val out = TextDedup.exact(d).as[(Long, Long, Boolean)].collect().sorted
+    assert(out === Array((1L, 1L, false), (2L, 1L, true), (3L, 3L, false)))
+  }
+
+  test("minhash LSH finds the same planted near-dups as exact jaccard") {
+    val d = Tables.documents(spark, sfDir)
+    val exact = TextDedup.ngramJaccard(d)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val approx = TextDedup.minhashLsh(d)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    // LSH verifies candidates with exact jaccard → no false positives;
+    // recall on >=0.9-jaccard planted pairs should be total.
+    assert(approx.subsetOf(exact))
+    assert((exact -- approx).isEmpty, s"LSH missed: ${exact -- approx}")
+  }
+
+  test("simhash: identical token multisets collide, near-identical are close") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally unrelated words about other things here now"))
+    val sims = d.withColumn("sim", Hashes.simhash64(split(lower(col("text")), " ")))
+      .select("doc_id", "sim").as[(Long, Long)].collect().toMap
+    assert(sims(1L) === sims(2L))
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(3L)) > 10)
+    val pairs = TextDedup.simhashNearDups(d)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.map(p => (p._1, p._2)).contains((1L, 2L)))
+  }
+
+  test("ngram jaccard of planted pairs is high and symmetric-free (a<b)") {
+    val out = TextDedup.ngramJaccard(Tables.documents(spark, sfDir))
+      .as[(Long, Long, Double)].collect()
+    assert(out.forall(p => p._1 < p._2))
+    assert(out.forall(_._3 >= 0.5))
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Perf-loop helper: print the formatted physical plan of one (or all)
+  * SparkEntry queries and time execution.
+  *
+  *   runMain graft.Explain <queryName|all> [sfDir] [--no-plan]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("all")
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val showPlan = !args.contains("--no-plan")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val targets =
+      if (name == "all") SparkEntry.queries.toSeq.sortBy(_._1)
+      else Seq(name -> SparkEntry.queries(name))
+    targets.foreach { case (n, fn) =>
+      val df = fn(spark, sfDir)
+      if (showPlan) {
+        println(s"===== $n =====")
+        df.explain("formatted")
+      }
+      val t0 = System.nanoTime()
+      val cnt = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[explain] $n%-24s rows=$cnt%-8d ${sec}%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -60,6 +60,82 @@ object HashKernels {
     }
     out
   }
+
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Distinct hashed word n-gram shingles: one pass over the word array,
+    * each n-gram's words' bytes (with separators) folded through FNV-1a
+    * + splitmix64, then sort+unique. Hashed shingles are what a
+    * 100 TB dedup keeps: 8 bytes each to shuffle/join/intersect instead
+    * of a string, at a ~1e-9 collision risk for corpus-scale sets.
+    */
+  def shingleHashes(ws: ArrayData, n: Int): ArrayData = {
+    val nw = ws.numElements()
+    if (nw < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](nw - n + 1)
+    var i = 0
+    while (i <= nw - n) {
+      var h = 0xcbf29ce484222325L
+      var w = 0
+      while (w < n) {
+        val b = ws.getUTF8String(i + w).getBytes
+        var j = 0
+        while (j < b.length) {
+          h = (h ^ (b(j) & 0xffL)) * 0x100000001b3L
+          j += 1
+        }
+        h = (h ^ 0x20L) * 0x100000001b3L // separator byte
+        w += 1
+      }
+      out(i) = mix64(h)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var uniq = 1
+    var p = 1
+    while (p < out.length) {
+      if (out(p) != out(p - 1)) { out(uniq) = out(p); uniq += 1 }
+      p += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
+  }
+
+  /** One-pass k-wide MinHash signature over hashed shingles (see
+    * [[MinHashSig]]).
+    */
+  def minhashSig(arr: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      val h = mix64(arr.getLong(t))
+      var i = 0
+      while (i < k) {
+        val v = mix64(h ^ mix64(i + 1L))
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Fold signature groups into per-band 64-bit bucket keys. */
+  def bandKeys(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val keys = new Array[Long](bands)
+    var g = 0
+    while (g < bands) {
+      var h = mix64(g + 1L)
+      var r = 0
+      while (r < rows) {
+        h = mix64(h ^ sig.getLong(g * rows + r))
+        r += 1
+      }
+      keys(g) = h
+      g += 1
+    }
+    new GenericArrayData(keys)
+  }
 }
 
 /** Custom Catalyst expression: 64-bit SimHash of an ARRAY<STRING> of
@@ -84,7 +160,70 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+/** Distinct hashed word n-gram shingles of an ARRAY<STRING> word array —
+  * see [[HashKernels.shingleHashes]].
+  */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires array<string>, got ${t.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.shingleHashes(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** One-pass MinHash signature of an ARRAY<LONG> hashed-shingle set: k
+  * universal-hash variants derived by seed-mixing; output element i is
+  * the minimum of variant i over the set. Replaces k separate
+  * interpreted `transform` passes.
+  */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<long>, got ${t.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.minhashSig(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minhashSig($c, $k)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** LSH band keys from a MinHash signature: fold each consecutive group
+  * of `rows` signature elements (plus the band index) into one 64-bit
+  * key. Output: ARRAY<LONG> of length `bands`.
+  */
+case class BandKeys(child: Expression, bands: Int, rows: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"band_keys requires array<long>, got ${t.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.bandKeys(v.asInstanceOf[ArrayData], bands, rows)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.bandKeys($c, $bands, $rows)")
+  override protected def withNewChildInternal(c: Expression): BandKeys = copy(child = c)
+  override def prettyName: String = "band_keys"
+}
+
 object Hashes {
   /** Column API for [[SimHash64]]. */
   def simhash64(tokens: Column): Column = Shims.column(SimHash64(Shims.expression(tokens)))
+  def shingleHashes(words: Column, n: Int): Column =
+    Shims.column(ShingleHashes(Shims.expression(words), n))
+  def minhashSig(shingles: Column, k: Int): Column =
+    Shims.column(MinHashSig(Shims.expression(shingles), k))
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    Shims.column(BandKeys(Shims.expression(sig), bands, rows))
 }

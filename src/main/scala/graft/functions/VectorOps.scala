@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Shims
+import org.apache.spark.sql.types._
+
+/** Vector kernels for the similarity operators. Sequential left-to-right
+  * double accumulation — bit-identical to the equivalent
+  * aggregate(zip_with(...)) higher-order-function formulation (and to
+  * the DuckDB oracle on DOUBLE[]), but ~two orders of magnitude faster:
+  * higher-order functions are CodegenFallback (interpreted per pair),
+  * these are inlined into whole-stage codegen.
+  */
+object VectorKernels {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  def norm2(a: ArrayData): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { val x = a.getDouble(i); acc += x * x; i += 1 }
+    acc
+  }
+
+  /** See [[HyperplaneBands]]. */
+  def hyperplaneBands(v: ArrayData, bands: Int, bitsPerBand: Int): ArrayData = {
+    val dims = v.numElements()
+    val keys = new Array[Long](bands)
+    var g = 0
+    while (g < bands) {
+      var key = 0L
+      var b = 0
+      while (b < bitsPerBand) {
+        val j = g * bitsPerBand + b
+        var proj = 0.0
+        var i = 0
+        while (i < dims) {
+          val sign = if ((HashKernels.mix64(i.toLong * 0x1fffffL + j) & 1L) == 0L) 1.0 else -1.0
+          proj += v.getDouble(i) * sign
+          i += 1
+        }
+        if (proj > 0) key |= (1L << b)
+        b += 1
+      }
+      keys(g) = (g.toLong << 32) | key
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+}
+
+/** dot(array<double>, array<double>) → double, whole-stage-codegen'd. */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dot requires array<double>, got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_dot"
+}
+
+/** norm2(array<double>) → double (squared L2 norm), codegen'd. */
+case class Norm2(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"norm2 requires array<double>, got ${t.catalogString}")
+  }
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.norm2(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.norm2($a)")
+  override protected def withNewChildInternal(c: Expression): Norm2 = copy(child = c)
+  override def prettyName: String = "vec_norm2"
+}
+
+/** Random-hyperplane LSH band keys for an array<double> vector: plane
+  * j's entries are deterministic ±1 from a hash of (dimension, plane);
+  * each band of `bitsPerBand` sign bits (plus the band index) packs into
+  * one long. One pass over bands×bits×dims in generated code.
+  */
+case class HyperplaneBands(child: Expression, bands: Int, bitsPerBand: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_bands requires array<double>, got ${t.catalogString}")
+  }
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.hyperplaneBands(a.asInstanceOf[ArrayData], bands, bitsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorKernels.hyperplaneBands($a, $bands, $bitsPerBand)")
+  override protected def withNewChildInternal(c: Expression): HyperplaneBands =
+    copy(child = c)
+  override def prettyName: String = "hyperplane_bands"
+}
+
+object VectorOps {
+  def vecDot(a: Column, b: Column): Column =
+    Shims.column(DotProduct(Shims.expression(a), Shims.expression(b)))
+  def vecNorm2(a: Column): Column =
+    Shims.column(Norm2(Shims.expression(a)))
+  def hyperplaneBands(v: Column, bands: Int, bitsPerBand: Int): Column =
+    Shims.column(HyperplaneBands(Shims.expression(v), bands, bitsPerBand))
+}

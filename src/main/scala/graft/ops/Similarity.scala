@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
 
 /** Similarity search over an embedding column (SURVEY.md §2D):
   * brute-force cosine top-k as the exact baseline/oracle, and a
@@ -14,9 +15,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-order dot product of two array<double> columns. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential-order dot product of two array<double> columns —
+    * codegen'd custom expression (graft.functions.DotProduct).
+    */
+  private def dot(a: Column, b: Column): Column = VectorOps.vecDot(a, b)
 
   /** Corpus projection: id, double vector, squared norm (computed once,
     * not per candidate pair).
@@ -24,8 +26,7 @@ object Similarity {
   def prepared(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm2", aggregate(
-        col("v"), lit(0.0), (acc: Column, x: Column) => acc + x * x))
+      .withColumn("norm2", VectorOps.vecNorm2(col("v")))
 
   private def cosRaw(va: Column, vb: Column, na2: Column, nb2: Column): Column =
     dot(va, vb) / (sqrt(na2) * sqrt(nb2))
@@ -76,20 +77,8 @@ object Similarity {
   def knnLsh(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
              bands: Int = 4, bitsPerBand: Int = 4): DataFrame = {
     val base = prepared(embeddings)
-    def bandKey(band: Int): Column = {
-      val bits = (0 until bitsPerBand).map { b =>
-        val j = band * bitsPerBand + b
-        val proj = aggregate(
-          expr(s"transform(v, (x, i) -> x * IF(pmod(xxhash64(i, $j), 2) = 0, 1.0D, -1.0D))"),
-          lit(0.0), (acc: Column, x: Column) => acc + x)
-        when(proj > 0, lit(1L << b)).otherwise(lit(0L))
-      }
-      bits.reduce(_ + _)
-    }
     val cand = base.select(col("vec_id"), col("v"), col("norm2"),
-      explode(array((0 until bands).map { g =>
-        concat_ws(":", lit(g.toString), bandKey(g))
-      }: _*)).as("bucket"))
+      explode(VectorOps.hyperplaneBands(col("v"), bands, bitsPerBand)).as("bucket"))
     val q = broadcast(cand.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm2").as("qn2"), col("bucket")))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Hashes
@@ -12,22 +12,34 @@ import graft.functions.Hashes
   * oracle; the 100 TB paths are the banded ones (MinHash bands, SimHash
   * chunks), where candidate generation is an equi-join on band keys —
   * collision-proportional, never O(n²) — followed by exact verification
-  * only on candidates. All hashing uses codegen'd builtins
-  * (xxhash64/concat) or the custom one-pass [[graft.functions.SimHash64]]
-  * expression.
+  * only on candidates.
+  *
+  * Perf notes: the word array is materialized ONCE per row before any
+  * lambda touches it (embedding `split` inside a lambda re-splits per
+  * element — O(len²) interpreted); signature/band computation uses the
+  * one-pass codegen kernels in graft.functions (a k-wide `transform`
+  * chain is k interpreted passes).
   */
 object TextDedup {
 
   /** Whitespace-normalized lowercase text — the canonical form. */
   def normText = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
 
-  private def tokens = split(normText, " ")
+  /** Distinct HASHED word n-gram shingles (one-pass codegen kernel —
+    * 8-byte join/intersect keys; see graft.functions.ShingleHashes).
+    */
+  private def hashedShingles(n: Int) =
+    Hashes.shingleHashes(split(normText, " "), n)
 
-  /** Word n-gram shingles (default 3), distinct per doc. */
-  def shingles(n: Int = 3) =
-    array_distinct(expr(
-      s"transform(sequence(0, greatest(size(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')) - $n, -1)), " +
-        s"i -> concat_ws(' ', slice(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '), i + 1, $n)))"))
+  /** (doc_id, n_sh, s) — one row per distinct hashed shingle, with the
+    * doc's shingle-set size carried along (so pair sizes need no extra
+    * aggregation or re-scan after the self-join).
+    */
+  private def shingleRows(documents: DataFrame, n: Int): DataFrame =
+    documents
+      .withColumn("__sh", hashedShingles(n))
+      .select(col("doc_id"), size(col("__sh")).cast("long").as("n_sh"),
+        explode(col("__sh")).as("s"))
 
   /** Exact dedup: group identical normalized text, canonical = min
     * doc_id. Output one row per doc with its canonical id + dup flag.
@@ -44,63 +56,42 @@ object TextDedup {
   }
 
   /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
-    * explode distinct shingles, equi-join on shingle, count common,
-    * Jaccard from sizes. This is exact and serves as the oracle for the
-    * approximate variants; at 100 TB frequent shingles make the index
-    * join skewed — that is what [[minhashLsh]] is for.
+    * explode distinct shingles, equi-join on shingle, count common
+    * shingles per pair; sizes ride along with the exploded rows so the
+    * pair-level Jaccard needs no further joins. Exact — serves as the
+    * oracle for the approximate variants. At 100 TB frequent shingles
+    * skew the index join; that is what [[minhashLsh]] is for.
     */
   def ngramJaccard(documents: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = documents
-      .select(col("doc_id"), explode(shingles(n)).as("s"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = sh.as("a")
+    val sh = shingleRows(documents, n)
+    sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("na")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), "b_id")
       .withColumn("jaccard_raw", col("c") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard_raw") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard_raw"), 4).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** MinHash signatures: k independent hash functions simulated by
-    * seeding xxhash64 with the permutation index; signature element i =
-    * min over shingles. Computed per-row with codegen'd array exprs (no
-    * explode/shuffle for the signature itself).
-    */
-  def minhashSignatures(documents: DataFrame, k: Int = 64): DataFrame = {
-    val sig = array((0 until k).map { i =>
-      array_min(expr(s"transform(__sh, s -> xxhash64(s, $i))"))
-    }: _*)
-    documents
-      .withColumn("__sh", shingles())
-      .filter(size(col("__sh")) > 0)
-      .withColumn("minhash", sig)
-      .select(col("doc_id"), col("__sh").as("shingles"), col("minhash"))
-  }
-
-  /** MinHash + LSH banding: b bands of r rows (k = b*r); docs sharing a
-    * band bucket become candidates; candidates are verified with exact
-    * Jaccard on their shingle sets. One explode to (doc × band), one
-    * equi-join on (band, bucket) — collision-proportional work, the
-    * 100 TB-safe shape.
+  /** MinHash + LSH banding: a k-wide signature per doc (one-pass codegen
+    * kernel), folded into b band keys; docs sharing a band bucket become
+    * candidates; candidates are verified with exact Jaccard on their
+    * shingle sets. One explode to (doc × band), one equi-join on the
+    * bucket — collision-proportional work, the 100 TB-safe shape.
     */
   def minhashLsh(documents: DataFrame, bands: Int = 16, rows: Int = 4,
                  threshold: Double = 0.5): DataFrame = {
-    val sigs = minhashSignatures(documents, bands * rows)
-    val banded = sigs.select(
-      col("doc_id"), col("shingles"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64(concat_ws(",",
-          (0 until rows).map(r => col("minhash").getItem(b * rows + r)): _*), lit(b))
-      }: _*)).as(Seq("band", "bucket")))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
+    val sigs = documents
+      .withColumn("shingles", hashedShingles(3))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("minhash", Hashes.minhashSig(col("shingles"), bands * rows))
+      .select(col("doc_id"), col("shingles"),
+        explode(Hashes.bandKeys(col("minhash"), bands, rows)).as("bucket"))
+    val cand = sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
       .dropDuplicates("a_id", "b_id")
@@ -120,7 +111,7 @@ object TextDedup {
     */
   def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sh = documents
-      .withColumn("sim", Hashes.simhash64(tokens))
+      .withColumn("sim", Hashes.simhash64(split(normText, " ")))
       .select(col("doc_id"), col("sim"))
     val chunked = sh.select(col("doc_id"), col("sim"),
       posexplode(array((0 until 4).map { c =>

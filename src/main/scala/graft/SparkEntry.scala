@@ -60,7 +60,9 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
     "multimodal_meta" -> ((s, d) => Multimodal.metadata(Tables.documents(s, d))),
-    "multimodal_features" -> ((s, d) => Multimodal.features(s, Tables.documents(s, d)))
+    "multimodal_features" -> ((s, d) => Multimodal.features(s, Tables.documents(s, d))),
+    // ── E. structured streaming (SURVEY §2E; rows-only) ────────────────
+    "stream_hourly_by_type" -> ((s, d) => graft.streaming.EventStream.stagedPipeline(s, d))
   )
 
   // Shared SQL fragments for the D-section oracles (DuckDB dialect).

@@ -67,7 +67,12 @@ object EventStream {
     * production job points the same DAG at a real sink with a
     * checkpoint.
     */
-  def runOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+  def runOnce(spark: SparkSession, dir: String, queryName: String = ""): DataFrame = {
+    val name = if (queryName.nonEmpty) queryName else s"graft_stream_${System.nanoTime()}"
+    runOnceNamed(spark, dir, name)
+  }
+
+  private def runOnceNamed(spark: SparkSession, dir: String, queryName: String): DataFrame = {
     val q = windowedAgg(cleaned(source(spark, dir)))
       .writeStream
       .outputMode("append")
@@ -77,5 +82,17 @@ object EventStream {
     q.processAllAvailable()
     q.stop()
     spark.table(queryName)
+  }
+
+  /** Driver-facing entry (rows-only check): stage the converted events
+    * as a file-stream source, run the full streaming pipeline, return
+    * the emitted windows. Append mode withholds windows newer than the
+    * final watermark, so this is not byte-for-byte SQL-expressible —
+    * the StreamingSpec proves emitted ⊆ batch-equivalent.
+    */
+  def stagedPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    graft.Tables.events(spark, sfDir).coalesce(2).write.mode("overwrite").parquet(dir)
+    runOnce(spark, dir)
   }
 }

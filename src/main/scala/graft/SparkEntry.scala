@@ -62,7 +62,9 @@ object SparkEntry {
     "multimodal_meta" -> ((s, d) => Multimodal.metadata(Tables.documents(s, d))),
     "multimodal_features" -> ((s, d) => Multimodal.features(s, Tables.documents(s, d))),
     // ── E. structured streaming (SURVEY §2E; rows-only) ────────────────
-    "stream_hourly_by_type" -> ((s, d) => graft.streaming.EventStream.stagedPipeline(s, d))
+    "stream_hourly_by_type" -> ((s, d) => graft.streaming.EventStream.stagedPipeline(s, d)),
+    // ── generator service analog (rows-only; deterministic from seed) ──
+    "generate_events" -> ((s, _) => Generator.events(s, 10000, stations = 5))
   )
 
   // Shared SQL fragments for the D-section oracles (DuckDB dialect).

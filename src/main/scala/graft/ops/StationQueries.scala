@@ -41,15 +41,17 @@ object StationQueries {
         max(col("value")).as("max_value"),
         count(lit(1)).as("n"))
 
-  /** GET /weather/timeseries/{station} — time_bucket('1 hour', ts)
-    * aggregation (query/main.py:342-354). date_trunc is the epoch-aligned
-    * equivalent of TimescaleDB's time_bucket for whole-unit intervals.
-    * Computed for every key (the reference filters to one station; the
-    * engine form is the full keyed rollup — one shuffle).
+  /** GET /weather/timeseries/{station} — time_bucket(interval, ts)
+    * aggregation (query/main.py:342-354). `window(ts, interval).start`
+    * is the epoch-aligned equivalent of TimescaleDB's time_bucket for
+    * arbitrary intervals ('1 hour', '30 minutes', ...). Computed for
+    * every key (the reference filters to one station; the engine form
+    * is the full keyed rollup — one shuffle).
     */
-  def timeseriesBucket(events: DataFrame): DataFrame =
+  def timeseriesBucket(events: DataFrame, interval: String = "1 hour"): DataFrame =
     events
-      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+      .groupBy(col("user_id"),
+        window(col("ts"), interval).getField("start").as("bucket"))
       .agg(
         round(avg(col("value")), 4).as("avg_value"),
         min(col("value")).as("min_value"),

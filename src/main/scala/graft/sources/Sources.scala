@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Batch source/sink helpers — the engine-side equivalents of the
+  * reference's ingestion endpoints (collector accepts JSON records /
+  * batches over HTTP; here the same payload shapes land as files or
+  * tables and are read schema-first).
+  *
+  * Always pass an explicit schema at scale: schema inference is a full
+  * extra pass over the data.
+  */
+object Sources {
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** JSON-lines with explicit schema; rows failing the schema land in
+    * `_corrupt_record` (PERMISSIVE) — the batch analog of the DLQ split.
+    */
+  def jsonl(spark: SparkSession, path: String, schema: StructType,
+            mode: String = "PERMISSIVE"): DataFrame =
+    spark.read.schema(schema).option("mode", mode).json(path)
+
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  /** Partitioned parquet writer — the `weather` hypertable analog: at
+    * scale, partition by a derived date column so time-range queries
+    * prune partitions (TimescaleDB chunks ≈ parquet date partitions).
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+}

@@ -84,6 +84,32 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Streaming latest-per-key via explicit keyed state
+    * (mapGroupsWithState): maintains the newest event per user as new
+    * micro-batches arrive — the streaming form of the reference's
+    * get_latest_weather_data (migrations/db.sql:79-90) kept fresh
+    * incrementally instead of re-queried. State is one row per key
+    * (bounded by key cardinality, not stream length).
+    */
+  def latestPerKeyStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val typed = events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .as[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    typed
+      .groupByKey(_._3)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String, Double, String)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, java.sql.Timestamp, Double)]) =>
+          val newest = (rows ++ state.getOption.map(s => (s._1, s._2, user, "", s._3, "")))
+            .maxBy(r => (r._2.getTime, r._1))
+          state.update((newest._1, newest._2, newest._5))
+          (user, newest._1, newest._2, newest._5)
+      }
+      .toDF("user_id", "event_id", "ts", "value")
+  }
+
   /** Driver-facing entry (rows-only check): stage the converted events
     * as a file-stream source, run the full streaming pipeline, return
     * the emitted windows. Append mode withholds windows newer than the

@@ -36,6 +36,26 @@ class StreamingSpec extends SparkSpec {
     assert(g.size >= e.size - 25, s"too few windows emitted: ${g.size} vs ${e.size}")
   }
 
+  test("stateful latest-per-key stream matches the batch latest-per-key") {
+    import spark.implicits._
+    val got = {
+      val q = EventStream.latestPerKeyStream(spark, EventStream.source(spark, stagedDir))
+        .writeStream.outputMode("update").format("memory")
+        .queryName("latest_stream").start()
+      q.processAllAvailable(); q.stop()
+      // update-mode memory sink may hold one row per key per batch; the
+      // newest (ts, event_id) per key is the final state
+      spark.table("latest_stream")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.struct("ts", "event_id")).as("m"))
+        .select(col("user_id"), col("m.event_id"))
+        .as[(Long, Long)].collect().toMap
+    }
+    val expect = graft.ops.StationQueries.latestPerKey(Tables.events(spark, sfDir))
+      .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+    assert(got === expect)
+  }
+
   test("watermarked dedup drops duplicate keys within the horizon") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dupes").toString

@@ -45,6 +45,7 @@ object SparkEntry {
       Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
       Tables.orders(s, d), Tables.lineitem(s, d), Tables.supplier(s, d))),
     "top_k_per_group" -> ((s, d) => Analytics.topKPerGroup(Tables.part(s, d))),
+    "top_k_per_group_fast" -> ((s, d) => Analytics.topKPerGroupFast(Tables.part(s, d))),
     "events_sessionize" -> ((s, d) => Analytics.sessionize(Tables.events(s, d))),
     "rollup_events" -> ((s, d) => Analytics.rollupEvents(Tables.events(s, d))),
     // ── D. LLM-training-data pipeline (SURVEY §2D) ─────────────────────
@@ -164,6 +165,11 @@ object SparkEntry {
         | AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "top_k_per_group" ->
+      """SELECT p_brand, rnk, p_partkey, p_name, p_retailprice FROM (
+        | SELECT p_brand, p_partkey, p_name, p_retailprice,
+        |  row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        | FROM part) t WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
+    "top_k_per_group_fast" ->
       """SELECT p_brand, rnk, p_partkey, p_name, p_retailprice FROM (
         | SELECT p_brand, p_partkey, p_name, p_retailprice,
         |  row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rnk

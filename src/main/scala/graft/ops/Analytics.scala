@@ -101,6 +101,17 @@ object Analytics {
       .orderBy(col("p_brand"), col("rnk"))
   }
 
+  /** topKPerGroup via the custom whole-operator plan
+    * (graft.plans.TopKPerKey): identical semantics and oracle, but a
+    * bounded per-key heap instead of the window's full partition sort —
+    * O(n log k) and fixed memory per key at 100 TB.
+    */
+  def topKPerGroupFast(part: DataFrame, k: Int = 3): DataFrame =
+    graft.plans.TopK.perKey(part,
+      Seq(col("p_brand")), Seq(col("p_retailprice").desc, col("p_partkey").asc), k)
+      .select("p_brand", "rnk", "p_partkey", "p_name", "p_retailprice")
+      .orderBy(col("p_brand"), col("rnk"))
+
   /** Gap-based sessionization of the event stream: a new session starts
     * after >30 min of inactivity per user. Two stacked windows over the
     * SAME (user_id × ts) partitioning — Catalyst reuses one shuffle+sort

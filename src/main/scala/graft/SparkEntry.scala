@@ -48,6 +48,9 @@ object SparkEntry {
     "top_k_per_group_fast" -> ((s, d) => Analytics.topKPerGroupFast(Tables.part(s, d))),
     "events_sessionize" -> ((s, d) => Analytics.sessionize(Tables.events(s, d))),
     "rollup_events" -> ((s, d) => Analytics.rollupEvents(Tables.events(s, d))),
+    "asof_join" -> ((s, d) => AsofJoin.purchaseSignupAsof(Tables.events(s, d))),
+    "events_profile" -> ((s, d) => Analytics.eventsProfile(Tables.events(s, d))),
+    "events_profile_approx" -> ((s, d) => Analytics.eventsProfileApprox(Tables.events(s, d))),
     // ── D. LLM-training-data pipeline (SURVEY §2D) ─────────────────────
     "dedup_exact" -> ((s, d) => TextDedup.exact(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => TextDedup.ngramJaccard(Tables.documents(s, d))),
@@ -193,6 +196,19 @@ object SparkEntry {
         |FROM (SELECT event_type, user_id % 10 AS user_bucket, value FROM events) t
         |GROUP BY ROLLUP(event_type, user_bucket)
         |ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""".stripMargin,
+    "asof_join" ->
+      """SELECT l.event_id, l.ts, l.user_id, l.event_type, l.value, l.props,
+        | r.ts AS asof_ts, r.value AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+        | ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "events_profile" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.95), 4) AS p95,
+        | round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "dedup_exact" ->
       s"""SELECT doc_id, canonical_id, doc_id != canonical_id AS is_dup FROM (
          | SELECT doc_id, min(doc_id) OVER (PARTITION BY $normSql) AS canonical_id

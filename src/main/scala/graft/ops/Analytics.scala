@@ -137,6 +137,31 @@ object Analytics {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Distribution profile per event type: exact interpolated percentiles
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`) + exact distincts.
+    * The approximate twin below is the 100 TB form.
+    */
+  def eventsProfile(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("user_id")).as("n_users"),
+      round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+      round(percentile(col("value"), lit(0.95)), 4).as("p95"),
+      round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("event_type"))
+
+  /** Sketch-based profile — HLL distinct + t-digest-style percentile
+    * approximations: constant memory per group at any scale (rows-only
+    * check; sketches are engine-specific).
+    */
+  def eventsProfileApprox(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      approx_count_distinct(col("user_id")).as("approx_users"),
+      approx_percentile(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
+      approx_percentile(col("value"), lit(0.95), lit(1000)).as("approx_p95"))
+      .orderBy(col("event_type"))
+
   /** Multi-level ROLLUP over (event_type, user bucket): partial-agg
     * friendly; Spark expands rollup into a single Expand+Aggregate (one
     * shuffle), not one pass per level.

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for each left row, the most recent right row with
+  * right.ts <= left.ts on the same key. Spark SQL has no ASOF JOIN
+  * operator; the naive formulation (range join + row_number) is a
+  * quadratic non-equi join. This is the Spark-first composition
+  * (SURVEY.md §3 preference (a)): tag both sides, union, one keyed
+  * window ordered by (ts, tag) carrying the last non-null right payload
+  * forward — a single hash shuffle + sort, linear in input size, the
+  * same shape a native as-of merge does at 100 TB.
+  *
+  * Tie rule: at equal timestamps the right row sorts first (tag 0 < 1),
+  * so an exactly-simultaneous right row IS visible to the left row —
+  * matching DuckDB's `ASOF JOIN ... ON l.ts >= r.ts` (the oracle).
+  */
+object AsofJoin {
+
+  /** @param left      rows to annotate
+    * @param right     reference series (will be keep-last deduped on
+    *                  (key, ts) for determinism)
+    * @param key       equality key column name (present on both sides)
+    * @param ts        event-time column name (present on both sides)
+    * @param payload   right-side columns to carry (renamed asof_<name>)
+    */
+  def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
+           payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rTagged = right
+      .select((Seq(col(key), col(ts)) ++ payload.map(c => col(c).as(s"__p_$c"))): _*)
+      .withColumn("__tag", lit(0))
+    val lTagged = left
+      .select((leftCols.map(col) :+ lit(1).as("__tag")): _*)
+    // align schemas: left gets null payload slots, right gets null left-only slots
+    val lAligned = payload.foldLeft(lTagged)((d, c) =>
+      d.withColumn(s"__p_$c", lit(null).cast(left.schema(c).dataType)))
+    val rAligned = leftCols.filterNot(Seq(key, ts).contains)
+      .foldLeft(rTagged)((d, c) =>
+        d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+      .select((leftCols.map(col) :+ col("__tag")) ++ payload.map(c => col(s"__p_$c")): _*)
+    val unioned = lAligned
+      .select((leftCols.map(col) :+ col("__tag")) ++ payload.map(c => col(s"__p_$c")): _*)
+      .unionByName(rAligned)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned)((d, c) =>
+      d.withColumn(s"asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w)))
+      .withColumn(s"asof_$ts",
+        last(when(col("__tag") === 0, col(ts)), ignoreNulls = true).over(w))
+    carried
+      .filter(col("__tag") === 1)
+      .select((leftCols.map(col) :+ col(s"asof_$ts")) ++ payload.map(c => col(s"asof_$c")): _*)
+  }
+
+  /** Driver-facing instance: each purchase annotated with the user's
+    * most recent signup value at-or-before the purchase time.
+    */
+  def purchaseSignupAsof(events: DataFrame): DataFrame =
+    asof(
+      events.filter(col("event_type") === "purchase"),
+      events.filter(col("event_type") === "signup"),
+      key = "user_id", ts = "ts", payload = Seq("value"))
+      .orderBy(col("event_id"))
+}

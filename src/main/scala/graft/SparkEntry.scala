@@ -59,6 +59,8 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDups(Tables.embeddings(s, d))),
     "knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d))),
     "knn_lsh" -> ((s, d) => Similarity.knnLsh(Tables.embeddings(s, d))),
+    "knn_ivf" -> ((s, d) => Similarity.knnIvf(Tables.embeddings(s, d))),
+    "corpus_curation" -> ((s, d) => Curation.curate(Tables.documents(s, d))),
     "text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
@@ -276,6 +278,30 @@ object SparkEntry {
          |   AS quality_score
          | FROM ($statsSubSql) st) q
          |WHERE quality_score >= 0.75 ORDER BY doc_id""".stripMargin,
+    "corpus_curation" ->
+      s"""WITH st AS ($statsSubSql),
+         | q AS (SELECT doc_id FROM (
+         |  SELECT doc_id,
+         |   (CASE WHEN n_tokens BETWEEN 10 AND 2000 THEN 0.25 ELSE 0.0 END +
+         |    CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END +
+         |    CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END +
+         |    CASE WHEN n_distinct_tokens * 1.0 / n_tokens >= 0.3 THEN 0.25 ELSE 0.0 END) AS s
+         |  FROM st) t WHERE s >= 0.75),
+         | sh AS ($shingleSubSql),
+         | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         | pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+         |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         | nd AS (SELECT DISTINCT b_id AS doc_id FROM pairs
+         |   JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+         |   WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.5),
+         | ed AS (SELECT doc_id FROM (
+         |   SELECT doc_id, min(doc_id) OVER (PARTITION BY $normSql) AS cn
+         |   FROM documents) x WHERE doc_id != cn)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+         |JOIN q ON q.doc_id = d.doc_id
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM nd)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM ed)
+         |ORDER BY d.doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS size_bytes,
         | substr(hex(CAST(text AS BLOB)), 1, 8) AS magic_hex,

@@ -65,6 +65,47 @@ object Similarity {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
+    * corpus into cells; each query probes its nProbe nearest cells and
+    * exactly reranks only those candidates. The standard
+    * billion-vector layout: the corpus is scanned once to assign
+    * cells, queries touch nProbe/nCells of the data. Centroids are
+    * model metadata (nCells × dim — broadcast-sized by construction).
+    */
+  def knnIvf(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+             nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    val base = prepared(embeddings)
+    val withVec = base.withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(withVec)
+    val assigned = model.transform(withVec).drop("fv")
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+    // nProbe nearest centroids per query (L2, same metric as training)
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn2"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("d2", VectorOps.vecNorm2(zip_with(col("qv"), col("centroid"),
+        (a: Column, b: Column) => a - b)))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn2"), col("cell"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos_sim", round(cosRaw(col("qv"), col("v"), col("qn2"), col("norm2")), 4))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Random-hyperplane LSH ANN — the scale path. bands×bitsPerBand
     * pseudo-random hyperplanes (deterministic ±1 entries from xxhash64
     * parity of (dimension, plane)); per band, the sign pattern forms a

@@ -49,6 +49,7 @@ object SparkEntry {
     "events_sessionize" -> ((s, d) => Analytics.sessionize(Tables.events(s, d))),
     "rollup_events" -> ((s, d) => Analytics.rollupEvents(Tables.events(s, d))),
     "asof_join" -> ((s, d) => AsofJoin.purchaseSignupAsof(Tables.events(s, d))),
+    "pivot_events" -> ((s, d) => Analytics.pivotEvents(Tables.events(s, d))),
     "events_profile" -> ((s, d) => Analytics.eventsProfile(Tables.events(s, d))),
     "events_profile_approx" -> ((s, d) => Analytics.eventsProfileApprox(Tables.events(s, d))),
     // ── D. LLM-training-data pipeline (SURVEY §2D) ─────────────────────
@@ -205,6 +206,14 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
         | ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    "pivot_events" ->
+      """SELECT user_id % 10 AS user_bucket,
+        | count(*) FILTER (WHERE event_type = 'click') AS click,
+        | count(*) FILTER (WHERE event_type = 'view') AS view,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_profile" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
         | round(quantile_cont(value, 0.5), 4) AS p50,

@@ -162,6 +162,20 @@ object Analytics {
       approx_percentile(col("value"), lit(0.95), lit(1000)).as("approx_p95"))
       .orderBy(col("event_type"))
 
+  /** Pivot: event-type counts as columns per user bucket. Spark's
+    * `pivot` with explicit values compiles to a single conditional
+    * aggregation (one shuffle, no per-value passes); absent cells are
+    * 0-filled to match the SQL FILTER formulation.
+    */
+  def pivotEvents(events: DataFrame): DataFrame =
+    events
+      .withColumn("user_bucket", pmod(col("user_id"), lit(10L)))
+      .groupBy(col("user_bucket"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_bucket"))
+
   /** Multi-level ROLLUP over (event_type, user bucket): partial-agg
     * friendly; Spark expands rollup into a single Expand+Aggregate (one
     * shuffle), not one pass per level.

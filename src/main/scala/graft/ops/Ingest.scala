@@ -91,4 +91,15 @@ object Ingest {
     */
   def pipeline(events: DataFrame): DataFrame =
     dedupKeepLast(validate(events))
+
+  /** Typed variant of the pipeline over Dataset[Event] — same plan (the
+    * typed filter still uses Column predicates, so pushdown and codegen
+    * are identical; the Encoder only governs the API surface).
+    */
+  def pipelineTyped(events: org.apache.spark.sql.Dataset[graft.model.Event])
+      : org.apache.spark.sql.Dataset[graft.model.Event] = {
+    implicit val enc: org.apache.spark.sql.Encoder[graft.model.Event] =
+      org.apache.spark.sql.Encoders.product[graft.model.Event]
+    pipeline(events.toDF()).as[graft.model.Event]
+  }
 }

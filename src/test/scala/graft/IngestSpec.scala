@@ -47,6 +47,18 @@ class IngestSpec extends SparkSpec {
     assert(st === Array((1L, 3L, 2L, 1L, 1L), (2L, 2L, 1L, 1L, 0L)))
   }
 
+  test("typed pipeline round-trips through Dataset[Event] with identical results") {
+    import graft.model.Event
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    val ds = Tables.events(spark, sfDir).as[Event]
+    val typed = Ingest.pipelineTyped(ds).collect().map(_.event_id).sorted
+    val untyped = Ingest.pipeline(Tables.events(spark, sfDir))
+      .select("event_id").as[Long].collect().sorted
+    assert(typed.toSeq === untyped.toSeq)
+    // typed access compiles against fields, e.g.:
+    assert(Ingest.pipelineTyped(ds).head().event_type.nonEmpty)
+  }
+
   test("pipeline over real events is non-empty and key-unique") {
     val out = Ingest.pipeline(Tables.events(spark, sfDir)).cache()
     assert(out.count() > 0)

@@ -27,6 +27,10 @@ object Curation {
       .join(quality, Seq("doc_id"), "left_semi")
       .join(removed, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-      .orderBy(col("doc_id"))
+      // global orderBy range-samples, which executes the whole pipeline
+      // a second time; the survivors are small, so a single-partition
+      // sort gives the same deterministic order for one execution.
+      .coalesce(1)
+      .sortWithinPartitions(col("doc_id"))
   }
 }

@@ -34,4 +34,19 @@ object Sources {
   def writePartitioned(df: DataFrame, path: String,
                        partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed external table — pre-shuffled storage so repeated joins
+    * and aggregations on the bucket key run with NO exchange at read
+    * time. This is the 100 TB answer to "the same big join every day":
+    * pay the shuffle once at write. (Bucketing metadata lives in the
+    * catalog, hence saveAsTable.)
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    bucketCol: String, nBuckets: Int,
+                    sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(nBuckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).format("parquet").saveAsTable(table)
+  }
 }

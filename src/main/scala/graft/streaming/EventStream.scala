@@ -116,9 +116,15 @@ object EventStream {
     * final watermark, so this is not byte-for-byte SQL-expressible —
     * the StreamingSpec proves emitted ⊆ batch-equivalent.
     */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def stagedPipeline(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
-    graft.Tables.events(spark, sfDir).coalesce(2).write.mode("overwrite").parquet(dir)
+    val dir = stagedDirs.computeIfAbsent(sfDir, { sf =>
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+      graft.Tables.events(spark, sf).coalesce(2).write.mode("overwrite").parquet(d)
+      d
+    })
     runOnce(spark, dir)
   }
 }

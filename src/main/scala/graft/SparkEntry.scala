@@ -28,6 +28,7 @@ object SparkEntry {
     "ingest_dedup" -> ((s, d) => Ingest.dedupKeepLast(Tables.events(s, d))),
     "ingest_batch_stats" -> ((s, d) => Ingest.batchStats(Tables.events(s, d))),
     "ingest_pipeline" -> ((s, d) => Ingest.pipeline(Tables.events(s, d))),
+    "ingest_props_extract" -> ((s, d) => Ingest.extractProps(Tables.events(s, d))),
     // ── B. query service (SURVEY §2B) ──────────────────────────────────
     "raw_station" -> ((s, d) =>
       StationQueries.rawStation(Tables.events(s, d), RawUser, RawStart, RawEnd)),
@@ -122,6 +123,10 @@ object SparkEntry {
       s"""SELECT $eventCols FROM (
          | SELECT e.*, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
          | FROM (SELECT * FROM events WHERE $validSql) e) t WHERE rn = 1""".stripMargin,
+    "ingest_props_extract" ->
+      """SELECT event_id, user_id, event_type,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+        |FROM events ORDER BY event_id""".stripMargin,
     "raw_station" ->
       s"""SELECT * FROM events WHERE user_id = $RawUser
          | AND ts >= TIMESTAMP '$RawStart' AND ts <= TIMESTAMP '$RawEnd'

@@ -92,6 +92,23 @@ object Ingest {
   def pipeline(events: DataFrame): DataFrame =
     dedupKeepLast(validate(events))
 
+  /** Semi-structured payload extraction: parse the JSON `props` column
+    * into typed columns (the collector accepts JSON payloads —
+    * collector/main.py:151-171 — and a real pipeline projects them to
+    * columns at ingest so downstream queries are columnar). Uses
+    * `from_json` with an explicit schema — single pass, codegen'd,
+    * no schema inference over the data.
+    */
+  def extractProps(events: DataFrame): DataFrame =
+    events
+      .withColumn("__p", from_json(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("__p.k").as("prop_k"))
+      .orderBy(col("event_id"))
+
   /** Typed variant of the pipeline over Dataset[Event] — same plan (the
     * typed filter still uses Column predicates, so pushdown and codegen
     * are identical; the Encoder only governs the API surface).

@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.{Ingest, TextDedup}
+import graft.functions.Hashes
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+
+/** Property-based invariants over ScalaCheck-generated datasets
+  * (sampled deterministically — no scalatest/scalacheck bridge in the
+  * offline cache, so generators are driven manually).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int, seedBase: Long): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default,
+      rng.Seed(seedBase + i)))
+
+  private val eventGen = for {
+    id <- Gen.choose(0L, 999L)
+    user <- Gen.choose(0L, 5L)
+    minute <- Gen.choose(0, 59)
+    tpe <- Gen.oneOf("click", "view", "purchase", "signup", "error")
+    value <- Gen.choose(0.0, 400.0)
+  } yield (id, f"2024-01-01 10:$minute%02d:00", user, tpe, value, "{}")
+
+  private def toDf(rows: Seq[(Long, String, Long, String, Double, String)]) =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+
+  test("dedupKeepLast is idempotent and key-unique (5 generated datasets)") {
+    (1 to 5).foreach { trial =>
+      val df = toDf(samples(eventGen, 60, 1000L * trial))
+      val once = Ingest.dedupKeepLast(df)
+      val twice = Ingest.dedupKeepLast(once)
+      assert(once.count() === twice.count())
+      assert(once.groupBy("user_id", "ts").count()
+        .filter(col("count") > 1).count() === 0)
+    }
+  }
+
+  test("validate ∪ dlq partitions the input exactly (5 generated datasets)") {
+    (1 to 5).foreach { trial =>
+      val df = toDf(samples(eventGen, 50, 7000L * trial))
+      assert(Ingest.validate(df).count() + Ingest.dlq(df).count() === df.count())
+    }
+  }
+
+  private val textGen =
+    Gen.listOfN(12, Gen.oneOf("the", "fast", "data", "spark", "query",
+      "row", "join", "scan", "sort", "hash")).map(_.mkString(" "))
+
+  test("ngram jaccard post-filter stays in [0.5, 1]; simhash is deterministic") {
+    (1 to 3).foreach { trial =>
+      val docs = samples(textGen, 8, 31L * trial).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val pairs = TextDedup.ngramJaccard(docs).select("jaccard").as[Double].collect()
+      assert(pairs.forall(j => j >= 0.5 && j <= 1.0))
+      val h1 = docs.select(Hashes.simhash64(split(col("text"), " "))).as[Long].collect()
+      val h2 = docs.select(Hashes.simhash64(split(col("text"), " "))).as[Long].collect()
+      assert(h1.toSeq === h2.toSeq)
+    }
+  }
+}

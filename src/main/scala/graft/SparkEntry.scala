@@ -51,6 +51,7 @@ object SparkEntry {
     "rollup_events" -> ((s, d) => Analytics.rollupEvents(Tables.events(s, d))),
     "asof_join" -> ((s, d) => AsofJoin.purchaseSignupAsof(Tables.events(s, d))),
     "pivot_events" -> ((s, d) => Analytics.pivotEvents(Tables.events(s, d))),
+    "cube_events" -> ((s, d) => Analytics.cubeEvents(Tables.events(s, d))),
     "events_profile" -> ((s, d) => Analytics.eventsProfile(Tables.events(s, d))),
     "events_profile_approx" -> ((s, d) => Analytics.eventsProfileApprox(Tables.events(s, d))),
     // ── D. LLM-training-data pipeline (SURVEY §2D) ─────────────────────
@@ -211,6 +212,12 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
         | ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    "cube_events" ->
+      """SELECT event_type, user_bucket, count(*) AS n,
+        | sum(cast(value AS DECIMAL(18,2))) AS total_value
+        |FROM (SELECT event_type, user_id % 10 AS user_bucket, value FROM events) t
+        |GROUP BY CUBE(event_type, user_bucket)
+        |ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""".stripMargin,
     "pivot_events" ->
       """SELECT user_id % 10 AS user_bucket,
         | count(*) FILTER (WHERE event_type = 'click') AS click,

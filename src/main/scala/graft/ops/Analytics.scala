@@ -162,6 +162,19 @@ object Analytics {
       approx_percentile(col("value"), lit(0.95), lit(1000)).as("approx_p95"))
       .orderBy(col("event_type"))
 
+  /** CUBE over (event_type, user bucket): all 2ⁿ grouping combinations
+    * in one Expand+Aggregate pass (one shuffle), like rollup but with
+    * the cross-marginals.
+    */
+  def cubeEvents(events: DataFrame): DataFrame =
+    events
+      .withColumn("user_bucket", pmod(col("user_id"), lit(10L)))
+      .cube(col("event_type"), col("user_bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("total_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("user_bucket").asc_nulls_first)
+
   /** Pivot: event-type counts as columns per user bucket. Spark's
     * `pivot` with explicit values compiles to a single conditional
     * aggregation (one shuffle, no per-value passes); absent cells are

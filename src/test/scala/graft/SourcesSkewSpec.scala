@@ -34,6 +34,9 @@ class SourcesSkewSpec extends SparkSpec {
     val plan = back.queryExecution.executedPlan.toString
     assert(back.count() > 0)
     assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("date=")))
+    // the date predicate must prune partitions at planning, not scan+filter
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(date"), plan.take(900))
   }
 
   test("salted sum equals plain sum") {

@@ -52,6 +52,7 @@ object SparkEntry {
     "asof_join" -> ((s, d) => AsofJoin.purchaseSignupAsof(Tables.events(s, d))),
     "pivot_events" -> ((s, d) => Analytics.pivotEvents(Tables.events(s, d))),
     "cube_events" -> ((s, d) => Analytics.cubeEvents(Tables.events(s, d))),
+    "range_join" -> ((s, d) => Analytics.rangeJoinActivity(Tables.events(s, d))),
     "events_profile" -> ((s, d) => Analytics.eventsProfile(Tables.events(s, d))),
     "events_profile_approx" -> ((s, d) => Analytics.eventsProfileApprox(Tables.events(s, d))),
     // ── D. LLM-training-data pipeline (SURVEY §2D) ─────────────────────
@@ -212,6 +213,18 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
         | ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    "range_join" ->
+      """WITH hours AS (
+        |  SELECT date_trunc('hour', ts) AS h, count(*) AS n FROM events GROUP BY 1),
+        | hot AS (SELECT h FROM (
+        |  SELECT h, row_number() OVER (ORDER BY n DESC, h) AS rn FROM hours) t
+        |  WHERE rn <= 20),
+        | win AS (SELECT h - INTERVAL 30 MINUTE AS w_start,
+        |                h + INTERVAL 90 MINUTE AS w_end FROM hot)
+        |SELECT w_start, w_end, count(*) AS n_events,
+        | sum(cast(value AS DECIMAL(18,2))) AS total_value
+        |FROM win JOIN events e ON e.ts >= w_start AND e.ts < w_end
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "cube_events" ->
       """SELECT event_type, user_bucket, count(*) AS n,
         | sum(cast(value AS DECIMAL(18,2))) AS total_value

@@ -162,6 +162,39 @@ object Analytics {
       approx_percentile(col("value"), lit(0.95), lit(1000)).as("approx_p95"))
       .orderBy(col("event_type"))
 
+  /** Range (interval) join, bucketized: aggregate events falling inside
+    * the top-20 "hot" activity windows ([hour−30 min, hour+90 min),
+    * overlapping and unaligned). A naive interval join is a
+    * BroadcastNestedLoopJoin — O(|events|·|windows|) pair evaluations.
+    * The scale shape used here: explode each window to the hour buckets
+    * it covers (≤3), bucket each event to its hour, EQUI-join on the
+    * bucket, then post-filter the exact range — pair work proportional
+    * to actual overlap. An event's single bucket meets each window at
+    * most once, so no dedup is needed.
+    */
+  def rangeJoinActivity(events: DataFrame, topWindows: Int = 20): DataFrame = {
+    val hours = events
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val hot = hours
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("n").desc, col("h"))))
+      .filter(col("rn") <= topWindows)
+      .select(
+        (col("h") - expr("INTERVAL 30 MINUTE")).as("w_start"),
+        (col("h") + expr("INTERVAL 90 MINUTE")).as("w_end"))
+    val winBuckets = hot.withColumn("bucket",
+      explode(sequence(date_trunc("hour", col("w_start")), col("w_end"),
+        expr("INTERVAL 1 HOUR"))))
+    val evBuckets = events.withColumn("bucket", date_trunc("hour", col("ts")))
+    winBuckets.join(evBuckets, Seq("bucket"))
+      .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .groupBy(col("w_start"), col("w_end"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).as("total_value"))
+      .orderBy(col("w_start"))
+  }
+
   /** CUBE over (event_type, user bucket): all 2ⁿ grouping combinations
     * in one Expand+Aggregate pass (one shuffle), like rollup but with
     * the cross-marginals.

@@ -34,6 +34,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(firstBrand.sorted.reverse sameElements firstBrand)
   }
 
+  test("bucketized range join equals the naive interval join") {
+    val ev = Tables.events(spark, sfDir)
+    val got = graft.ops.Analytics.rangeJoinActivity(ev).collect().map(_.toSeq)
+    // naive: direct non-equi join (BroadcastNestedLoop) over same windows
+    val hours = ev.groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val hot = hours.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("h"))))
+      .filter(col("rn") <= 20)
+      .select((col("h") - expr("INTERVAL 30 MINUTE")).as("w_start"),
+        (col("h") + expr("INTERVAL 90 MINUTE")).as("w_end"))
+    val naive = hot.join(ev, col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .groupBy("w_start", "w_end")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .as("total_value"))
+      .orderBy("w_start").collect().map(_.toSeq)
+    assert(got.toSeq === naive.toSeq)
+  }
+
   test("latest per key yields exactly one newest row per user") {
     val ev = Tables.events(spark, sfDir)
     val latest = StationQueries.latestPerKey(ev).cache()

@@ -1,9 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+
+/** Benchmark main: times every SparkEntry query at the SF dir given by
+  * SPARK_GRAFT_SF_DIR and emits ONE JSON line. The JSON is BOTH printed
+  * to stdout and written to the file named by SPARK_GRAFT_BENCH_OUT
+  * (default bench_out.json in the CWD), because under sbt the stdout
+  * line is wrapped in [info] noise that breaks the driver's parser.
+  *
+  * Timing methodology: one untimed warmup execution per query, then the
+  * minimum of 3 timed executions. This VM shows one-off flukes of up to
+  * 36x on identical code (see BENCH_r1 vs r2), so min-of-N with a real
+  * warmup is the only way to report steady-state numbers.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -11,25 +27,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/shuffle paths once so the first timed query
-    // doesn't absorb all cold-start cost (standard bench methodology;
-    // the data itself is not cached).
+    // doesn't absorb all cold-start cost (the data itself is not cached).
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    // Best-of-2 per query: the host VM shows large one-off timing
-    // flukes (same query, same JVM: 7s vs 70s); min-of-N reports
-    // steady-state performance.
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      timeOnce(fn) // warmup, untimed
+      name -> (1 to reps).map(_ => timeOnce(fn)).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
+    println(json)
     spark.stop()
   }
 }

@@ -150,9 +150,9 @@ object SparkEntry {
          | FROM events e) t WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | sum(cast(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        | sum(cast(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        | sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+        | cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
         | round(avg(l_quantity), 4) AS avg_qty,
         | round(avg(l_extendedprice), 4) AS avg_price,
         | round(avg(l_discount), 4) AS avg_disc,
@@ -161,7 +161,7 @@ object SparkEntry {
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        | sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+        | cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
         | AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
@@ -169,7 +169,7 @@ object SparkEntry {
         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
-        | sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+        | cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
         | AND c_nationkey = s_nationkey AND c_nationkey = n_nationkey
@@ -190,7 +190,8 @@ object SparkEntry {
     "events_sessionize" ->
       """SELECT user_id, cast(session_id AS BIGINT) AS session_id,
         | min(ts) AS session_start, max(ts) AS session_end,
-        | count(*) AS n_events, sum(cast(value AS DECIMAL(18,2))) AS session_value
+        | count(*) AS n_events,
+        | cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM (
         | SELECT user_id, ts, event_id, value,
         |  sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
@@ -202,7 +203,7 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "rollup_events" ->
       """SELECT event_type, user_bucket, count(*) AS n,
-        | sum(cast(value AS DECIMAL(18,2))) AS total_value
+        | cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM (SELECT event_type, user_id % 10 AS user_bucket, value FROM events) t
         |GROUP BY ROLLUP(event_type, user_bucket)
         |ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""".stripMargin,
@@ -222,12 +223,12 @@ object SparkEntry {
         | win AS (SELECT h - INTERVAL 30 MINUTE AS w_start,
         |                h + INTERVAL 90 MINUTE AS w_end FROM hot)
         |SELECT w_start, w_end, count(*) AS n_events,
-        | sum(cast(value AS DECIMAL(18,2))) AS total_value
+        | cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM win JOIN events e ON e.ts >= w_start AND e.ts < w_end
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "cube_events" ->
       """SELECT event_type, user_bucket, count(*) AS n,
-        | sum(cast(value AS DECIMAL(18,2))) AS total_value
+        | cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM (SELECT event_type, user_id % 10 AS user_bucket, value FROM events) t
         |GROUP BY CUBE(event_type, user_bucket)
         |ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""".stripMargin,
@@ -305,11 +306,11 @@ object SparkEntry {
     "quality_filter" ->
       s"""SELECT doc_id, n_tokens, stopword_ratio, avg_token_len, quality_score FROM (
          | SELECT doc_id, n_tokens, stopword_ratio, avg_token_len,
-         |  (CASE WHEN n_tokens BETWEEN 10 AND 2000 THEN 0.25 ELSE 0.0 END +
+         |  cast(CASE WHEN n_tokens BETWEEN 10 AND 2000 THEN 0.25 ELSE 0.0 END +
          |   CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END +
          |   CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END +
-         |   CASE WHEN n_distinct_tokens * 1.0 / n_tokens >= 0.3 THEN 0.25 ELSE 0.0 END)
-         |   AS quality_score
+         |   CASE WHEN n_distinct_tokens * 1.0 / n_tokens >= 0.3 THEN 0.25 ELSE 0.0 END
+         |   AS DOUBLE) AS quality_score
          | FROM ($statsSubSql) st) q
          |WHERE quality_score >= 0.75 ORDER BY doc_id""".stripMargin,
     "corpus_curation" ->

@@ -10,9 +10,13 @@ import org.apache.spark.sql.types.DecimalType
   * headliners.
   *
   * Numeric-determinism policy: money sums are computed over
-  * DECIMAL-cast summands (exact, order-independent — safe to hash
-  * against the DuckDB oracle); averages are rounded at the output
-  * boundary.
+  * DECIMAL-cast summands (exact, order-independent) and then cast to
+  * DOUBLE at the output boundary — Spark widens sum(DECIMAL(18,x)) to
+  * DECIMAL(28,x) while DuckDB widens to DECIMAL(38,x), so emitting the
+  * decimal itself hash-mismatches the oracle on representation even
+  * when values are identical. Casting the same exact decimal to an
+  * IEEE double is deterministic in both engines. Averages are rounded
+  * at the output boundary.
   *
   * Scale notes per query are inline; the recurring rules:
   *  - dimension tables (region/nation/supplier/part/customer) are
@@ -35,10 +39,10 @@ object Analytics {
       .filter(col("l_shipdate") <= tsLit("1998-09-02 00:00:00"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec("l_quantity")).as("sum_qty"),
-        sum(dec("l_extendedprice")).as("sum_base_price"),
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
         sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast(DecimalType(18, 4))).as("sum_disc_price"),
+          .cast(DecimalType(18, 4))).cast("double").as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -60,7 +64,7 @@ object Analytics {
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast(DecimalType(18, 4))).as("revenue"))
+        .cast(DecimalType(18, 4))).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -84,7 +88,7 @@ object Analytics {
       .join(dims, col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast(DecimalType(18, 4))).as("revenue"))
+        .cast(DecimalType(18, 4))).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -133,7 +137,7 @@ object Analytics {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).as("session_value"))
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("session_value"))
       .orderBy(col("user_id"), col("session_id"))
   }
 
@@ -191,7 +195,7 @@ object Analytics {
       .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
       .groupBy(col("w_start"), col("w_end"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).as("total_value"))
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
       .orderBy(col("w_start"))
   }
 
@@ -205,7 +209,7 @@ object Analytics {
       .cube(col("event_type"), col("user_bucket"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 2))).as("total_value"))
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
       .orderBy(col("event_type").asc_nulls_first, col("user_bucket").asc_nulls_first)
 
   /** Pivot: event-type counts as columns per user bucket. Spark's
@@ -232,6 +236,6 @@ object Analytics {
       .rollup(col("event_type"), col("user_bucket"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 2))).as("total_value"))
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
       .orderBy(col("event_type").asc_nulls_first, col("user_bucket").asc_nulls_first)
 }

@@ -13,18 +13,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm(v):
+    # STRICT, like the driver: compare exact representations. A Spark
+    # DOUBLE 1.5 vs a DuckDB DECIMAL 1.50 must MISMATCH here, because it
+    # mismatches the driver's hash. No rounding, no type coercion.
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 9)
-    try:  # Decimal → float-ish canonical form
-        import decimal
-        if isinstance(v, decimal.Decimal):
-            return round(float(v), 9)
-    except Exception:
-        pass
+        return repr(v)
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        return str(v)  # preserves scale: Decimal('1.20') -> '1.20'
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     return str(v)

@@ -36,6 +36,9 @@ object SparkEntry {
       StationQueries.aggStation(Tables.events(s, d), RawUser, RawStart, RawEnd)),
     "timeseries_bucket" -> ((s, d) =>
       StationQueries.timeseriesBucket(Tables.events(s, d))),
+    "timeseries_station" -> ((s, d) =>
+      StationQueries.timeseriesStation(Tables.events(s, d), RawUser, RawStart,
+        RawEnd, "30 minutes")),
     "latest_per_key" -> ((s, d) =>
       StationQueries.latestPerKey(Tables.events(s, d))),
     // ── C. analytics (SURVEY §2C) ──────────────────────────────────────
@@ -107,10 +110,11 @@ object SparkEntry {
     "ingest_dlq" ->
       s"""SELECT *,
          | CASE WHEN user_id IS NULL OR ts IS NULL THEN 'missing_key'
+         |      WHEN value IS NULL OR event_type IS NULL THEN 'missing_field'
          |      WHEN value < 0 OR value > 300 THEN 'value_out_of_range'
          |      WHEN event_type NOT IN ('click','view','purchase','signup') THEN 'bad_event_type'
          |      ELSE 'unknown' END AS reason
-         |FROM events WHERE NOT ($validSql)""".stripMargin,
+         |FROM events WHERE NOT coalesce($validSql, FALSE)""".stripMargin,
     "ingest_dedup" ->
       s"""SELECT $eventCols FROM (
          | SELECT e.*, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
@@ -144,6 +148,13 @@ object SparkEntry {
         | round(avg(value), 4) AS avg_value, min(value) AS min_value,
         | max(value) AS max_value, count(*) AS reading_count
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "timeseries_station" ->
+      s"""SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) AS bucket,
+         | round(avg(value), 4) AS avg_value, min(value) AS min_value,
+         | max(value) AS max_value, count(*) AS reading_count
+         |FROM events WHERE user_id = $RawUser
+         | AND ts >= TIMESTAMP '$RawStart' AND ts <= TIMESTAMP '$RawEnd'
+         |GROUP BY 1, 2 ORDER BY 2""".stripMargin,
     "latest_per_key" ->
       s"""SELECT $eventCols FROM (
          | SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
@@ -211,7 +222,12 @@ object SparkEntry {
       """SELECT l.event_id, l.ts, l.user_id, l.event_type, l.value, l.props,
         | r.ts AS asof_ts, r.value AS asof_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+        |ASOF LEFT JOIN (
+        |  SELECT * FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |     ORDER BY event_id DESC) AS rn
+        |   FROM events WHERE event_type = 'signup'
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL) t WHERE rn = 1) r
         | ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
     "range_join" ->

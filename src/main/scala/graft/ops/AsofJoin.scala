@@ -20,16 +20,31 @@ import org.apache.spark.sql.functions._
 object AsofJoin {
 
   /** @param left      rows to annotate
-    * @param right     reference series (will be keep-last deduped on
-    *                  (key, ts) for determinism)
+    * @param right     reference series — keep-last deduped on (key, ts)
+    *                  by `tieBreak` descending (pass the arrival-order
+    *                  column for reference-upsert semantics; None falls
+    *                  back to dropDuplicates, single-row but arbitrary).
+    *                  Rows with a NULL key or ts are dropped from the
+    *                  right side: SQL ASOF equality never matches NULL,
+    *                  but a keyed window WOULD group left NULL keys with
+    *                  right NULL keys without this filter.
     * @param key       equality key column name (present on both sides)
     * @param ts        event-time column name (present on both sides)
     * @param payload   right-side columns to carry (renamed asof_<name>)
+    * @param tieBreak  right-side arrival-order column for keep-last
     */
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
-           payload: Seq[String]): DataFrame = {
+           payload: Seq[String], tieBreak: Option[String] = None): DataFrame = {
     val leftCols = left.columns.toSeq
-    val rTagged = right
+    val rBase = right.filter(col(key).isNotNull && col(ts).isNotNull)
+    val rDeduped = tieBreak match {
+      case Some(tb) =>
+        val dw = Window.partitionBy(col(key), col(ts)).orderBy(col(tb).desc)
+        rBase.withColumn("__rn", row_number().over(dw))
+          .filter(col("__rn") === 1).drop("__rn")
+      case None => rBase.dropDuplicates(key, ts)
+    }
+    val rTagged = rDeduped
       .select((Seq(col(key), col(ts)) ++ payload.map(c => col(c).as(s"__p_$c"))): _*)
       .withColumn("__tag", lit(0))
     val lTagged = left
@@ -63,6 +78,7 @@ object AsofJoin {
     asof(
       events.filter(col("event_type") === "purchase"),
       events.filter(col("event_type") === "signup"),
-      key = "user_id", ts = "ts", payload = Seq("value"))
+      key = "user_id", ts = "ts", payload = Seq("value"),
+      tieBreak = Some("event_id"))
       .orderBy(col("event_id"))
 }

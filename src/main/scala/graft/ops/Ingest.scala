@@ -48,13 +48,21 @@ object Ingest {
   /** Invalid split: rows failing validation, tagged with the first
     * failing rule — the DLQ payload (collector/main.py:133-146 wraps the
     * original message with an error string).
+    *
+    * NULL-safe: a NULL value/event_type makes `validCond` NULL, which a
+    * bare `filter(!validCond)` drops — the row would vanish from BOTH
+    * splits. `coalesce(_, true)` routes NULL-predicate rows here, so
+    * validate ∪ dlq is an exact partition of the input (the reference's
+    * pydantic validator likewise rejects missing fields —
+    * consumer/main.py:142-161).
     */
   def dlq(events: DataFrame): DataFrame =
     events
-      .filter(!validCond)
+      .filter(coalesce(!validCond, lit(true)))
       .withColumn(
         "reason",
         when(col("user_id").isNull || col("ts").isNull, "missing_key")
+          .when(col("value").isNull || col("event_type").isNull, "missing_field")
           .when(col("value") < 0.0 || col("value") > MaxValue, "value_out_of_range")
           .when(!col("event_type").isin(ValidTypes: _*), "bad_event_type")
           .otherwise("unknown"))

@@ -118,16 +118,23 @@ object Similarity {
   def knnLsh(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
              bands: Int = 4, bitsPerBand: Int = 4): DataFrame = {
     val base = prepared(embeddings)
-    val cand = base.select(col("vec_id"), col("v"), col("norm2"),
+    // Candidate generation carries ONLY (id, bucket) — the vectors stay
+    // out of the bucket join and the candidate dedup shuffle. At 100 TB
+    // the exploded index is ids+longs (~16 bytes/row), not the
+    // embeddings themselves; payloads re-join once per SURVIVING pair.
+    val buckets = base.select(col("vec_id"),
       explode(VectorOps.hyperplaneBands(col("v"), bands, bitsPerBand)).as("bucket"))
-    val q = broadcast(cand.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("norm2").as("qn2"), col("bucket")))
-    q.join(cand, Seq("bucket"))
+    val qBuckets = broadcast(buckets.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("bucket")))
+    val pairs = qBuckets.join(buckets, Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("qv"), col("qn2"),
-        col("vec_id"), col("v"), col("norm2"))
+      .select(col("query_id"), col("vec_id"))
       .dropDuplicates("query_id", "vec_id")
+    val qVecs = broadcast(base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn2")))
+    pairs
+      .join(base, Seq("vec_id"))
+      .join(qVecs, Seq("query_id"))
       .withColumn("cos_sim", round(cosRaw(col("qv"), col("v"), col("qn2"), col("norm2")), 4))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))).cast("long"))

@@ -23,16 +23,28 @@ object Skew {
       .groupBy(col("key"))
       .agg(sum(col("__partial")).as("total"), sum(col("__n")).as("n"))
 
-  /** Salted broadcast-replicated join: the big side gets a random salt
-    * in [0, salts); the small side is exploded `salts` times so every
+  /** Salted broadcast-replicated join: the big side gets a salt in
+    * [0, salts); the small side is exploded `salts` times so every
     * (key, salt) pair still matches. Use when the small side fits in a
     * broadcast ×salts and the big side's key histogram is too spiky for
     * AQE to split well.
+    *
+    * The salt is a stable hash of the whole row, NOT
+    * monotonically_increasing_id(): the latter depends on partition
+    * layout, so a task retry or repartition would re-salt rows
+    * nondeterministically (identical rows always co-salt — acceptable,
+    * since exact duplicates of a hot key are rare relative to the key's
+    * row count).
     */
+  /** Deterministic salt in [0, salts): a stable hash of the full row —
+    * invariant under repartition and task retry.
+    */
+  def stableSalt(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong))
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int = 8): DataFrame = {
-    val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+    val saltedBig = big.withColumn("__salt", stableSalt(big, salts))
     val saltedSmall = small.withColumn("__salt",
       explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
     saltedBig.join(broadcast(saltedSmall), Seq(key, "__salt")).drop("__salt")

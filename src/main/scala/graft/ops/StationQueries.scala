@@ -59,6 +59,29 @@ object StationQueries {
         count(lit(1)).as("reading_count"))
       .orderBy(col("user_id"), col("bucket"))
 
+  /** GET /weather/timeseries/{station_id}?start_time&end_time&interval —
+    * the reference's actual endpoint shape (query/main.py:318-354):
+    * station-filtered, range-bounded, caller-chosen bucket interval.
+    * This is the hot path at 100 TB: both the key predicate and the time
+    * bounds are plain column comparisons against the scan, so with
+    * time-partitioned storage this is a partition-pruned point lookup
+    * (the Spark analog of the reference's (station_id, timestamp DESC)
+    * index access) followed by a near-empty aggregation.
+    */
+  def timeseriesStation(events: DataFrame, userId: Long, start: String,
+                        end: String, interval: String = "1 hour"): DataFrame =
+    events
+      .filter(col("user_id") === userId &&
+        col("ts") >= tsLit(start) && col("ts") <= tsLit(end))
+      .groupBy(col("user_id"),
+        window(col("ts"), interval).getField("start").as("bucket"))
+      .agg(
+        round(avg(col("value")), 4).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        count(lit(1)).as("reading_count"))
+      .orderBy(col("bucket"))
+
   /** get_latest_weather_data — DISTINCT ON (station_id) … ORDER BY
     * station_id, timestamp DESC (migrations/db.sql:79-90): newest row per
     * key, tie-broken by event_id. row_number over a keyed window = one

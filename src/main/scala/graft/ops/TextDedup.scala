@@ -90,19 +90,27 @@ object TextDedup {
     */
   def minhashLsh(documents: DataFrame, bands: Int = 16, rows: Int = 4,
                  threshold: Double = 0.5): DataFrame = {
-    val sigs = documents
+    val withShingles = documents
       .withColumn("shingles", hashedShingles(3))
       .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("shingles"))
+    // Candidate generation on (doc_id, bucket) ONLY: the shingle arrays
+    // stay out of the band self-join and the candidate dedup shuffle
+    // (at 100 TB the exploded index is two longs per row, not the
+    // documents). Shingle sets re-join once per surviving pair for the
+    // exact-Jaccard verification.
+    val buckets = withShingles
       .withColumn("minhash", Hashes.minhashSig(col("shingles"), bands * rows))
-      .select(col("doc_id"), col("shingles"),
+      .select(col("doc_id"),
         explode(Hashes.bandKeys(col("minhash"), bands, rows)).as("bucket"))
-    val cand = sigs.as("a")
-      .join(sigs.as("b"),
+    val pairs = buckets.as("a")
+      .join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    cand
+    pairs
+      .join(withShingles.select(col("doc_id").as("a_id"), col("shingles").as("sh_a")), Seq("a_id"))
+      .join(withShingles.select(col("doc_id").as("b_id"), col("shingles").as("sh_b")), Seq("b_id"))
       .withColumn("jaccard_raw",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))

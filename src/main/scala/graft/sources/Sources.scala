@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** Batch source/sink helpers — the engine-side equivalents of the
@@ -22,6 +23,26 @@ object Sources {
   def jsonl(spark: SparkSession, path: String, schema: StructType,
             mode: String = "PERMISSIVE"): DataFrame =
     spark.read.schema(schema).option("mode", mode).json(path)
+
+  /** Structural-parse DLQ wrap: rows whose raw payload failed the
+    * schema (PERMISSIVE `_corrupt_record`) re-emitted in the
+    * collector's DLQ record shape {error, original_message, trace_id}
+    * (collector/main.py:134-146 wraps the unparseable payload exactly
+    * so). trace_id is a content hash of the payload, not a uuid — at
+    * scale the batch stays idempotent under retry.
+    *
+    * Caller note: Spark refuses a query whose only referenced columns
+    * are the internal corrupt-record column on a direct file scan —
+    * cache or checkpoint the parsed frame first (the spec does).
+    */
+  def structuralDlq(parsed: DataFrame,
+                    corruptCol: String = "_corrupt_record"): DataFrame =
+    parsed
+      .filter(col(corruptCol).isNotNull)
+      .select(
+        lit("schema_validation_error").as("error"),
+        col(corruptCol).as("original_message"),
+        md5(col(corruptCol)).as("trace_id"))
 
   def csv(spark: SparkSession, path: String, schema: StructType,
           header: Boolean = true): DataFrame =

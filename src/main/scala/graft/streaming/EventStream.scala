@@ -10,10 +10,11 @@ import graft.ops.Ingest
   * validate → dedup → persist — expressed as readStream → transforms →
   * writeStream with watermarked state instead of an in-memory buffer.
   *
-  * Kafka-sourced deployment is a config change (`format("kafka")` +
-  * from_json over the value column); the transform DAG is identical.
-  * The file source stands in here (no Kafka in the container), exactly
-  * like the reference's tests bypass the broker.
+  * Kafka-sourced deployment is [[kafkaSource]] (`format("kafka")` +
+  * [[fromKafka]]'s from_json over the value column); the transform DAG
+  * downstream is identical. The file [[source]] stands in for local
+  * tests (no broker in the container), exactly like the reference's
+  * tests bypass the broker.
   *
   * Scale notes: streaming dedup state is bounded by the watermark
   * horizon (the reference's unbounded in-memory dict is the thing that
@@ -36,6 +37,53 @@ object EventStream {
   /** Streaming source over a directory of event parquet files. */
   def source(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Kafka value-payload schema: the collector produces each validated
+    * record as one JSON message on the topic
+    * (collector/main.py:129-131); mapped onto the events shape, with ts
+    * as an ISO-8601 string (pydantic's json serialization of datetime).
+    */
+  val kafkaValueSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", StringType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Parse a Kafka-shaped frame (binary key/value + topic/partition/
+    * offset/timestamp) into the events schema: from_json over the value
+    * column, ISO ts string → TIMESTAMP_NTZ. Separated from
+    * [[kafkaSource]] so the parse logic is spec-testable without a
+    * broker — it only needs a DataFrame with a binary `value` column,
+    * exactly what the Kafka source emits.
+    */
+  def fromKafka(raw: DataFrame): DataFrame =
+    raw
+      .select(from_json(col("value").cast("string"), kafkaValueSchema).as("e"))
+      .select(
+        col("e.event_id").as("event_id"),
+        to_timestamp(col("e.ts")).cast("timestamp_ntz").as("ts"),
+        col("e.user_id").as("user_id"),
+        col("e.event_type").as("event_type"),
+        col("e.value").as("value"),
+        col("e.props").as("props"))
+
+  /** Kafka-sourced deployment of the same DAG — the consumer's
+    * subscribe loop (consumer/main.py:277-376). Requires the
+    * spark-sql-kafka connector on the classpath at runtime (not in this
+    * container — the file [[source]] stands in for local tests, exactly
+    * like the reference's tests bypass the broker); the transform chain
+    * downstream of [[fromKafka]] is identical either way.
+    */
+  def kafkaSource(spark: SparkSession, bootstrapServers: String,
+                  topic: String): DataFrame =
+    fromKafka(spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load())
 
   /** Validate → watermarked dedup on (user_id, ts). Within the watermark
     * horizon duplicates are dropped keep-FIRST — the streaming analog of

@@ -55,6 +55,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSeq === naive.toSeq)
   }
 
+  test("timeseries_station pushes station + range predicates to the scan") {
+    // sf0.001 has users 0..14; bounds cover the whole month
+    val ev = Tables.events(spark, sfDir)
+    val ts = StationQueries.timeseriesStation(ev, 7L,
+      "2024-01-01 00:00:00", "2024-02-01 00:00:00", "30 minutes")
+    val plan = ts.queryExecution.executedPlan.toString
+    // the station predicate must reach the parquet scan (the ts bounds
+    // can't here: Tables.events derives ts from the nanos long, so the
+    // range predicate sits just above the scan; on natively-µs storage
+    // it pushes too)
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s", "").contains("EqualTo(user_id,7)"), plan.take(1200))
+    val rows = ts.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("user_id") === 7L))
+    // buckets are 30-minute aligned
+    assert(rows.forall { r =>
+      val b = r.getAs[java.time.LocalDateTime]("bucket")
+      (b.getMinute % 30 === 0) && b.getSecond === 0
+    })
+    // equals the unparameterized rollup restricted to the same station
+    val full = StationQueries.timeseriesBucket(ev, "30 minutes")
+      .filter(col("user_id") === 7L)
+      .withColumnRenamed("bucket", "b").collect().map(_.toSeq)
+    assert(rows.map(_.toSeq).toSeq === full.toSeq)
+  }
+
   test("latest per key yields exactly one newest row per user") {
     val ev = Tables.events(spark, sfDir)
     val latest = StationQueries.latestPerKey(ev).cache()

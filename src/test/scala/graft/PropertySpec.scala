@@ -46,6 +46,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // NULL-bearing variant: value / event_type / user_id each nullable.
+  // A NULL value or event_type makes the validity predicate itself NULL
+  // — the regression this pins is rows vanishing from BOTH splits.
+  private val nullableEventGen = for {
+    id <- Gen.choose(0L, 999L)
+    user <- Gen.option(Gen.choose(0L, 5L))
+    minute <- Gen.choose(0, 59)
+    tpe <- Gen.option(Gen.oneOf("click", "view", "purchase", "signup", "error"))
+    value <- Gen.option(Gen.choose(0.0, 400.0))
+  } yield (id, f"2024-01-01 10:$minute%02d:00", user, tpe, value, "{}")
+
+  private def toDfNullable(
+      rows: Seq[(Long, String, Option[Long], Option[String], Option[Double], String)]) =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+
+  test("validate ∪ dlq is an exact partition with NULLs present (5 datasets)") {
+    (1 to 5).foreach { trial =>
+      // re-id rows uniquely so the per-id set algebra below is exact
+      val rows = samples(nullableEventGen, 50, 11000L * trial)
+        .zipWithIndex.map { case (r, i) => r.copy(_1 = i.toLong) }
+      // the generator must actually produce the NULL-predicate case
+      assert(rows.exists(r => r._4.isEmpty || r._5.isEmpty))
+      val df = toDfNullable(rows)
+      val valid = Ingest.validate(df).select("event_id")
+      val dead = Ingest.dlq(df).select("event_id")
+      assert(valid.count() + dead.count() === df.count())
+      assert(valid.intersect(dead).count() === 0)
+      assert(valid.union(dead).exceptAll(df.select("event_id")).count() === 0)
+      // NULL value/event_type rows land in the DLQ with a specific reason
+      assert(Ingest.dlq(df)
+        .filter(col("user_id").isNotNull &&
+          (col("value").isNull || col("event_type").isNull) &&
+          col("reason") =!= "missing_field").count() === 0)
+    }
+  }
+
   private val textGen =
     Gen.listOfN(12, Gen.oneOf("the", "fast", "data", "spark", "query",
       "row", "join", "scan", "sort", "hash")).map(_.mkString(" "))

@@ -48,6 +48,33 @@ class SourcesSkewSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("structural DLQ wraps corrupt rows in the collector's record shape") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dlqwrap").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.jsonl"),
+      """{"station_id":"s1","temperature":20.5}
+        |{"station_id":"s2","temperature":"NOT_A_NUMBER"}
+        |not json at all""".stripMargin)
+    val parsed = Sources.jsonl(spark, dir, schema).cache()
+    val dlq = Sources.structuralDlq(parsed).collect()
+    assert(dlq.length === 2)
+    assert(dlq.forall(r => r.getAs[String]("error") === "schema_validation_error"))
+    assert(dlq.map(_.getAs[String]("original_message")).toSet
+      === Set("""{"station_id":"s2","temperature":"NOT_A_NUMBER"}""", "not json at all"))
+    // trace_id is a deterministic content hash, unique per distinct payload
+    assert(dlq.map(_.getAs[String]("trace_id")).distinct.length === 2)
+    parsed.unpersist()
+  }
+
+  test("join salt is stable under repartition") {
+    val ev = Tables.events(spark, sfDir).select("event_id", "event_type", "value")
+    def salts(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.withColumn("__salt", Skew.stableSalt(df, 8))
+        .select("event_id", "__salt").as[(Long, Long)].collect().toMap
+    // monotonically_increasing_id-based salting changes row→salt under a
+    // different partition layout; a content hash must not
+    assert(salts(ev) === salts(ev.repartition(7)))
+  }
+
   test("salted join equals plain join") {
     val ev = Tables.events(spark, sfDir)
     val dim = Seq(("click", 1.0), ("view", 0.5), ("purchase", 5.0),

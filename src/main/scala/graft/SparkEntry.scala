@@ -64,6 +64,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => TextDedup.minhashLsh(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => TextDedup.simhashNearDups(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDups(Tables.embeddings(s, d))),
+    "dedup_embedding_lsh" -> ((s, d) => Similarity.embeddingNearDupsLsh(Tables.embeddings(s, d))),
     "knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d))),
     "knn_lsh" -> ((s, d) => Similarity.knnLsh(Tables.embeddings(s, d))),
     "knn_ivf" -> ((s, d) => Similarity.knnIvf(Tables.embeddings(s, d))),
@@ -279,7 +280,37 @@ object SparkEntry {
          | JOIN sz sb ON sb.doc_id = b_id
          |WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
+    // The banded-LSH variant verifies every candidate with EXACT Jaccard,
+    // so its output is a subset of the exact pair set, and the bands are
+    // generous enough at threshold 0.5 that TextDedupSpec/CurationSpec
+    // prove set EQUALITY on this corpus — the exact n-gram Jaccard SQL is
+    // therefore a sound oracle for it at the (deterministic) gate SF.
+    "dedup_minhash" ->
+      s"""WITH sh AS ($shingleSubSql),
+         | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         | pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, round(c * 1.0 / (sa.n_sh + sb.n_sh - c), 4) AS jaccard
+         |FROM pairs
+         | JOIN sz sa ON sa.doc_id = a_id
+         | JOIN sz sb ON sb.doc_id = b_id
+         |WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
     "dedup_embedding" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |   CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |   CAST(b.embedding AS DOUBLE[])) >= 0.45
+        |ORDER BY a_id, b_id""".stripMargin,
+    // LSH-bucketed near-dup verifies candidates exactly (output ⊆ exact)
+    // and the 32×4 band geometry makes per-pair recall ≈99.9% at this
+    // corpus's threshold; SimilaritySpec asserts set equality, so the
+    // exact all-pairs SQL is a sound oracle at the deterministic gate SF.
+    "dedup_embedding_lsh" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |   CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim

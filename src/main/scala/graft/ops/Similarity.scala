@@ -65,6 +65,45 @@ object Similarity {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Embedding near-dup pairs via hyperplane-LSH bucketing — the 100 TB
+    * form of [[embeddingNearDups]]: the corpus is never self-joined;
+    * candidates are id pairs sharing any band bucket
+    * (collision-proportional), exactly re-verified against the
+    * threshold. Candidate generation carries ONLY (id, bucket); vectors
+    * re-join once per surviving pair.
+    *
+    * Band geometry must match the similarity regime of the threshold:
+    * for a pair at cosine c, one band of b bits collides with
+    * probability (1 - acos(c)/π)^b, any-of-n bands ≈ 1-(1-p_band)^n.
+    * This corpus's near-dups sit barely above 0.45 (≈62°, p_bit≈0.65),
+    * so the default is many NARROW bands (32×4 → ≈99.9% per-pair
+    * recall; the spec asserts set equality with the exact form). A
+    * high-threshold regime (0.9+, the usual near-dup setting at scale)
+    * wants fewer, wider bands — candidates shrink by orders of
+    * magnitude. Tune (bands, bitsPerBand) to the measured pair
+    * distribution, exactly like minhash banding.
+    */
+  def embeddingNearDupsLsh(embeddings: DataFrame, threshold: Double = 0.45,
+                           bands: Int = 32, bitsPerBand: Int = 4): DataFrame = {
+    val base = prepared(embeddings)
+    val buckets = base.select(col("vec_id"),
+      explode(VectorOps.hyperplaneBands(col("v"), bands, bitsPerBand)).as("bucket"))
+    val pairs = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    pairs
+      .join(base.select(col("vec_id").as("a_id"), col("v").as("va"),
+        col("norm2").as("na2")), Seq("a_id"))
+      .join(base.select(col("vec_id").as("b_id"), col("v").as("vb"),
+        col("norm2").as("nb2")), Seq("b_id"))
+      .withColumn("cos_raw", cosRaw(col("va"), col("vb"), col("na2"), col("nb2")))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos_raw"), 4).as("cos_sim"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
     * corpus into cells; each query probes its nProbe nearest cells and
     * exactly reranks only those candidates. The standard

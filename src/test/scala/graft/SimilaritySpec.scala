@@ -23,6 +23,16 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(p => p._1 < p._2 && p._3 >= 0.45))
   }
 
+  test("LSH near-dup pairs equal the exact all-pairs result") {
+    val e = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.embeddingNearDups(e)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val lsh = Similarity.embeddingNearDupsLsh(e)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(exact.nonEmpty)
+    assert(lsh === exact)
+  }
+
   test("LSH ANN achieves decent recall of the exact top-5") {
     val e = Tables.embeddings(spark, sfDir)
     val exact = Similarity.knnBruteForce(e)

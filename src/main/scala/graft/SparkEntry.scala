@@ -73,8 +73,11 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
+    "token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "multimodal_meta" -> ((s, d) => Multimodal.metadata(Tables.documents(s, d))),
     "multimodal_features" -> ((s, d) => Multimodal.features(s, Tables.documents(s, d))),
+    "multimodal_frame_sample" -> ((s, d) => Multimodal.frameSample(s, Tables.documents(s, d))),
+    "multimodal_resize_plan" -> ((s, d) => Multimodal.resizePlan(s, Tables.documents(s, d))),
     // ── E. structured streaming (SURVEY §2E; rows-only) ────────────────
     "stream_hourly_by_type" -> ((s, d) => graft.streaming.EventStream.stagedPipeline(s, d)),
     // ── generator service analog (rows-only; deterministic from seed) ──
@@ -384,6 +387,34 @@ object SparkEntry {
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM nd)
          |  AND d.doc_id NOT IN (SELECT doc_id FROM ed)
          |ORDER BY d.doc_id""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        | len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+        | round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) * 1.0
+        |   / len(regexp_split_to_array(trim(text), '\s+')), 4) AS tokens_per_word
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // The decode stub is deterministic from the blob bytes (documents are
+    // ASCII), so its derived plans ARE SQL-expressible: n_frames =
+    // bytes//1024+1, width/height from the first two byte values.
+    "multimodal_frame_sample" ->
+      """WITH f AS (SELECT doc_id,
+        |   octet_length(CAST(text AS BLOB)) // 1024 + 1 AS n_frames
+        |  FROM documents),
+        | s AS (SELECT doc_id, n_frames,
+        |   greatest(1, n_frames // 8) AS stride FROM f)
+        |SELECT doc_id, unnest(range(0, n_frames, stride)) AS frame_idx
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
+    "multimodal_resize_plan" ->
+      """WITH d AS (SELECT doc_id,
+        |   64 + (ascii(substr(text, 1, 1)) % 64) AS width,
+        |   64 + (ascii(substr(text, 2, 1)) % 64) AS height
+        |  FROM documents)
+        |SELECT doc_id, CAST(width AS BIGINT) AS width,
+        | CAST(height AS BIGINT) AS height,
+        | width * 224 // greatest(width, height) AS out_w,
+        | height * 224 // greatest(width, height) AS out_h
+        |FROM d ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS size_bytes,
         | substr(hex(CAST(text AS BLOB)), 1, 8) AS magic_hex,

@@ -77,6 +77,44 @@ object Multimodal {
       .mapPartitions { it => it.map { case (id, blob) => decodeStub(id, blob) } }
   }
 
+  /** Frame sampling plan: one row per sampled frame index, stride chosen
+    * to keep ≈8 frames per clip. The explode happens AFTER decode-side
+    * metadata (n_frames) is known and carries only (doc_id, frame_idx)
+    * — at 100 TB the sampled-frame worklist is two longs per row, and
+    * the actual frame extraction is a second batched decode pass over
+    * exactly those indices.
+    */
+  def frameSample(spark: SparkSession, documents: DataFrame,
+                  targetFrames: Int = 8): DataFrame =
+    decodeFeatures(spark, documents)
+      .toDF()
+      .withColumn("__stride",
+        greatest(lit(1), (col("n_frames") / targetFrames).cast("int")))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, col("__stride")))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** Resize plan: integer-exact target dimensions with the long side
+    * scaled to `maxDim`, aspect preserved (floor semantics on both
+    * engines — no float rounding at the boundary). The plan rows feed
+    * the decode pass that does the actual pixel work; computing them
+    * engine-side keeps the codec kernel dumb and batchable.
+    */
+  def resizePlan(spark: SparkSession, documents: DataFrame,
+                 maxDim: Int = 224): DataFrame =
+    decodeFeatures(spark, documents)
+      .toDF()
+      .withColumn("__long", greatest(col("width"), col("height")))
+      .select(
+        col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        floor(col("width") * maxDim / col("__long")).as("out_w"),
+        floor(col("height") * maxDim / col("__long")).as("out_h"))
+      .orderBy(col("doc_id"))
+
   /** Feature pipeline as a DataFrame (driver-facing entry): decode then
     * derived columns (aspect ratio, frame-sampling stride).
     */

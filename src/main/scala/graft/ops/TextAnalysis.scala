@@ -35,6 +35,31 @@ object TextAnalysis {
           .cast("double") / length(col("text")), 4).as("punct_ratio"))
       .orderBy(col("doc_id"))
 
+  /** Subword-ish tokenizer pattern: letter runs, digit runs, single
+    * punctuation marks — the pre-tokenization split a BPE vocabulary is
+    * trained over (the byte-pair merges themselves are model weights,
+    * not engine semantics). Deliberately RE2-compatible (no lookahead)
+    * so the same pattern runs in Spark's codegen'd regexp and the
+    * DuckDB oracle.
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Token counting both ways a training pipeline needs it: whitespace
+    * words (quality ratios, length caps) and BPE-ish subword pieces
+    * (the cost model — tokens-per-word is the usual compression
+    * signal). Narrow, codegen'd, no shuffle.
+    */
+  def tokenCount(documents: DataFrame): DataFrame = {
+    val nWs = size(split(trim(col("text")), "\\s+")).cast("long")
+    val nBpe = size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long")
+    documents.select(
+      col("doc_id"),
+      nWs.as("n_ws_tokens"),
+      nBpe.as("n_bpe_tokens"),
+      round(nBpe.cast("double") / nWs, 4).as("tokens_per_word"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Marker-word language ID. Scores each candidate language by counting
     * tokens from a small marker list; argmax with a fixed precedence
     * order (en > es > de > fr), 'und' when no marker hits. A real system

@@ -13,6 +13,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("stopword_ratio") === 0.5) // the,the,the / 6
   }
 
+  test("token count splits BPE-ish pieces finer than whitespace words") {
+    val d = Seq(
+      (1L, "don't stop, it's 2024!"),
+      (2L, "plain words only here")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCount(d).collect().map(x =>
+      x.getAs[Long]("doc_id") -> x).toMap
+    // don|'|t  stop|,  it|'|s  2024|! → 10 pieces over 4 words
+    assert(r(1L).getAs[Long]("n_ws_tokens") === 4)
+    assert(r(1L).getAs[Long]("n_bpe_tokens") === 10)
+    assert(r(1L).getAs[Double]("tokens_per_word") === 2.5)
+    assert(r(2L).getAs[Long]("n_bpe_tokens") === r(2L).getAs[Long]("n_ws_tokens"))
+    // every whitespace word contains at least one piece
+    val real = TextAnalysis.tokenCount(Tables.documents(spark, sfDir))
+    import org.apache.spark.sql.functions.col
+    assert(real.filter(col("n_bpe_tokens") < col("n_ws_tokens")).count() === 0)
+  }
+
   test("lang id picks the language with most marker hits") {
     val d = Seq(
       (1L, "en", "the cat and the dog is here"),

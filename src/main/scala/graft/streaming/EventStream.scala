@@ -173,6 +173,17 @@ object EventStream {
       graft.Tables.events(spark, sf).coalesce(2).write.mode("overwrite").parquet(d)
       d
     })
-    runOnce(spark, dir)
+    // Size the STATE partitioning to the state volume, not to the batch
+    // default: every shuffle partition owns a state store per stateful
+    // operator, and each store pays commit I/O per micro-batch. With two
+    // stateful ops, 32 partitions = 64 store commits per batch for a few
+    // hundred thousand keys — store overhead dominates. 8 partitions is
+    // plenty for this key volume; at real scale this is the knob you
+    // RAISE with key cardinality (it is fixed for the life of a
+    // checkpoint — chosen at first start, like any state layout).
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try runOnce(spark, dir)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 }

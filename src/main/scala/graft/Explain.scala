@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Perf-loop helper: print the formatted physical plan of one (or all)
-  * SparkEntry queries and time execution.
+  * SparkEntry queries and time execution. SPARK_GRAFT_EXPLAIN_REPS
+  * times each query N times (this host shows large one-off flukes;
+  * per-run times are printed so outliers are visible).
   *
   *   runMain graft.Explain <queryName|all> [sfDir] [--no-plan]
   */
@@ -12,6 +14,7 @@ object Explain {
     val name = args.headOption.getOrElse("all")
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val showPlan = !args.contains("--no-plan")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_REPS", "1").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,10 +32,12 @@ object Explain {
         println(s"===== $n =====")
         df.explain("formatted")
       }
-      val t0 = System.nanoTime()
-      val cnt = df.count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[explain] $n%-24s rows=$cnt%-8d ${sec}%.2f s")
+      (1 to reps).foreach { r =>
+        val t0 = System.nanoTime()
+        val cnt = fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[explain] $n%-24s run $r: rows=$cnt%-8d ${sec}%.2f s")
+      }
     }
     spark.stop()
   }

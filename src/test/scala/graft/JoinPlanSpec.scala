@@ -1,0 +1,65 @@
+package graft
+
+import graft.ops.Analytics
+import org.apache.spark.sql.functions._
+
+/** Plan-shape locks for the join headliners: these assert the physical
+  * strategy we designed for, so a regression (lost broadcast hint, a
+  * non-equi join degenerating to a nested loop) fails the suite even
+  * though results stay correct.
+  */
+class JoinPlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q5 joins all dimensions by broadcast — one fact-side shuffle, no SMJ on dims") {
+    val plan = planOf(Analytics.q5LocalSupplier(
+      Tables.region(spark, sfDir), Tables.nation(spark, sfDir),
+      Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.lineitem(spark, sfDir), Tables.supplier(spark, sfDir)))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("q3 pushes its filters into the scans") {
+    val plan = planOf(Analytics.q3Shipping(spark,
+      Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.lineitem(spark, sfDir))).replaceAll("\\s", "")
+    assert(plan.contains("PushedFilters:[IsNotNull(c_mktsegment),EqualTo(c_mktsegment,BUILDING)")
+      || plan.contains("EqualTo(c_mktsegment,BUILDING)"), plan.take(1200))
+  }
+
+  test("bucketized range join never degenerates to a nested-loop join") {
+    val plan = planOf(Analytics.rangeJoinActivity(Tables.events(spark, sfDir)))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("LSH candidate joins carry no vector/shingle payload through the pair dedup") {
+    // the exchange feeding the candidate-pair dedup must move only ids +
+    // bucket keys; the vectors re-join after
+    // AQE off for this plan only: AdaptiveSparkPlanExec exposes no
+    // children to collect(), and sparkPlan predates exchange insertion
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exchanges =
+      try {
+        val df = graft.ops.Similarity.embeddingNearDupsLsh(Tables.embeddings(spark, sfDir))
+        df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val pairDedupExchanges = exchanges.filter { e =>
+      val out = e.output.map(_.name).toSet
+      out.contains("a_id") && out.contains("b_id")
+    }
+    assert(pairDedupExchanges.nonEmpty,
+      exchanges.map(e => e.output.map(a => s"${a.name}:${a.dataType.typeName}").mkString("[", ",", "]")).mkString(" | "))
+    pairDedupExchanges.foreach { e =>
+      val types = e.output.map(_.dataType.typeName)
+      assert(!types.exists(_.startsWith("array")),
+        s"array payload rides the candidate shuffle: ${e.output}")
+    }
+  }
+}

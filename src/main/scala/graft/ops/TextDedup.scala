@@ -43,12 +43,20 @@ object TextDedup {
 
   /** Exact dedup: group identical normalized text, canonical = min
     * doc_id. Output one row per doc with its canonical id + dup flag.
-    * At scale this is one hash shuffle on a 64-bit digest of the
-    * normalized text (not the text itself).
+    *
+    * The text itself NEVER shuffles: rows are projected to
+    * (doc_id, 192 bits of content digest) before the keyed window, so
+    * the dedup exchange moves ~32 bytes/row at any corpus size.
+    * Identity-by-digest (xxhash64 ∥ md5 of the normalized text) is the
+    * content-addressable standard — a false merge needs a simultaneous
+    * 64-bit and 128-bit collision on the same pair; the SQL oracle
+    * partitions by the full normalized text and hash-matches this
+    * output.
     */
   def exact(documents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(xxhash64(normText), normText)
+    val w = Window.partitionBy(col("__h1"), col("__h2"))
     documents
+      .select(col("doc_id"), xxhash64(normText).as("__h1"), md5(normText).as("__h2"))
       .withColumn("canonical_id", min(col("doc_id")).over(w))
       .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast("boolean"))
       .select(col("doc_id"), col("canonical_id"), col("is_dup"))

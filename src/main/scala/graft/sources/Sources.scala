@@ -56,6 +56,50 @@ object Sources {
                        partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Idempotent keep-last upsert into a date-partitioned parquet table —
+    * the file-level equivalent of the reference's
+    * `ON CONFLICT (station_id,timestamp) DO UPDATE` upsert
+    * (consumer/main.py:229-245): re-delivered or corrected batches
+    * converge to one newest row per key.
+    *
+    * Only partitions PRESENT IN THE BATCH are touched: existing rows of
+    * affected partitions are semi-joined in, merged keep-last on
+    * `keyCols` by `orderCol` desc, and rewritten under dynamic
+    * partition-overwrite — untouched partitions never move, so cost
+    * scales with the batch, not the table. At 100 TB a transactional
+    * table format (Delta/Iceberg MERGE) replaces the staging
+    * materialization step (localCheckpoint breaks the read-overwrite
+    * cycle Spark otherwise rejects; it exists because bare parquet has
+    * no snapshot isolation — the partition-scoped merge plan is the
+    * part that carries over).
+    */
+  def upsertPartitionedKeepLast(spark: SparkSession, path: String,
+                                updates: DataFrame, keyCols: Seq[String],
+                                orderCol: String,
+                                partitionCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val exists = Option(new java.io.File(path).listFiles()).exists(_.nonEmpty)
+    val merged =
+      if (!exists) updates
+      else {
+        val existing = spark.read.parquet(path)
+        val affectedParts = updates.select(partitionCols.map(col): _*).distinct()
+        val affected = existing.join(affectedParts, partitionCols, "left_semi")
+        val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol).desc)
+        affected.unionByName(updates)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.localCheckpoint(eager = true)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Bucketed external table — pre-shuffled storage so repeated joins
     * and aggregations on the bucket key run with NO exchange at read
     * time. This is the 100 TB answer to "the same big join every day":

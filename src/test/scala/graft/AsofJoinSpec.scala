@@ -28,6 +28,23 @@ class AsofJoinSpec extends SparkSpec {
       2L -> Some(100.0), 4L -> Some(200.0), 5L -> Some(200.0), 6L -> None))
   }
 
+  test("asof: null keys never match and duplicate right (key,ts) keeps the last arrival") {
+    val rows = Seq(
+      (1L, Some("2024-01-01 09:00:00"), Option(1L), "signup", 100.0),
+      (2L, Some("2024-01-01 09:00:00"), Option(1L), "signup", 150.0), // same (key,ts), higher event_id wins
+      (3L, Some("2024-01-01 10:00:00"), Option(1L), "purchase", 5.0), // → 150.0
+      (4L, Some("2024-01-01 09:30:00"), None, "signup", 999.0),       // null-key signup: invisible
+      (5L, Some("2024-01-01 10:00:00"), None, "purchase", 6.0)        // null-key purchase: no match
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = AsofJoin.purchaseSignupAsof(rows)
+      .select("event_id", "asof_value").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out === Map(3L -> Some(150.0), 5L -> None))
+  }
+
   test("asof on real events: every non-null match is the max signup ts <= purchase ts") {
     val e = Tables.events(spark, sfDir)
     val out = AsofJoin.purchaseSignupAsof(e).filter(col("asof_ts").isNotNull)

@@ -48,6 +48,41 @@ class SourcesSkewSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("partitioned upsert keeps the newest row per key and only touches batch partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    def batch(rows: (Long, String, Long, Double)*) =
+      rows.toDF("event_id", "date", "user_id", "value")
+    // base: two date partitions
+    Sources.upsertPartitionedKeepLast(spark, dir,
+      batch((1L, "2024-01-01", 1L, 10.0), (2L, "2024-01-02", 2L, 20.0)),
+      keyCols = Seq("date", "user_id"), orderCol = "event_id",
+      partitionCols = Seq("date"))
+    val untouched = new java.io.File(s"$dir/date=2024-01-02").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    // second delivery: corrects user 1 on 01-01 (higher event_id), adds 01-03
+    Sources.upsertPartitionedKeepLast(spark, dir,
+      batch((5L, "2024-01-01", 1L, 11.0), (6L, "2024-01-03", 3L, 30.0)),
+      keyCols = Seq("date", "user_id"), orderCol = "event_id",
+      partitionCols = Seq("date"))
+    val back = spark.read.parquet(dir)
+      .select("event_id", "date", "user_id", "value")
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1)
+    assert(back.toSeq === Seq(
+      (2L, "2024-01-02", 2L, 20.0),   // untouched partition intact
+      (5L, "2024-01-01", 1L, 11.0),   // keep-last won
+      (6L, "2024-01-03", 3L, 30.0)))  // new partition appended
+    // the 01-02 partition's files were not rewritten
+    val after = new java.io.File(s"$dir/date=2024-01-02").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    assert(after === untouched)
+    // idempotent: re-delivering the same batch changes nothing
+    Sources.upsertPartitionedKeepLast(spark, dir,
+      batch((5L, "2024-01-01", 1L, 11.0)),
+      keyCols = Seq("date", "user_id"), orderCol = "event_id",
+      partitionCols = Seq("date"))
+    assert(spark.read.parquet(dir).count() === 3)
+  }
+
   test("structural DLQ wraps corrupt rows in the collector's record shape") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dlqwrap").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.jsonl"),

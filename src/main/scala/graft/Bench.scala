@@ -30,14 +30,21 @@ object Bench {
     // doesn't absorb all cold-start cost (the data itself is not cached).
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A throwing query reports -1 (never a fast fake timing) and logs to
+    // stderr; min-of-N propagates the -1 so failures are visible in the
+    // JSON rather than shrinking the total.
+    def timeOnce(name: String,
+                 fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        -1.0
+      }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      timeOnce(fn) // warmup, untimed
-      name -> (1 to reps).map(_ => timeOnce(fn)).min
+      timeOnce(name, fn) // warmup, untimed
+      name -> (1 to math.max(1, reps)).map(_ => timeOnce(name, fn)).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

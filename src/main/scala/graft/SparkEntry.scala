@@ -388,12 +388,14 @@ object SparkEntry {
          |  AND d.doc_id NOT IN (SELECT doc_id FROM ed)
          |ORDER BY d.doc_id""".stripMargin,
     "token_count" ->
-      """SELECT doc_id,
-        | len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
-        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
-        | round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) * 1.0
-        |   / len(regexp_split_to_array(trim(text), '\s+')), 4) AS tokens_per_word
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+        | CASE WHEN n_ws_tokens = 0 THEN NULL
+        |      ELSE round(n_bpe_tokens * 1.0 / n_ws_tokens, 4) END AS tokens_per_word
+        |FROM (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+        | FROM documents) t ORDER BY doc_id""".stripMargin,
     // The decode stub is deterministic from the blob bytes (documents are
     // ASCII), so its derived plans ARE SQL-expressible: n_frames =
     // bytes//1024+1, width/height from the first two byte values.

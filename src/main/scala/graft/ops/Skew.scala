@@ -23,25 +23,21 @@ object Skew {
       .groupBy(col("key"))
       .agg(sum(col("__partial")).as("total"), sum(col("__n")).as("n"))
 
-  /** Salted broadcast-replicated join: the big side gets a salt in
-    * [0, salts); the small side is exploded `salts` times so every
-    * (key, salt) pair still matches. Use when the small side fits in a
-    * broadcast ×salts and the big side's key histogram is too spiky for
-    * AQE to split well.
-    *
-    * The salt is a stable hash of the whole row, NOT
-    * monotonically_increasing_id(): the latter depends on partition
-    * layout, so a task retry or repartition would re-salt rows
-    * nondeterministically (identical rows always co-salt — acceptable,
-    * since exact duplicates of a hot key are rare relative to the key's
-    * row count).
-    */
   /** Deterministic salt in [0, salts): a stable hash of the full row —
-    * invariant under repartition and task retry.
+    * invariant under repartition and task retry, unlike
+    * monotonically_increasing_id(), which depends on partition layout.
+    * Identical rows co-salt — acceptable, since exact duplicates of a
+    * hot key are rare relative to the key's row count.
     */
   def stableSalt(df: DataFrame, salts: Int): Column =
     pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong))
 
+  /** Salted broadcast-replicated join: the big side gets a stable salt
+    * in [0, salts); the small side is exploded `salts` times so every
+    * (key, salt) pair still matches. Use when the small side fits in a
+    * broadcast ×salts and the big side's key histogram is too spiky for
+    * AQE to split well.
+    */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int = 8): DataFrame = {
     val saltedBig = big.withColumn("__salt", stableSalt(big, salts))

@@ -50,13 +50,17 @@ object TextAnalysis {
     * signal). Narrow, codegen'd, no shuffle.
     */
   def tokenCount(documents: DataFrame): DataFrame = {
-    val nWs = size(split(trim(col("text")), "\\s+")).cast("long")
+    // split("") yields [""] — guard so empty/whitespace-only docs count
+    // 0 words (and a NULL ratio), not a phantom token
+    val nWs = when(length(trim(col("text"))) === 0, 0L)
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
     val nBpe = size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long")
     documents.select(
       col("doc_id"),
       nWs.as("n_ws_tokens"),
       nBpe.as("n_bpe_tokens"),
-      round(nBpe.cast("double") / nWs, 4).as("tokens_per_word"))
+      when(nWs === 0, lit(null).cast("double"))
+        .otherwise(round(nBpe.cast("double") / nWs, 4)).as("tokens_per_word"))
       .orderBy(col("doc_id"))
   }
 

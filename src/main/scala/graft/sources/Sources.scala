@@ -78,11 +78,21 @@ object Sources {
                                 orderCol: String,
                                 partitionCols: Seq[String]): Unit = {
     import org.apache.spark.sql.expressions.Window
-    val exists = Option(new java.io.File(path).listFiles()).exists(_.nonEmpty)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(hPath) && fs.listStatus(hPath).nonEmpty
     val merged =
       if (!exists) updates
       else {
-        val existing = spark.read.parquet(path)
+        // partition-column type inference would re-type string partition
+        // values (hour "00" → int 0) and re-name directories on rewrite,
+        // stranding stale copies — read them back verbatim as strings
+        val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        val prevInfer = spark.conf.get(inferKey)
+        spark.conf.set(inferKey, "false")
+        val existing =
+          try spark.read.parquet(path)
+          finally spark.conf.set(inferKey, prevInfer)
         val affectedParts = updates.select(partitionCols.map(col): _*).distinct()
         val affected = existing.join(affectedParts, partitionCols, "left_semi")
         val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol).desc)

@@ -63,7 +63,10 @@ object EventStream {
       .select(from_json(col("value").cast("string"), kafkaValueSchema).as("e"))
       .select(
         col("e.event_id").as("event_id"),
-        to_timestamp(col("e.ts")).cast("timestamp_ntz").as("ts"),
+        // to_timestamp_ntz parses the wall clock directly — an LTZ
+        // round-trip would shift it by the session zone offset for
+        // offset-bearing ISO strings in non-UTC sessions
+        to_timestamp_ntz(col("e.ts")).as("ts"),
         col("e.user_id").as("user_id"),
         col("e.event_type").as("event_type"),
         col("e.value").as("value"),
@@ -129,7 +132,13 @@ object EventStream {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(queryName)
+    // Materialize and drop the sink table: each memory sink pins its
+    // result rows on the driver for the life of the session, so repeated
+    // runs (bench reps) would otherwise accumulate copies.
+    val sink = spark.table(queryName)
+    val out = spark.createDataFrame(sink.collectAsList(), sink.schema)
+    spark.catalog.dropTempView(queryName)
+    out
   }
 
   /** Streaming latest-per-key via explicit keyed state

@@ -42,6 +42,7 @@ class JoinPlanSpec extends SparkSpec {
     // bucket keys; the vectors re-join after
     // AQE off for this plan only: AdaptiveSparkPlanExec exposes no
     // children to collect(), and sparkPlan predates exchange insertion
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val exchanges =
       try {
@@ -49,7 +50,7 @@ class JoinPlanSpec extends SparkSpec {
         df.queryExecution.executedPlan.collect {
           case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
         }
-      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     val pairDedupExchanges = exchanges.filter { e =>
       val out = e.output.map(_.name).toSet
       out.contains("a_id") && out.contains("b_id")

@@ -51,6 +51,7 @@ object SparkEntry {
     "top_k_per_group" -> ((s, d) => Analytics.topKPerGroup(Tables.part(s, d))),
     "top_k_per_group_fast" -> ((s, d) => Analytics.topKPerGroupFast(Tables.part(s, d))),
     "events_sessionize" -> ((s, d) => Analytics.sessionize(Tables.events(s, d))),
+    "events_sessionize_native" -> ((s, d) => Analytics.sessionizeNative(Tables.events(s, d))),
     "rollup_events" -> ((s, d) => Analytics.rollupEvents(Tables.events(s, d))),
     "asof_join" -> ((s, d) => AsofJoin.purchaseSignupAsof(Tables.events(s, d))),
     "pivot_events" -> ((s, d) => Analytics.pivotEvents(Tables.events(s, d))),
@@ -107,6 +108,23 @@ object SparkEntry {
     "user_id IS NOT NULL AND ts IS NOT NULL AND value >= 0 AND value <= 300 " +
       "AND event_type IN ('click','view','purchase','signup')"
   private val eventCols = "event_id, ts, user_id, event_type, value, props"
+
+  // Shared by the lag+cumsum and native session_window forms — both
+  // split sessions on a >30min gap per user.
+  private val SessionizeOracleSql =
+    """SELECT user_id, cast(session_id AS BIGINT) AS session_id,
+      | min(ts) AS session_start, max(ts) AS session_end,
+      | count(*) AS n_events,
+      | cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM (
+      | SELECT user_id, ts, event_id, value,
+      |  sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+      |   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      | FROM (
+      |  SELECT user_id, ts, event_id, value,
+      |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events) x) y
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "ingest_validate" ->
@@ -202,20 +220,10 @@ object SparkEntry {
         | SELECT p_brand, p_partkey, p_name, p_retailprice,
         |  row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rnk
         | FROM part) t WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
-    "events_sessionize" ->
-      """SELECT user_id, cast(session_id AS BIGINT) AS session_id,
-        | min(ts) AS session_start, max(ts) AS session_end,
-        | count(*) AS n_events,
-        | cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
-        |FROM (
-        | SELECT user_id, ts, event_id, value,
-        |  sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
-        |   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
-        | FROM (
-        |  SELECT user_id, ts, event_id, value,
-        |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        |  FROM events) x) y
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_sessionize" -> SessionizeOracleSql,
+    // the native session_window form is oracle-equivalent by
+    // construction (gap widened 1µs — see Analytics.sessionizeNative)
+    "events_sessionize_native" -> SessionizeOracleSql,
     "rollup_events" ->
       """SELECT event_type, user_bucket, count(*) AS n,
         | cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

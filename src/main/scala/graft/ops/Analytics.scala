@@ -141,6 +141,33 @@ object Analytics {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Native-operator form of [[sessionize]]: Spark's `session_window`
+    * keyed aggregation instead of the lag+cumsum window composition —
+    * one shuffle, merge-on-overlap state logic inside the operator, and
+    * the SAME streaming-capable shape Structured Streaming uses for
+    * session windows.
+    *
+    * Boundary semantics: session_window splits when diff >= gap while
+    * the lag formulation (and the SQL oracle) splits when diff > gap;
+    * widening the gap by 1 microsecond makes the two identical at the
+    * µs timestamp resolution, so both forms share one oracle.
+    */
+  def sessionizeNative(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gap = s"$gapMinutes minutes 1 microsecond"
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("session_value"))
+      .withColumn("session_id", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("session_start"))).cast("long"))
+      .select(col("user_id"), col("session_id"), col("session_start"),
+        col("session_end"), col("n_events"), col("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** Distribution profile per event type: exact interpolated percentiles
     * (Spark `percentile` ≡ DuckDB `quantile_cont`) + exact distincts.
     * The approximate twin below is the 100 TB form.

@@ -19,6 +19,14 @@ class AnalyticsSpec extends SparkSpec {
     assert(s === Array((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
   }
 
+  test("native session_window sessionization equals the lag+cumsum form") {
+    val ev = Tables.events(spark, sfDir)
+    val a = Analytics.sessionize(ev).collect().map(_.toSeq)
+    val b = Analytics.sessionizeNative(ev).collect().map(_.toSeq)
+    assert(a.nonEmpty)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("q1 aggregates are positive and groups are complete") {
     val out = Analytics.q1PricingSummary(Tables.lineitem(spark, sfDir)).collect()
     assert(out.length === 6) // 3 returnflags × 2 linestatus

@@ -111,8 +111,19 @@ object Similarity {
     * cells, queries touch nProbe/nCells of the data. Centroids are
     * model metadata (nCells × dim — broadcast-sized by construction).
     */
-  def knnIvf(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
-             nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+  /** A built IVF index: broadcast-sized coarse-quantizer centroids and
+    * the cell-assigned corpus. Built ONCE (the expensive KMeans fit +
+    * corpus assignment pass), queried many times — at billion-vector
+    * scale `assigned` is written out partitioned by cell so a probe
+    * reads only its cells' files.
+    */
+  case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
+
+  /** Index-build phase: KMeans coarse quantizer over the corpus, one
+    * assignment pass. Centroids are nCells × dim — always
+    * broadcastable by construction.
+    */
+  def buildIvf(embeddings: DataFrame, nCells: Int = 16): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = embeddings.sparkSession
@@ -125,17 +136,24 @@ object Similarity {
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cell", "centroid")
-    // nProbe nearest centroids per query (L2, same metric as training)
-    val q = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn2"))
-    val probes = q.crossJoin(broadcast(centroids))
+    IvfIndex(centroids, assigned)
+  }
+
+  /** Query phase against a built index: each query probes its nProbe
+    * nearest cells (L2, the training metric) and exactly reranks only
+    * those candidates. `queries` columns: query_id, qv array<double>,
+    * qn2 (squared norm).
+    */
+  def queryIvf(index: IvfIndex, queries: DataFrame, k: Int = 5,
+               nProbe: Int = 4): DataFrame = {
+    val probes = queries.crossJoin(broadcast(index.centroids))
       .withColumn("d2", VectorOps.vecNorm2(zip_with(col("qv"), col("centroid"),
         (a: Column, b: Column) => a - b)))
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))))
       .filter(col("pr") <= nProbe)
       .select(col("query_id"), col("qv"), col("qn2"), col("cell"))
-    probes.join(assigned, Seq("cell"))
+    probes.join(index.assigned, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("cos_sim", round(cosRaw(col("qv"), col("v"), col("qn2"), col("norm2")), 4))
       .withColumn("rnk", row_number().over(
@@ -143,6 +161,17 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"), col("rnk"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Driver-facing composition: build the index and query it with the
+    * first nQueries corpus vectors (self-query form of the benchmark).
+    */
+  def knnIvf(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+             nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val index = buildIvf(embeddings, nCells)
+    val queries = index.assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn2"))
+    queryIvf(index, queries, k, nProbe)
   }
 
   /** Random-hyperplane LSH ANN — the scale path. bands×bitsPerBand

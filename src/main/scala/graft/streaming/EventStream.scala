@@ -113,6 +113,21 @@ object EventStream {
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming session windows: the same session_window operator as the
+    * batch [[graft.ops.Analytics.sessionizeNative]], keyed per user,
+    * with watermark-bounded state — sessions emit (append mode) once
+    * the watermark passes their close. The reference has no session
+    * endpoint; this is the streaming face of the batch sessionize so
+    * both run one operator family.
+    */
+  def sessionAgg(cleanedEvents: DataFrame, gap: String = "30 minutes"): DataFrame =
+    cleanedEvents
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("total_value"))
+
   /** Run the whole pipeline synchronously against whatever files are in
     * `dir`, collecting results via a memory sink. Used by the spec; a
     * production job points the same DAG at a real sink with a

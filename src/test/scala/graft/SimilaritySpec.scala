@@ -33,6 +33,21 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("IVF index built once serves repeated query batches identically") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sfDir)
+    val index = Similarity.buildIvf(e)
+    def queries(lo: Long, hi: Long) = index.assigned
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn2"))
+    val batch1 = Similarity.queryIvf(index, queries(0, 5)).collect().map(_.toSeq)
+    val batch2 = Similarity.queryIvf(index, queries(5, 10)).collect().map(_.toSeq)
+    assert(batch1.nonEmpty && batch2.nonEmpty)
+    // the composed form over the union of both batches gives the same rows
+    val composed = Similarity.knnIvf(e, nQueries = 10).collect().map(_.toSeq)
+    assert((batch1 ++ batch2).toSeq.sortBy(_.toString) === composed.toSeq.sortBy(_.toString))
+  }
+
   test("LSH ANN achieves decent recall of the exact top-5") {
     val e = Tables.embeddings(spark, sfDir)
     val exact = Similarity.knnBruteForce(e)

@@ -56,6 +56,32 @@ class StreamingSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("streaming session windows emit a subset of the batch sessionization") {
+    val got = {
+      val q = EventStream.sessionAgg(EventStream.cleaned(EventStream.source(spark, stagedDir)))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("session_out").start()
+      q.processAllAvailable(); q.stop()
+      val sink = spark.table("session_out")
+      val out = sink.collect().map(_.toSeq).toSet
+      spark.catalog.dropTempView("session_out")
+      out
+    }
+    // batch equivalent over the same cleaned input (session_window after
+    // validate + dedup, 30min gap; ts cast like the streaming path)
+    val expect = Ingest.validate(Tables.events(spark, sfDir))
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .dropDuplicates("user_id", "ts")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("total_value"))
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty)
+    assert(got.subsetOf(expect), s"streaming sessions not in batch result: ${(got -- expect).take(3)}")
+    assert(got.size >= expect.size / 2, s"too few sessions emitted: ${got.size} vs ${expect.size}")
+  }
+
   test("fromKafka parses the broker frame shape into the events schema") {
     import spark.implicits._
     // Stub of exactly what the Kafka source emits: binary key/value plus

@@ -38,8 +38,20 @@ object Similarity {
     */
   def knnBruteForce(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val base = prepared(embeddings)
-    val q = broadcast(base.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn2")))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn2"))
+    knnBruteForceQueries(base, q, k)
+  }
+
+  /** Query-batch form: `queries` columns (query_id, qv array<double>,
+    * qn2) against a [[prepared]] corpus — the user-facing API when the
+    * queries are not corpus rows. The query side broadcasts; the corpus
+    * streams past it once (no corpus shuffle).
+    */
+  def knnBruteForceQueries(preparedCorpus: DataFrame, queries: DataFrame,
+                           k: Int = 5): DataFrame = {
+    val base = preparedCorpus
+    val q = broadcast(queries)
     q.join(base, col("query_id") =!= col("vec_id"))
       .withColumn("cos_sim", round(cosRaw(col("qv"), col("v"), col("qn2"), col("norm2")), 4))
       .withColumn("rnk", row_number().over(

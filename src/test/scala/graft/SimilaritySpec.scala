@@ -33,6 +33,17 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("brute-force query-batch form equals the self-query form") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sfDir)
+    val base = Similarity.prepared(e)
+    val q = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn2"))
+    val a = Similarity.knnBruteForceQueries(base, q).collect().map(_.toSeq)
+    val b = Similarity.knnBruteForce(e).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("IVF index built once serves repeated query batches identically") {
     import org.apache.spark.sql.functions.col
     val e = Tables.embeddings(spark, sfDir)

@@ -82,7 +82,9 @@ object SparkEntry {
     // ── E. structured streaming (SURVEY §2E; rows-only) ────────────────
     "stream_hourly_by_type" -> ((s, d) => graft.streaming.EventStream.stagedPipeline(s, d)),
     // ── generator service analog (rows-only; deterministic from seed) ──
-    "generate_events" -> ((s, _) => Generator.events(s, 10000, stations = 5))
+    "generate_events" -> ((s, _) => Generator.events(s, 10000, stations = 5)),
+    "generate_events_status" -> ((s, _) =>
+      Generator.status(Generator.events(s, 10000, stations = 5)))
   )
 
   // Shared SQL fragments for the D-section oracles (DuckDB dialect).

@@ -198,20 +198,30 @@ object Similarity {
   def knnLsh(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
              bands: Int = 4, bitsPerBand: Int = 4): DataFrame = {
     val base = prepared(embeddings)
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn2"))
+    knnLshQueries(base, q, k, bands, bitsPerBand)
+  }
+
+  /** Query-batch form of [[knnLsh]]: `queries` columns (query_id, qv
+    * array<double>, qn2) against a [[prepared]] corpus.
+    */
+  def knnLshQueries(preparedCorpus: DataFrame, queries: DataFrame, k: Int = 5,
+                    bands: Int = 4, bitsPerBand: Int = 4): DataFrame = {
+    val base = preparedCorpus
     // Candidate generation carries ONLY (id, bucket) — the vectors stay
     // out of the bucket join and the candidate dedup shuffle. At 100 TB
     // the exploded index is ids+longs (~16 bytes/row), not the
     // embeddings themselves; payloads re-join once per SURVIVING pair.
     val buckets = base.select(col("vec_id"),
       explode(VectorOps.hyperplaneBands(col("v"), bands, bitsPerBand)).as("bucket"))
-    val qBuckets = broadcast(buckets.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("bucket")))
+    val qBuckets = broadcast(queries.select(col("query_id"),
+      explode(VectorOps.hyperplaneBands(col("qv"), bands, bitsPerBand)).as("bucket")))
     val pairs = qBuckets.join(buckets, Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"))
       .dropDuplicates("query_id", "vec_id")
-    val qVecs = broadcast(base.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn2")))
+    val qVecs = broadcast(queries)
     pairs
       .join(base, Seq("vec_id"))
       .join(qVecs, Seq("query_id"))

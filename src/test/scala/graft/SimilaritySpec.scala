@@ -44,6 +44,17 @@ class SimilaritySpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("LSH query-batch form equals the self-query form") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sfDir)
+    val base = Similarity.prepared(e)
+    val q = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn2"))
+    val a = Similarity.knnLshQueries(base, q).collect().map(_.toSeq)
+    val b = Similarity.knnLsh(e).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("IVF index built once serves repeated query batches identically") {
     import org.apache.spark.sql.functions.col
     val e = Tables.embeddings(spark, sfDir)

@@ -48,8 +48,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // A failed query (-1) must invalidate the headline, not deflate it:
+    // total is -1 whenever any query failed, with the count made explicit.
+    val failed = results.count(_._2 < 0)
+    val total =
+      if (failed > 0) -1.0
+      else if (results.nonEmpty) results.map(_._2).sum
+      else 0.0
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
     Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
     println(json)
     spark.stop()

@@ -40,19 +40,26 @@ object Similarity {
     val base = prepared(embeddings)
     val q = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn2"))
-    knnBruteForceQueries(base, q, k)
+    knnBruteForceQueries(base, q, k, excludeSelf = true)
   }
 
   /** Query-batch form: `queries` columns (query_id, qv array<double>,
     * qn2) against a [[prepared]] corpus — the user-facing API when the
     * queries are not corpus rows. The query side broadcasts; the corpus
     * streams past it once (no corpus shuffle).
+    *
+    * `excludeSelf` (default FALSE here) removes corpus rows whose
+    * vec_id equals the query_id — only meaningful when the queries ARE
+    * corpus rows (the [[knnBruteForce]] wrapper sets it). External
+    * queries must leave it off: a numeric id collision would otherwise
+    * silently drop a legitimate neighbor.
     */
   def knnBruteForceQueries(preparedCorpus: DataFrame, queries: DataFrame,
-                           k: Int = 5): DataFrame = {
+                           k: Int = 5, excludeSelf: Boolean = false): DataFrame = {
     val base = preparedCorpus
     val q = broadcast(queries)
-    q.join(base, col("query_id") =!= col("vec_id"))
+    val cond = if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true)
+    q.join(base, cond)
       .withColumn("cos_sim", round(cosRaw(col("qv"), col("v"), col("qn2"), col("norm2")), 4))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))).cast("long"))
@@ -157,7 +164,7 @@ object Similarity {
     * qn2 (squared norm).
     */
   def queryIvf(index: IvfIndex, queries: DataFrame, k: Int = 5,
-               nProbe: Int = 4): DataFrame = {
+               nProbe: Int = 4, excludeSelf: Boolean = false): DataFrame = {
     val probes = queries.crossJoin(broadcast(index.centroids))
       .withColumn("d2", VectorOps.vecNorm2(zip_with(col("qv"), col("centroid"),
         (a: Column, b: Column) => a - b)))
@@ -166,7 +173,9 @@ object Similarity {
       .filter(col("pr") <= nProbe)
       .select(col("query_id"), col("qv"), col("qn2"), col("cell"))
     probes.join(index.assigned, Seq("cell"))
-      .filter(col("query_id") =!= col("vec_id"))
+      // self-exclusion only when queries are corpus rows (see
+      // knnBruteForceQueries scaladoc) — external ids must not collide
+      .filter(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
       .withColumn("cos_sim", round(cosRaw(col("qv"), col("v"), col("qn2"), col("norm2")), 4))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))).cast("long"))
@@ -183,7 +192,7 @@ object Similarity {
     val index = buildIvf(embeddings, nCells)
     val queries = index.assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn2"))
-    queryIvf(index, queries, k, nProbe)
+    queryIvf(index, queries, k, nProbe, excludeSelf = true)
   }
 
   /** Random-hyperplane LSH ANN — the scale path. bands×bitsPerBand
@@ -200,14 +209,16 @@ object Similarity {
     val base = prepared(embeddings)
     val q = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn2"))
-    knnLshQueries(base, q, k, bands, bitsPerBand)
+    knnLshQueries(base, q, k, bands, bitsPerBand, excludeSelf = true)
   }
 
   /** Query-batch form of [[knnLsh]]: `queries` columns (query_id, qv
-    * array<double>, qn2) against a [[prepared]] corpus.
+    * array<double>, qn2) against a [[prepared]] corpus. `excludeSelf`
+    * only when the queries are corpus rows (see [[knnBruteForceQueries]]).
     */
   def knnLshQueries(preparedCorpus: DataFrame, queries: DataFrame, k: Int = 5,
-                    bands: Int = 4, bitsPerBand: Int = 4): DataFrame = {
+                    bands: Int = 4, bitsPerBand: Int = 4,
+                    excludeSelf: Boolean = false): DataFrame = {
     val base = preparedCorpus
     // Candidate generation carries ONLY (id, bucket) — the vectors stay
     // out of the bucket join and the candidate dedup shuffle. At 100 TB
@@ -218,7 +229,7 @@ object Similarity {
     val qBuckets = broadcast(queries.select(col("query_id"),
       explode(VectorOps.hyperplaneBands(col("qv"), bands, bitsPerBand)).as("bucket")))
     val pairs = qBuckets.join(buckets, Seq("bucket"))
-      .filter(col("query_id") =!= col("vec_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
       .select(col("query_id"), col("vec_id"))
       .dropDuplicates("query_id", "vec_id")
     val qVecs = broadcast(queries)

@@ -64,50 +64,78 @@ object Sources {
     *
     * Only partitions PRESENT IN THE BATCH are touched: existing rows of
     * affected partitions are semi-joined in, merged keep-last on
-    * `keyCols` by `orderCol` desc, and rewritten under dynamic
-    * partition-overwrite — untouched partitions never move, so cost
-    * scales with the batch, not the table. At 100 TB a transactional
-    * table format (Delta/Iceberg MERGE) replaces the staging
-    * materialization step (localCheckpoint breaks the read-overwrite
-    * cycle Spark otherwise rejects; it exists because bare parquet has
-    * no snapshot isolation — the partition-scoped merge plan is the
-    * part that carries over).
+    * `keyCols` by `orderCol` desc, and rewritten — untouched partitions
+    * never move, so cost scales with the batch, not the table.
+    *
+    * Write discipline: the merged output is fully materialized to a
+    * STAGING directory first, then each affected partition directory is
+    * swapped in with two renames (old → trash, staged → live). A
+    * failure while computing or writing the merge leaves the table
+    * untouched; the vulnerable window shrinks to the per-partition
+    * rename pair, and a crash there leaves the previous contents intact
+    * in `<path>.__trash-*` (recoverable by hand) rather than silently
+    * lost mid-overwrite. At 100 TB a transactional table format
+    * (Delta/Iceberg MERGE) replaces this swap with a snapshot commit —
+    * the partition-scoped merge plan is the part that carries over.
     */
   def upsertPartitionedKeepLast(spark: SparkSession, path: String,
                                 updates: DataFrame, keyCols: Seq[String],
                                 orderCol: String,
                                 partitionCols: Seq[String]): Unit = {
     import org.apache.spark.sql.expressions.Window
-    val hPath = new org.apache.hadoop.fs.Path(path)
+    import org.apache.hadoop.fs.Path
+    val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(hPath) && fs.listStatus(hPath).nonEmpty
-    val merged =
-      if (!exists) updates
-      else {
-        // partition-column type inference would re-type string partition
-        // values (hour "00" → int 0) and re-name directories on rewrite,
-        // stranding stale copies — read them back verbatim as strings
-        val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-        val prevInfer = spark.conf.get(inferKey)
-        spark.conf.set(inferKey, "false")
-        val existing =
-          try spark.read.parquet(path)
-          finally spark.conf.set(inferKey, prevInfer)
-        val affectedParts = updates.select(partitionCols.map(col): _*).distinct()
-        val affected = existing.join(affectedParts, partitionCols, "left_semi")
-        val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol).desc)
-        affected.unionByName(updates)
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-      }
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.localCheckpoint(eager = true)
-      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    if (!exists) {
+      updates.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+      return
     }
+    // partition-column type inference would re-type string partition
+    // values (hour "00" → int 0) and re-name directories on rewrite,
+    // stranding stale copies — read them back verbatim as strings
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prevInfer = spark.conf.get(inferKey)
+    spark.conf.set(inferKey, "false")
+    val existing =
+      try spark.read.parquet(path)
+      finally spark.conf.set(inferKey, prevInfer)
+    val affectedParts = updates.select(partitionCols.map(col): _*).distinct()
+    val affected = existing.join(affectedParts, partitionCols, "left_semi")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol).desc)
+    val merged = affected.unionByName(updates)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    // Stage to a sibling dir: the merge reads from `path` and writes
+    // elsewhere, so there is no read-overwrite cycle (and no need to
+    // materialize via checkpoint) and no partial state ever lands live.
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new Path(path + s".__staging-$runId")
+    val trash = new Path(path + s".__trash-$runId")
+    merged.write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(staging.toString)
+    // Enumerate staged partition leaf dirs (depth = #partitionCols) and
+    // swap each into place; rename is the atomic unit on HDFS-like FSs.
+    def leaves(p: Path, depth: Int, rel: String): Seq[String] =
+      if (depth == 0) Seq(rel)
+      else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { s =>
+        val r = if (rel.isEmpty) s.getPath.getName else rel + "/" + s.getPath.getName
+        leaves(s.getPath, depth - 1, r)
+      }
+    leaves(staging, partitionCols.length, "").foreach { rel =>
+      val live = new Path(hPath, rel)
+      val saved = new Path(trash, rel)
+      if (fs.exists(live)) {
+        fs.mkdirs(saved.getParent)
+        fs.rename(live, saved)
+      }
+      fs.mkdirs(live.getParent)
+      fs.rename(new Path(staging, rel), live)
+    }
+    // cleanup ONLY on success — on a mid-swap failure both the staged
+    // output and the displaced originals survive for recovery
+    fs.delete(staging, true)
+    fs.delete(trash, true)
   }
 
   /** Bucketed external table — pre-shuffled storage so repeated joins

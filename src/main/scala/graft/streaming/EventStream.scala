@@ -57,10 +57,18 @@ object EventStream {
     * [[kafkaSource]] so the parse logic is spec-testable without a
     * broker — it only needs a DataFrame with a binary `value` column,
     * exactly what the Kafka source emits.
+    *
+    * The casted payload rides along as `__raw` so an unparseable frame
+    * (all-null parsed struct) keeps its original message and can be
+    * routed to [[kafkaStructuralDlq]] — the collector wraps exactly
+    * that payload in its DLQ record (collector/main.py:134-146).
+    * Downstream transforms name their columns, so the extra column is
+    * inert; drop it at the sink if the topic schema is closed.
     */
   def fromKafka(raw: DataFrame): DataFrame =
     raw
-      .select(from_json(col("value").cast("string"), kafkaValueSchema).as("e"))
+      .select(col("value").cast("string").as("__raw"))
+      .select(from_json(col("__raw"), kafkaValueSchema).as("e"), col("__raw"))
       .select(
         col("e.event_id").as("event_id"),
         // to_timestamp_ntz parses the wall clock directly — an LTZ
@@ -70,7 +78,24 @@ object EventStream {
         col("e.user_id").as("user_id"),
         col("e.event_type").as("event_type"),
         col("e.value").as("value"),
-        col("e.props").as("props"))
+        col("e.props").as("props"),
+        col("__raw"))
+
+  /** Structural DLQ for the Kafka path: frames whose payload did not
+    * parse (from_json yields a null struct → null event_id AND null ts)
+    * re-emitted in the collector's {error, original_message, trace_id}
+    * wrap (collector/main.py:134-146). Same record shape as the batch
+    * [[graft.sources.Sources.structuralDlq]]; trace_id is a content
+    * hash so redelivered frames stay idempotent. Narrow (no shuffle) —
+    * attach as a second sink on the parsed stream.
+    */
+  def kafkaStructuralDlq(parsed: DataFrame): DataFrame =
+    parsed
+      .filter(col("event_id").isNull && col("ts").isNull && col("__raw").isNotNull)
+      .select(
+        lit("schema_validation_error").as("error"),
+        col("__raw").as("original_message"),
+        md5(col("__raw")).as("trace_id"))
 
   /** Kafka-sourced deployment of the same DAG — the consumer's
     * subscribe loop (consumer/main.py:277-376). Requires the

@@ -39,9 +39,28 @@ class SimilaritySpec extends SparkSpec {
     val base = Similarity.prepared(e)
     val q = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn2"))
-    val a = Similarity.knnBruteForceQueries(base, q).collect().map(_.toSeq)
+    val a = Similarity.knnBruteForceQueries(base, q, excludeSelf = true)
+      .collect().map(_.toSeq)
     val b = Similarity.knnBruteForce(e).collect().map(_.toSeq)
     assert(a.toSeq === b.toSeq)
+  }
+
+  test("external queries keep corpus rows whose vec_id collides with query_id") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sfDir)
+    val base = Similarity.prepared(e)
+    // external query that reuses id 0 but is NOT corpus row 0: the
+    // corpus vector 0 must stay in its candidate set (default
+    // excludeSelf=false), so rank-1 is vec 0 itself at cos 1.0 when the
+    // query vector IS vector 0's embedding under a colliding id
+    val q = base.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn2"))
+    val top = Similarity.knnBruteForceQueries(base, q, k = 1)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(top.length === 1 && top.head._2 === 0L && top.head._3 === 1.0)
+    val lshTop = Similarity.knnLshQueries(base, q, k = 1)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(lshTop.length === 1 && lshTop.head._2 === 0L && lshTop.head._3 === 1.0)
   }
 
   test("LSH query-batch form equals the self-query form") {
@@ -50,7 +69,8 @@ class SimilaritySpec extends SparkSpec {
     val base = Similarity.prepared(e)
     val q = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn2"))
-    val a = Similarity.knnLshQueries(base, q).collect().map(_.toSeq)
+    val a = Similarity.knnLshQueries(base, q, excludeSelf = true)
+      .collect().map(_.toSeq)
     val b = Similarity.knnLsh(e).collect().map(_.toSeq)
     assert(a.toSeq === b.toSeq)
   }
@@ -62,8 +82,10 @@ class SimilaritySpec extends SparkSpec {
     def queries(lo: Long, hi: Long) = index.assigned
       .filter(col("vec_id") >= lo && col("vec_id") < hi)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn2"))
-    val batch1 = Similarity.queryIvf(index, queries(0, 5)).collect().map(_.toSeq)
-    val batch2 = Similarity.queryIvf(index, queries(5, 10)).collect().map(_.toSeq)
+    val batch1 = Similarity.queryIvf(index, queries(0, 5), excludeSelf = true)
+      .collect().map(_.toSeq)
+    val batch2 = Similarity.queryIvf(index, queries(5, 10), excludeSelf = true)
+      .collect().map(_.toSeq)
     assert(batch1.nonEmpty && batch2.nonEmpty)
     // the composed form over the union of both batches gives the same rows
     val composed = Similarity.knnIvf(e, nQueries = 10).collect().map(_.toSeq)

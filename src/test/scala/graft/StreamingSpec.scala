@@ -97,15 +97,21 @@ class StreamingSpec extends SparkSpec {
         current_timestamp().as("timestamp"), lit(0).as("timestampType"))
     val parsed = EventStream.fromKafka(frames)
     assert(parsed.schema.fieldNames.toSeq ===
-      EventStream.eventSchema.fieldNames.toSeq)
+      EventStream.eventSchema.fieldNames.toSeq :+ "__raw")
     assert(parsed.schema("ts").dataType ===
       org.apache.spark.sql.types.TimestampNTZType)
     val rows = parsed.filter(col("event_id").isNotNull)
       .select("event_id", "user_id", "event_type", "value")
       .as[(Long, Long, String, Double)].collect().sortBy(_._1)
     assert(rows.toSeq === Seq((1L, 7L, "click", 1.5), (2L, 8L, "view", 2.0)))
-    // unparseable frame → all-null record (routable to the structural DLQ)
+    // unparseable frame → all-null record, original payload preserved
     assert(parsed.filter(col("event_id").isNull).count() === 1)
+    // ...and routable to the collector's DLQ wrap with the raw message
+    val dlq = EventStream.kafkaStructuralDlq(parsed)
+      .as[(String, String, String)].collect()
+    assert(dlq.toSeq.map(r => (r._1, r._2)) ===
+      Seq(("schema_validation_error", "not json at all")))
+    assert(dlq.head._3.nonEmpty) // content-hash trace id
     // downstream DAG composes unchanged: the batch validate accepts the shape
     assert(Ingest.validate(parsed).count() === 2)
   }

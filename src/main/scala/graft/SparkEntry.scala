@@ -75,6 +75,12 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
+    "text_normalize" -> ((s, d) => Corpus.normalize(Tables.documents(s, d))),
+    "split_assign" -> ((s, d) => Corpus.splitAssign(Tables.documents(s, d))),
+    "sample_stratified" -> ((s, d) => Corpus.sampleStratified(Tables.documents(s, d))),
+    "ngram_topk" -> ((s, d) => Corpus.ngramTopK(Tables.documents(s, d))),
+    "contamination_check" -> ((s, d) => Corpus.contamination(Tables.documents(s, d))),
+    "dedup_clusters" -> ((s, d) => Corpus.nearDupClusters(Tables.documents(s, d))),
     "multimodal_meta" -> ((s, d) => Multimodal.metadata(Tables.documents(s, d))),
     "multimodal_features" -> ((s, d) => Multimodal.features(s, Tables.documents(s, d))),
     "multimodal_frame_sample" -> ((s, d) => Multimodal.frameSample(s, Tables.documents(s, d))),
@@ -397,6 +403,74 @@ object SparkEntry {
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM nd)
          |  AND d.doc_id NOT IN (SELECT doc_id FROM ed)
          |ORDER BY d.doc_id""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS raw_chars,
+        | CAST(length(norm_text) AS BIGINT) AS norm_chars, norm_text
+        |FROM (SELECT doc_id, text,
+        |  lower(trim(regexp_replace(regexp_replace(regexp_replace(text,
+        |    'https?://\S+', ' <url> ', 'g'),
+        |    '[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+', ' <email> ', 'g'),
+        |    '\s+', ' ', 'g'))) AS norm_text
+        | FROM documents) t ORDER BY doc_id""".stripMargin,
+    "split_assign" ->
+      """SELECT doc_id, bucket,
+        | CASE WHEN bucket < 205 THEN 'train'
+        |      WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST((strpos('0123456789abcdef',
+        |     substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split-v1'), 1, 1)) - 1) * 16
+        |   + (strpos('0123456789abcdef',
+        |     substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split-v1'), 2, 1)) - 1)
+        |   AS BIGINT) AS bucket
+        | FROM documents) t ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang, rnk FROM (
+        | SELECT doc_id, lang,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR) || '|graft-sample-v1'), doc_id) AS BIGINT) AS rnk,
+        |  count(*) OVER (PARTITION BY lang) AS n
+        | FROM documents) t
+        |WHERE rnk <= ceil(0.2 * n) ORDER BY doc_id""".stripMargin,
+    "ngram_topk" ->
+      s"""WITH w AS (SELECT list_filter($wsSql, x -> x != '') AS ws FROM documents),
+         | b AS (SELECT unnest(list_transform(range(1, len(ws)),
+         |   i -> ws[i] || ' ' || ws[i+1])) AS bigram FROM w)
+         |SELECT bigram, count(*) AS n FROM b
+         |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "contamination_check" ->
+      s"""WITH sh AS ($shingleSubSql),
+         | bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+         | corp AS (SELECT * FROM sh WHERE doc_id % 20 != 0),
+         | tot AS (SELECT doc_id, count(*) AS n_shingles FROM corp GROUP BY 1),
+         | hit AS (SELECT c.doc_id, count(*) AS n_contaminated
+         |   FROM corp c JOIN bench b ON c.s = b.s GROUP BY 1)
+         |SELECT t.doc_id, t.n_shingles,
+         | coalesce(h.n_contaminated, 0) AS n_contaminated,
+         | round(coalesce(h.n_contaminated, 0) * 1.0 / t.n_shingles, 4) AS contamination_rate,
+         | coalesce(h.n_contaminated, 0) * 1.0 / t.n_shingles >= 0.5 AS is_contaminated
+         |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+    // Cluster assignment inherits the minhash oracle soundness argument
+    // (banded candidates exact-verified ⊆ exact pairs; set equality
+    // spec-proven and re-asserted at every gate SF by the tri-SF local
+    // gate): identical pair sets ⇒ identical connected components.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE
+         | sh AS ($shingleSubSql),
+         | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         | cnt AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+         |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         | jp AS (SELECT a_id, b_id FROM cnt
+         |   JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+         |   WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.5),
+         | edges AS (SELECT a_id AS src, b_id AS dst FROM jp
+         |   UNION SELECT b_id, a_id FROM jp),
+         | reach(doc_id, r) AS (
+         |   SELECT doc_id, doc_id FROM documents
+         |   UNION
+         |   SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst)
+         |SELECT doc_id, min(r) AS cluster_id, doc_id = min(r) AS is_canonical
+         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "token_count" ->
       """SELECT doc_id, n_ws_tokens, n_bpe_tokens,
         | CASE WHEN n_ws_tokens = 0 THEN NULL

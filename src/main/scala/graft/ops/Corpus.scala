@@ -1,0 +1,201 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Hashes
+
+/** Corpus-management operators for LLM-training-data pipelines
+  * (SURVEY.md §2D extensions): text normalization, deterministic
+  * train/val/test splitting, stratified sampling, corpus n-gram
+  * statistics, benchmark-contamination checking, and near-dup cluster
+  * assignment. These are the operations that turn the dedup/similarity
+  * primitives into an end-to-end data-curation engine.
+  *
+  * Scale rules shared by every operator here: derivations are narrow
+  * (per-row, codegen'd) until an aggregation or join genuinely needs a
+  * shuffle; hash-based assignments are content-deterministic (stable
+  * under repartition, task retry, and cluster size); nothing collects
+  * to the driver except loop-convergence counters.
+  */
+object Corpus {
+
+  import TextDedup.normText
+
+  private val HexAlphabet = "0123456789abcdef"
+
+  /** Text normalization pass: URL and email spans are redacted to
+    * placeholder tokens, whitespace is collapsed, and the text is
+    * case-folded — the canonical pre-tokenization cleanup stage of a
+    * training-data pipeline. Pure per-row work: stays inside
+    * whole-stage codegen, no shuffle at any scale.
+    */
+  def normalize(documents: DataFrame): DataFrame = {
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(col("text"), "https?://\\S+", " <url> "),
+        "[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\\.[A-Za-z0-9.-]+", " <email> ")
+    documents
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("raw_chars"),
+        lower(trim(regexp_replace(scrubbed, "\\s+", " "))).as("norm_text"))
+      .withColumn("norm_chars", length(col("norm_text")).cast("long"))
+      .select(col("doc_id"), col("raw_chars"), col("norm_chars"), col("norm_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** 0..255 content-hash bucket from the first two hex chars of
+    * md5(doc_id | salt) — engine-portable (the DuckDB oracle computes
+    * the identical bucket from the identical md5 hex string), uniform,
+    * and stable under repartition/retry by construction (pure function
+    * of the key, no partition-layout dependence à la
+    * monotonically_increasing_id).
+    */
+  private def hashBucket256(salt: String) = {
+    def hexVal(pos: Int) = expr(
+      s"instr('$HexAlphabet', substring(md5(concat_ws('|', cast(doc_id as string), '$salt')), $pos, 1))")
+    ((hexVal(1) - 1) * 16 + (hexVal(2) - 1)).cast("long")
+  }
+
+  /** Deterministic train/val/test assignment by content-hash bucket:
+    * ~80/10/10 over 256 md5 buckets of (doc_id, salt). The split is a
+    * pure row-local function — reproducible across runs, engines and
+    * cluster layouts, and documents never move: downstream consumers
+    * filter on `split`, so the assignment adds zero shuffle. Changing
+    * `salt` re-rolls the split without touching the data.
+    */
+  def splitAssign(documents: DataFrame,
+                  salt: String = "graft-split-v1"): DataFrame =
+    documents
+      .select(col("doc_id"), hashBucket256(salt).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 205, "train")
+          .when(col("bucket") < 230, "val")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic stratified sample: within each stratum (`lang`),
+    * rank docs by a content hash and keep the top ceil(frac·n) — an
+    * exact per-stratum rate, reproducible across runs. One shuffle on
+    * the stratum key. At 100 TB with few strata, per-stratum rank is
+    * the skew point: swap the window for the bucket-threshold form
+    * (keep bucket256 < frac·256, zero shuffle, rate exact only in
+    * expectation) when strata are huge — same hash, same determinism.
+    */
+  def sampleStratified(documents: DataFrame, frac: Double = 0.2,
+                       salt: String = "graft-sample-v1"): DataFrame = {
+    val h = md5(concat_ws("|", col("doc_id").cast("string"), lit(salt)))
+    val w = Window.partitionBy(col("lang"))
+    documents
+      .select(col("doc_id"), col("lang"), h.as("__h"))
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy(col("lang")).orderBy(col("__h"), col("doc_id")))
+        .cast("long"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("rnk") <= ceil(lit(frac) * col("__n")))
+      .select(col("doc_id"), col("lang"), col("rnk"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-wide top-k word bigrams — the vocabulary/statistics pass
+    * (boilerplate detection, stopword induction, domain drift checks).
+    * Per-row bigram explode, then one count aggregation: map-side
+    * partial aggregation absorbs the heavy hitters, so the shuffle
+    * carries one (bigram, partial count) row per distinct bigram per
+    * task, not per occurrence. Ties break on the bigram string so the
+    * top-k cut is total-ordered and engine-deterministic.
+    */
+  def ngramTopK(documents: DataFrame, k: Int = 20): DataFrame = {
+    val words = filter(split(normText, " "), w => w =!= "")
+    documents
+      .select(words.as("ws"))
+      .select(explode(expr(
+        "zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)), " +
+          "slice(ws, 2, greatest(size(ws) - 1, 0)), (a, b) -> concat(a, ' ', b))"))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+  }
+
+  /** Benchmark-contamination check: the fraction of each corpus doc's
+    * distinct 3-word shingles that also appear in a benchmark set
+    * (here: every 20th doc stands in for the eval suite). The
+    * benchmark shingle set is small by nature (eval suites, not the
+    * corpus), so it broadcasts — the corpus streams past it once with
+    * no self-join and no corpus shuffle of text: only 8-byte hashed
+    * shingles (graft.functions.ShingleHashes) leave the row.
+    */
+  def contamination(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sh = documents
+      .withColumn("__sh", Hashes.shingleHashes(split(normText, " "), 3))
+      .filter(size(col("__sh")) > 0)
+      .select(col("doc_id"), size(col("__sh")).cast("long").as("n_shingles"),
+        explode(col("__sh")).as("s"))
+    val bench = broadcast(
+      sh.filter(col("doc_id") % 20 === 0).select(col("s")).distinct())
+    val corpus = sh.filter(col("doc_id") % 20 =!= 0)
+    val hits = corpus.join(bench, Seq("s"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    corpus
+      .select(col("doc_id"), col("n_shingles")).distinct()
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("contamination_rate",
+        round(col("n_contaminated") / col("n_shingles"), 4))
+      .withColumn("is_contaminated",
+        (col("n_contaminated") / col("n_shingles") >= threshold).cast("boolean"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        col("contamination_rate"), col("is_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Near-dup CLUSTER assignment: connected components over the
+    * [[TextDedup.minhashLsh]] pair graph, labeling every doc with the
+    * smallest doc_id reachable through near-dup edges (canonical =
+    * label owner). Pairs alone under-remove: A~B and B~C must collapse
+    * to ONE keeper even when A~C is below threshold — that requires
+    * components, not pairs.
+    *
+    * Implementation is iterative min-label propagation: each round
+    * joins labels across edges and keeps the per-node min. Rounds
+    * needed = graph diameter (near-dup clusters are shallow — a few
+    * rounds); each round is one equi-join + one aggregation, both
+    * shuffle-partitioned on doc_id, with lineage cut per round so
+    * plans don't nest. The driver sees only the convergence counter.
+    * At 100 TB-graph sizes the same loop holds (this is the
+    * Kwak/large-star–small-star family shape); hub-heavy graphs would
+    * salt the label join.
+    */
+  def nearDupClusters(documents: DataFrame): DataFrame = {
+    val pairs = TextDedup.minhashLsh(documents)
+      .select(col("a_id"), col("b_id"))
+    val edges = pairs
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    var labels = documents
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .select(col("src").as("doc_id"), col("cluster_id"))
+      val updated = labels.union(viaEdges)
+        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint(true)
+      changed = updated
+        .join(labels.withColumnRenamed("cluster_id", "__old"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("__old"))
+        .count()
+      labels = updated
+    }
+    labels
+      .withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("boolean"))
+      .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+}

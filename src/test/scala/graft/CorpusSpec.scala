@@ -1,0 +1,115 @@
+package graft
+
+import graft.ops.{Corpus, TextDedup}
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("normalize is idempotent and scrubs URLs/emails") {
+    val out = Corpus.normalize(docs)
+    assert(out.count() === docs.count())
+    // idempotence: normalizing the normalized text is a fixpoint
+    val renorm = Corpus.normalize(
+      out.select(col("doc_id"), col("norm_text").as("text")))
+    val drift = out.select("doc_id", "norm_text")
+      .except(renorm.select("doc_id", "norm_text")).count()
+    assert(drift === 0)
+    // scrub behavior on synthetic rows
+    val dirty = Seq(
+      (1L, "Visit https://example.com/x?q=1 NOW"),
+      (2L, "mail me at Bob.smith+spam@example.co.uk  please"),
+      (3L, "  Plain   text  ")
+    ).toDF("doc_id", "text")
+    val n = Corpus.normalize(dirty).select("doc_id", "norm_text")
+      .as[(Long, String)].collect().toMap
+    assert(n(1L) === "visit <url> now")
+    assert(n(2L) === "mail me at <email> please")
+    assert(n(3L) === "plain text")
+  }
+
+  test("splitAssign partitions every doc into exactly one split, stably") {
+    val out = Corpus.splitAssign(docs).cache()
+    assert(out.count() === docs.count())
+    val bySplit = out.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    val total = bySplit.values.sum.toDouble
+    assert(bySplit("train") / total > 0.7 && bySplit("train") / total < 0.9)
+    // stable under repartition: assignment is a pure function of doc_id
+    val re = Corpus.splitAssign(docs.repartition(13))
+    assert(out.except(re).count() === 0 && re.except(out).count() === 0)
+    out.unpersist()
+  }
+
+  test("sampleStratified keeps exactly ceil(frac*n) docs per stratum") {
+    val perLang = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val sampled = Corpus.sampleStratified(docs, frac = 0.2)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    perLang.foreach { case (lang, n) =>
+      assert(sampled.getOrElse(lang, 0L) === math.ceil(0.2 * n).toLong,
+        s"stratum $lang")
+    }
+    // deterministic: same seed → same sample
+    val again = Corpus.sampleStratified(docs.repartition(7), frac = 0.2)
+    assert(Corpus.sampleStratified(docs, frac = 0.2).except(again).count() === 0)
+  }
+
+  test("ngramTopK returns k bigrams in strict descending, tie-broken order") {
+    val top = Corpus.ngramTopK(docs, k = 20).as[(String, Long)].collect()
+    assert(top.length === 20)
+    top.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+    case _ => }
+    assert(top.forall(_._1.split(" ").length === 2))
+  }
+
+  test("contamination flags a doc duplicated into the benchmark set") {
+    val out = Corpus.contamination(docs).cache()
+    // benchmark docs themselves are excluded from the report
+    assert(out.filter(col("doc_id") % 20 === 0).count() === 0)
+    val rates = out.select("contamination_rate").as[Double].collect()
+    assert(rates.forall(r => r >= 0.0 && r <= 1.0))
+    // a corpus doc that shares near-all shingles with a benchmark doc
+    // (an exact dup pair straddling the % 20 boundary) must be flagged
+    val exactDups = TextDedup.exact(docs)
+      .filter(col("is_dup") && col("canonical_id") % 20 === 0 && col("doc_id") % 20 =!= 0)
+      .select("doc_id").as[Long].collect()
+    if (exactDups.nonEmpty) {
+      val flagged = out.filter(col("doc_id").isin(exactDups: _*))
+        .filter(col("is_contaminated")).count()
+      assert(flagged === exactDups.length)
+    }
+    out.unpersist()
+  }
+
+  test("nearDupClusters labels components consistently with the pair graph") {
+    val labels = Corpus.nearDupClusters(docs).cache()
+    assert(labels.count() === docs.count())
+    val byDoc = labels.select("doc_id", "cluster_id")
+      .as[(Long, Long)].collect().toMap
+    // every near-dup pair lands in one cluster
+    val pairs = TextDedup.minhashLsh(docs)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a) === byDoc(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster label is the min member, and exactly that member is canonical
+    val members = byDoc.groupBy(_._2).view.mapValues(_.keys.min)
+    members.foreach { case (label, minDoc) => assert(label === minDoc) }
+    val canonicals = labels.filter(col("is_canonical")).select("doc_id")
+      .as[Long].collect().toSet
+    assert(canonicals === byDoc.values.toSet)
+    // transitivity beyond pairs: chained pairs collapse to one cluster
+    val adj = pairs.flatMap(p => Seq(p, (p._2, p._1))).groupBy(_._1)
+    pairs.take(50).foreach { case (a, b) =>
+      adj.getOrElse(b, Array.empty).map(_._2).foreach { c =>
+        assert(byDoc(a) === byDoc(c), s"chain $a~$b~$c split")
+      }
+    }
+    labels.unpersist()
+  }
+}

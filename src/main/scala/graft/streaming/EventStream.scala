@@ -153,6 +153,33 @@ object EventStream {
         col("session_window.start").as("session_start"),
         col("n_events"), col("total_value"))
 
+  /** Streaming upsert sink — the consumer's full persistence path
+    * (consumer/main.py:277-376): validate each micro-batch, then merge
+    * it into a date-partitioned parquet table with keep-last semantics
+    * per (user_id, ts), the `ON CONFLICT DO UPDATE` analog
+    * (consumer/main.py:229-245). The micro-batch IS the reference's
+    * size/TTL flush buffer (trigger interval ≈ TTL, maxFilesPerTrigger
+    * ≈ size); dedup across redeliveries is the upsert's job, so the
+    * sink converges to one newest row per key no matter how batches
+    * overlap. Each foreachBatch call touches only the partitions
+    * present in that batch — cost scales with the batch at any table
+    * size.
+    */
+  def upsertSink(spark: SparkSession, events: DataFrame, path: String,
+                 checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    Ingest.validate(events)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("dt", to_date(col("ts")).cast("string"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Sources.upsertPartitionedKeepLast(spark, path, batch,
+          keyCols = Seq("user_id", "ts"), orderCol = "event_id",
+          partitionCols = Seq("dt"))
+      }
+      .start()
+
   /** Run the whole pipeline synchronously against whatever files are in
     * `dir`, collecting results via a memory sink. Used by the spec; a
     * production job points the same DAG at a real sink with a

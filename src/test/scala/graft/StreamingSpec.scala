@@ -116,6 +116,40 @@ class StreamingSpec extends SparkSpec {
     assert(Ingest.validate(parsed).count() === 2)
   }
 
+  test("streaming upsert sink converges to keep-last per key across micro-batches") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_upsert_src").toString
+    val tgt = java.nio.file.Files.createTempDirectory("graft_upsert_tgt").toString + "/table"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_ckpt").toString
+    def write(rows: Seq[(Long, String, Long, String, Double, String)], f: String): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .coalesce(1).write.mode("overwrite").parquet(src + "/" + f)
+    // batch 1: two keys on two dates (+ one invalid row that must not land)
+    write(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "click", 10.0, "{}"),
+      (2L, "2024-01-02 11:00:00", 2L, "view", 5.0, "{}"),
+      (3L, "2024-01-01 12:00:00", 3L, "click", -7.0, "{}")), "b1")
+    val q = EventStream.upsertSink(spark,
+      spark.readStream.schema(EventStream.eventSchema).parquet(src + "/*"), tgt, ckpt)
+    q.processAllAvailable()
+    // batch 2: redelivers key (1, 10:00) with a newer event_id — keep-last
+    // must win — and adds a fresh key on an existing date
+    write(Seq(
+      (9L, "2024-01-01 10:00:00", 1L, "click", 99.0, "{}"),
+      (5L, "2024-01-01 13:00:00", 4L, "view", 1.0, "{}")), "b2")
+    q.processAllAvailable(); q.stop()
+    val table = spark.read.parquet(tgt)
+    val byKey = table.select("user_id", "event_id", "value")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(table.count() === 3) // invalid row dropped, dup converged
+    assert(byKey(1L) === ((9L, 99.0)), "redelivered key did not keep-last")
+    assert(byKey(2L) === ((2L, 5.0)))
+    assert(byKey(4L) === ((5L, 1.0)))
+    // date partitioning materialized (hypertable-chunk analog)
+    assert(new java.io.File(tgt).listFiles().map(_.getName).count(_.startsWith("dt=")) === 2)
+  }
+
   test("watermarked dedup drops duplicate keys within the horizon") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dupes").toString

@@ -81,6 +81,8 @@ object SparkEntry {
     "ngram_topk" -> ((s, d) => Corpus.ngramTopK(Tables.documents(s, d))),
     "contamination_check" -> ((s, d) => Corpus.contamination(Tables.documents(s, d))),
     "dedup_clusters" -> ((s, d) => Corpus.nearDupClusters(Tables.documents(s, d))),
+    "doc_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
+    "embed_quantize" -> ((s, d) => Similarity.quantizeInt8Stats(Tables.embeddings(s, d))),
     "multimodal_meta" -> ((s, d) => Multimodal.metadata(Tables.documents(s, d))),
     "multimodal_features" -> ((s, d) => Multimodal.features(s, Tables.documents(s, d))),
     "multimodal_frame_sample" -> ((s, d) => Multimodal.frameSample(s, Tables.documents(s, d))),
@@ -471,6 +473,28 @@ object SparkEntry {
          |   SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst)
          |SELECT doc_id, min(r) AS cluster_id, doc_id = min(r) AS is_canonical
          |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "doc_repetition" ->
+      s"""SELECT doc_id, n_shingles_total, n_shingles_distinct,
+         | CASE WHEN n_shingles_total = 0 THEN NULL
+         |      ELSE round(1.0 - n_shingles_distinct * 1.0 / n_shingles_total, 4)
+         | END AS repetition_ratio
+         |FROM (SELECT doc_id,
+         |  CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS n_shingles_total,
+         |  CAST(len(list_distinct(list_transform(range(1, greatest(len(ws) - 1, 1)),
+         |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS BIGINT) AS n_shingles_distinct
+         | FROM (SELECT doc_id, $wsSql AS ws FROM documents) w) t
+         |ORDER BY doc_id""".stripMargin,
+    "embed_quantize" ->
+      """SELECT vec_id, round(absmax / 127.0, 6) AS scale,
+        | CAST(list_min(codes) AS BIGINT) AS code_min,
+        | CAST(list_max(codes) AS BIGINT) AS code_max,
+        | round(list_sum(codes) * 1.0 / len(codes), 4) AS code_mean
+        |FROM (SELECT vec_id, absmax,
+        |  list_transform(v, x -> CAST(round(
+        |    CASE WHEN absmax = 0 THEN 0 ELSE x * 127.0 / absmax END) AS BIGINT)) AS codes
+        | FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |   list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS absmax
+        |  FROM embeddings) a) b ORDER BY vec_id""".stripMargin,
     "token_count" ->
       """SELECT doc_id, n_ws_tokens, n_bpe_tokens,
         | CASE WHEN n_ws_tokens = 0 THEN NULL

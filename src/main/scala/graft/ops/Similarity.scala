@@ -123,6 +123,35 @@ object Similarity {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Symmetric int8 quantization of the embedding column — the storage
+    * and serving format of billion-vector ANN (4× smaller than float32,
+    * 8× smaller than the double compute form): per-vector scale =
+    * absmax/127, codes = round(x·127/absmax). Per-row and codegen'd —
+    * no shuffle; at scale the codes column is what gets written
+    * cell-partitioned next to the [[IvfIndex]].
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("absmax", array_max(expr("transform(v, x -> abs(x))")))
+      .withColumn("codes", expr(
+        "transform(v, x -> cast(round(CASE WHEN absmax = 0D THEN 0D ELSE x * 127.0D / absmax END) as bigint))"))
+      .select(col("vec_id"), (col("absmax") / 127.0).as("scale"), col("codes"))
+
+  /** Per-vector summary of [[quantizeInt8]] for the oracle gate (array
+    * columns stay out of the hash boundary; the codes themselves are
+    * pinned by min/max/mean since the mapping is deterministic).
+    */
+  def quantizeInt8Stats(embeddings: DataFrame): DataFrame =
+    quantizeInt8(embeddings)
+      .select(col("vec_id"),
+        round(col("scale"), 6).as("scale"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"),
+        round(expr("aggregate(codes, 0L, (a, x) -> a + x)").cast("double")
+          / size(col("codes")), 4).as("code_mean"))
+      .orderBy(col("vec_id"))
+
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
     * corpus into cells; each query probes its nProbe nearest cells and
     * exactly reranks only those candidates. The standard

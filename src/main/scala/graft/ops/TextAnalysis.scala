@@ -110,6 +110,28 @@ object TextAnalysis {
       substring(norm, 1, 16).as("fp_head"))
       .orderBy(col("doc_id"))
 
+  /** Within-document repetition: the fraction of a doc's word 3-gram
+    * occurrences that are repeats of an earlier shingle in the same doc
+    * (1 − distinct/total). High values flag boilerplate/template spam —
+    * a standard pre-training quality signal orthogonal to the
+    * cross-document dedup family. Per-row (narrow, one pass via the
+    * ShingleHashes kernel), no shuffle at any scale.
+    */
+  def repetition(documents: DataFrame, n: Int = 3): DataFrame = {
+    val total = greatest(size(toks) - (n - 1), lit(0)).cast("long")
+    documents
+      .select(
+        col("doc_id"),
+        total.as("n_shingles_total"),
+        size(graft.functions.Hashes.shingleHashes(toks, n)).cast("long")
+          .as("n_shingles_distinct"))
+      .withColumn("repetition_ratio",
+        when(col("n_shingles_total") === 0, lit(null).cast("double"))
+          .otherwise(round(lit(1.0) -
+            col("n_shingles_distinct").cast("double") / col("n_shingles_total"), 4)))
+      .orderBy(col("doc_id"))
+  }
+
   /** Composite quality score: four independent indicators, 0.25 each.
     * Filter keeps docs scoring ≥ 0.75 (at most one failed check) — the
     * usual pre-training corpus gate.

@@ -92,6 +92,21 @@ class SimilaritySpec extends SparkSpec {
     assert((batch1 ++ batch2).toSeq.sortBy(_.toString) === composed.toSeq.sortBy(_.toString))
   }
 
+  test("int8 quantization bounds codes and round-trip error") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val q = Similarity.quantizeInt8(Tables.embeddings(spark, sfDir))
+    // codes live in the int8 range
+    val agg = q.selectExpr("min(array_min(codes))", "max(array_max(codes))")
+      .as[(Long, Long)].collect().head
+    assert(agg._1 >= -127L && agg._2 <= 127L)
+    // dequantization error is within half a quantization step everywhere
+    val viol = Similarity.quantizeInt8(Tables.embeddings(spark, sfDir))
+      .join(Similarity.prepared(Tables.embeddings(spark, sfDir)), "vec_id")
+      .withColumn("err", expr("array_max(zip_with(v, codes, (x, c) -> abs(x - c * scale)))"))
+      .filter(col("err") > col("scale") * 0.5 + 1e-12).count()
+    assert(viol === 0)
+  }
+
   test("LSH ANN achieves decent recall of the exact top-5") {
     val e = Tables.embeddings(spark, sfDir)
     val exact = Similarity.knnBruteForce(e)

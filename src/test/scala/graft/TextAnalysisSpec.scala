@@ -51,4 +51,23 @@ class TextAnalysisSpec extends SparkSpec {
     val total = Tables.documents(spark, sfDir).count()
     assert(kept > 0 && kept <= total)
   }
+
+  test("repetition ratio separates looped from varied text") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"), // one distinct 3-gram
+      (2L, "one two three four five six seven eight"), // all distinct
+      (3L, "ab cd")                                    // too short: no shingles
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(d)
+      .select("doc_id", "n_shingles_total", "n_shingles_distinct", "repetition_ratio")
+      .as[(Long, Long, Long, Option[Double])].collect().map(x => x._1 -> x).toMap
+    assert(r(1L)._4.get > 0.8 && r(1L)._3 === 1L)
+    assert(r(2L)._4.get === 0.0 && r(2L)._2 === r(2L)._3)
+    assert(r(3L)._2 === 0L && r(3L)._4.isEmpty)
+    // invariants on the real corpus: distinct ≤ total, ratio ∈ [0,1]
+    val real = TextAnalysis.repetition(Tables.documents(spark, sfDir))
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(real.forall(x => x._3 <= x._2))
+    assert(real.forall(_._4.forall(v => v >= 0.0 && v <= 1.0)))
+  }
 }

@@ -70,6 +70,7 @@ object SparkEntry {
     "knn_lsh" -> ((s, d) => Similarity.knnLsh(Tables.embeddings(s, d))),
     "knn_ivf" -> ((s, d) => Similarity.knnIvf(Tables.embeddings(s, d))),
     "corpus_curation" -> ((s, d) => Curation.curate(Tables.documents(s, d))),
+    "corpus_curation_cc" -> ((s, d) => Curation.curateClustered(Tables.documents(s, d))),
     "text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
@@ -495,6 +496,42 @@ object SparkEntry {
         | FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |   list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS absmax
         |  FROM embeddings) a) b ORDER BY vec_id""".stripMargin,
+    // Same quality+exact-dedup gates as corpus_curation, but near-dup
+    // removal keeps one doc per CONNECTED COMPONENT (recursive CTE over
+    // the exact-Jaccard pair graph) — the cluster-consistent semantics.
+    "corpus_curation_cc" ->
+      s"""WITH RECURSIVE st AS ($statsSubSql),
+         | q AS (SELECT doc_id FROM (
+         |  SELECT doc_id,
+         |   (CASE WHEN n_tokens BETWEEN 10 AND 2000 THEN 0.25 ELSE 0.0 END +
+         |    CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END +
+         |    CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END +
+         |    CASE WHEN n_distinct_tokens * 1.0 / n_tokens >= 0.3 THEN 0.25 ELSE 0.0 END) AS s
+         |  FROM st) t WHERE s >= 0.75),
+         | sh AS ($shingleSubSql),
+         | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         | cnt AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+         |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         | jp AS (SELECT a_id, b_id FROM cnt
+         |   JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+         |   WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.5),
+         | edges AS (SELECT a_id AS src, b_id AS dst FROM jp
+         |   UNION SELECT b_id, a_id FROM jp),
+         | reach(doc_id, r) AS (
+         |   SELECT doc_id, doc_id FROM documents
+         |   UNION
+         |   SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst),
+         | ndcc AS (SELECT doc_id FROM (
+         |   SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id) x
+         |   WHERE doc_id != cluster_id),
+         | ed AS (SELECT doc_id FROM (
+         |   SELECT doc_id, min(doc_id) OVER (PARTITION BY $normSql) AS cn
+         |   FROM documents) x WHERE doc_id != cn)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+         |JOIN q ON q.doc_id = d.doc_id
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM ndcc)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM ed)
+         |ORDER BY d.doc_id""".stripMargin,
     "token_count" ->
       """SELECT doc_id, n_ws_tokens, n_bpe_tokens,
         | CASE WHEN n_ws_tokens = 0 THEN NULL

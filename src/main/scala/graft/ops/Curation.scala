@@ -31,4 +31,28 @@ object Curation {
       .join(removed, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
+
+  /** Cluster-consistent curation: near-dup removal keeps exactly ONE
+    * doc per CONNECTED COMPONENT ([[Corpus.nearDupClusters]]'s
+    * canonical), not merely one per pair. The pairwise rule of
+    * [[curate]] under-removes on chains whose similarity is not
+    * transitive at the threshold — e.g. pairs (2,3) and (1,3) leave
+    * doc 2 alive (no smaller DIRECT neighbor) even though 2 is
+    * near-dup-connected to 1 via 3; the component rule keeps only
+    * doc 1. This is the semantics large-scale pipelines actually want:
+    * a dup CLUSTER contributes one representative, regardless of which
+    * particular pairs cleared the threshold.
+    */
+  def curateClustered(documents: DataFrame): DataFrame = {
+    val quality = TextAnalysis.qualityFilter(documents).select("doc_id")
+    val exactDups = TextDedup.exact(documents)
+      .filter(col("is_dup")).select("doc_id")
+    val nonCanonical = Corpus.nearDupClusters(documents)
+      .filter(!col("is_canonical")).select("doc_id")
+    val removed = exactDups.unionByName(nonCanonical).distinct()
+    documents
+      .join(quality, Seq("doc_id"), "left_semi")
+      .join(removed, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
 }

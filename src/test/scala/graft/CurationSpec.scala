@@ -16,6 +16,25 @@ class CurationSpec extends SparkSpec {
     assert(out.nonEmpty && out.size < docs.count())
   }
 
+  test("cluster-consistent curation keeps exactly one survivor per component") {
+    val docs = Tables.documents(spark, sfDir)
+    val cc = Curation.curateClustered(docs).select("doc_id").as[Long].collect().toSet
+    val pairwise = Curation.curate(docs).select("doc_id").as[Long].collect().toSet
+    // component removal is at least as aggressive as pairwise removal
+    assert(cc.subsetOf(pairwise))
+    // survivors per near-dup component: exactly the canonical (when it
+    // passes quality) and nothing else from that component
+    val labels = graft.ops.Corpus.nearDupClusters(docs)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+    val comps = labels.groupBy(_._2).filter(_._2.length > 1)
+    assert(comps.nonEmpty)
+    comps.foreach { case (label, members) =>
+      val survivors = members.map(_._1).filter(cc.contains)
+      assert(survivors.forall(_ == label),
+        s"non-canonical survivor(s) ${survivors.filterNot(_ == label).toSeq} in cluster $label")
+    }
+  }
+
   test("minhash LSH is a drop-in for the exact near-dup stage on this corpus") {
     val docs = Tables.documents(spark, sfDir)
     val exact = TextDedup.ngramJaccard(docs).select("a_id", "b_id")

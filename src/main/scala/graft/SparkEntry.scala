@@ -64,6 +64,14 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => TextDedup.ngramJaccard(Tables.documents(s, d))),
     "dedup_minhash" -> ((s, d) => TextDedup.minhashLsh(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => TextDedup.simhashNearDups(Tables.documents(s, d))),
+    "dedup_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      val index = TextDedup.buildDedupIndex(docs.filter(col("doc_id") % 5 =!= 4))
+      TextDedup.dedupIncremental(index, docs.filter(col("doc_id") % 5 === 4))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDups(Tables.embeddings(s, d))),
     "dedup_embedding_lsh" -> ((s, d) => Similarity.embeddingNearDupsLsh(Tables.embeddings(s, d))),
     "knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d))),
@@ -320,6 +328,29 @@ object SparkEntry {
          | JOIN sz sb ON sb.doc_id = b_id
          |WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
+    // Incremental gate oracle: batch docs (doc_id%5=4) survive unless a
+    // CORPUS doc (doc_id%5≠4) shares their normalized text or clears
+    // exact Jaccard ≥ 0.5 cross-set. Banding soundness argument is the
+    // same as dedup_minhash (candidates exact-verified ⊆ exact pairs).
+    "dedup_incremental" ->
+      s"""WITH sh AS ($shingleSubSql),
+         | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         | cross_pairs AS (
+         |  SELECT b.doc_id AS new_id, a.doc_id AS old_id, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s
+         |   AND a.doc_id % 5 != 4 AND b.doc_id % 5 = 4
+         |  GROUP BY 1, 2),
+         | neard AS (SELECT DISTINCT new_id AS doc_id FROM cross_pairs
+         |   JOIN sz sa ON sa.doc_id = old_id JOIN sz sb ON sb.doc_id = new_id
+         |   WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.5),
+         | norms AS (SELECT doc_id, $normSql AS norm FROM documents),
+         | exactd AS (SELECT DISTINCT b.doc_id FROM norms b JOIN norms a
+         |   ON b.norm = a.norm AND b.doc_id % 5 = 4 AND a.doc_id % 5 != 4)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+         |WHERE d.doc_id % 5 = 4
+         | AND d.doc_id NOT IN (SELECT doc_id FROM exactd)
+         | AND d.doc_id NOT IN (SELECT doc_id FROM neard)
+         |ORDER BY d.doc_id""".stripMargin,
     "dedup_embedding" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -127,6 +127,75 @@ object TextDedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Prebuilt dedup state over an accepted corpus, for incremental
+    * (continuous-ingest) dedup: content digests for the exact gate,
+    * minhash band buckets for the near-dup gate, and the shingle sets
+    * for exact verification of candidates. Built once, queried per
+    * batch; at 100 TB each is a parquet table (digests and buckets
+    * bucketed by their join key) that new batches equi-join against,
+    * and accepted batches append to. `bands`/`rows` are carried in the
+    * index so queries can never use a mismatched geometry.
+    */
+  case class DedupIndex(digests: DataFrame, buckets: DataFrame,
+                        shingles: DataFrame, bands: Int, rows: Int)
+
+  def buildDedupIndex(corpus: DataFrame, bands: Int = 16, rows: Int = 4): DedupIndex = {
+    val sh = corpus
+      .withColumn("shingles", hashedShingles(3))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("shingles"))
+    val digests = corpus
+      .select(xxhash64(normText).as("__h1"), md5(normText).as("__h2"))
+      .distinct()
+    val buckets = sh
+      .withColumn("minhash", Hashes.minhashSig(col("shingles"), bands * rows))
+      .select(col("doc_id"),
+        explode(Hashes.bandKeys(col("minhash"), bands, rows)).as("bucket"))
+    DedupIndex(digests, buckets, sh, bands, rows)
+  }
+
+  /** Incremental dedup of a new batch AGAINST the accepted corpus — the
+    * daily-crawl shape: (1) exact gate, an anti-join of batch content
+    * digests against the index (digest-only shuffle, like [[exact]]);
+    * (2) near-dup gate, batch band buckets equi-join the index buckets
+    * (collision-proportional, never corpus × batch), candidates verified
+    * with exact Jaccard before a batch doc is dropped. Returns the
+    * surviving batch rows with their original columns. Within-batch
+    * duplicates are the batch-local [[exact]]/[[minhashLsh]] pass —
+    * composition stays orthogonal so redeliveries and intra-batch dups
+    * are each handled where they're cheapest.
+    */
+  def dedupIncremental(index: DedupIndex, batch: DataFrame,
+                       threshold: Double = 0.5): DataFrame = {
+    val noExact = batch
+      .withColumn("__h1", xxhash64(normText))
+      .withColumn("__h2", md5(normText))
+      .join(index.digests, Seq("__h1", "__h2"), "left_anti")
+      .drop("__h1", "__h2")
+    val newSh = noExact
+      .withColumn("shingles", hashedShingles(3))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("shingles"))
+    val newBuckets = newSh
+      .withColumn("minhash", Hashes.minhashSig(col("shingles"), index.bands * index.rows))
+      .select(col("doc_id").as("new_id"),
+        explode(Hashes.bandKeys(col("minhash"), index.bands, index.rows)).as("bucket"))
+    // candidate generation carries only (new_id, old_id) — LSH-family rule
+    val cand = newBuckets
+      .join(index.buckets.withColumnRenamed("doc_id", "old_id"), Seq("bucket"))
+      .select(col("new_id"), col("old_id"))
+      .dropDuplicates("new_id", "old_id")
+    val nearDupNew = cand
+      .join(newSh.select(col("doc_id").as("new_id"), col("shingles").as("sh_new")), Seq("new_id"))
+      .join(index.shingles.select(col("doc_id").as("old_id"), col("shingles").as("sh_old")), Seq("old_id"))
+      .withColumn("__j",
+        size(array_intersect(col("sh_new"), col("sh_old"))).cast("double") /
+          size(array_union(col("sh_new"), col("sh_old"))))
+      .filter(col("__j") >= threshold)
+      .select(col("new_id").as("doc_id")).distinct()
+    noExact.join(nearDupNew, Seq("doc_id"), "left_anti")
+  }
+
   /** SimHash near-dups: one-pass 64-bit simhash (custom codegen
     * expression), banded into 4×16-bit chunks — two docs within hamming
     * distance 3 must share at least one chunk — then exact hamming

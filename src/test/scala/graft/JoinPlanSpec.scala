@@ -37,6 +37,13 @@ class JoinPlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
   }
 
+  test("contamination broadcasts the benchmark shingle set — corpus never self-joins") {
+    val plan = planOf(graft.ops.Corpus.contamination(Tables.documents(spark, sfDir)))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
   test("LSH candidate joins carry no vector/shingle payload through the pair dedup") {
     // the exchange feeding the candidate-pair dedup must move only ids +
     // bucket keys; the vectors re-join after

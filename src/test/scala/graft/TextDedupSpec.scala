@@ -52,4 +52,34 @@ class TextDedupSpec extends SparkSpec {
     assert(out.forall(p => p._1 < p._2))
     assert(out.forall(_._3 >= 0.5))
   }
+
+  test("incremental dedup against a corpus index equals the composed reference") {
+    val all = Tables.documents(spark, sfDir)
+    val corpus = all.filter(col("doc_id") % 5 =!= 4)
+    val batch = all.filter(col("doc_id") % 5 === 4)
+    val survived = TextDedup.dedupIncremental(
+      TextDedup.buildDedupIndex(corpus), batch)
+      .select("doc_id").as[Long].collect().toSet
+    // reference: full-set exact + near-dup pairs, restricted to
+    // (corpus partner, batch member) relations
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+    // removed-exact iff ANY corpus doc shares the normalized digest
+    val digests = all
+      .select(col("doc_id"), md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("h"))
+      .as[(Long, String)].collect()
+    val corpusDigests = digests.filterNot(d => batchIds.contains(d._1)).map(_._2).toSet
+    val exactRemoved = digests
+      .filter(d => batchIds.contains(d._1) && corpusDigests.contains(d._2))
+      .map(_._1).toSet
+    val nearRemoved = TextDedup.ngramJaccard(all)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (newer, older) =>
+        batchIds.contains(newer) && !batchIds.contains(older) }
+      .map(_._1).toSet
+    val expect = batchIds -- exactRemoved -- nearRemoved
+    assert(survived === expect,
+      s"extra=${survived -- expect} missing=${expect -- survived}")
+    assert(survived.nonEmpty && survived.size < batchIds.size)
+  }
 }

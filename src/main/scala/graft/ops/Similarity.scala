@@ -187,6 +187,22 @@ object Similarity {
     IvfIndex(centroids, assigned)
   }
 
+  /** Persist a built IVF index cell-partitioned — the billion-vector
+    * layout: probing nProbe of nCells reads ONLY those cells' files
+    * (partition pruning), so query I/O is nProbe/nCells of the corpus.
+    * Returns a loader whose `assigned` is the partition-pruned reader;
+    * compose it with [[queryIvf]] and only probed cells are scanned.
+    */
+  def writeIvfPartitioned(index: IvfIndex, path: String): IvfIndex = {
+    val spark = index.assigned.sparkSession
+    index.assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assigned")
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    IvfIndex(
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/assigned"))
+  }
+
   /** Query phase against a built index: each query probes its nProbe
     * nearest cells (L2, the training metric) and exactly reranks only
     * those candidates. `queries` columns: query_id, qv array<double>,

@@ -107,6 +107,56 @@ class SimilaritySpec extends SparkSpec {
     assert(viol === 0)
   }
 
+  test("cell-partitioned IVF probes prune to the probed cells' files") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sfDir)
+    val built = Similarity.buildIvf(e)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val loaded = Similarity.writeIvfPartitioned(built, dir)
+    // results through the persisted index match the in-memory index
+    def q(ix: Similarity.IvfIndex) = ix.assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn2"))
+    val a = Similarity.queryIvf(built, q(built), excludeSelf = true)
+      .collect().map(_.toSeq).toSeq
+    val b = Similarity.queryIvf(loaded, q(loaded), excludeSelf = true)
+      .collect().map(_.toSeq).toSeq
+    assert(a === b)
+    // a single-cell read plans a partition-pruned scan, not a full scan
+    val pruned = loaded.assigned.filter(col("cell") === 0)
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.metadata("PartitionFilters").contains("cell"),
+      scan.metadata.mkString("\n"))
+    val files = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .flatMap(_.files)
+    val allFiles = new java.io.File(s"$dir/assigned").listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(files.nonEmpty && allFiles > 1)
+    assert(files.forall(_.getPath.toString.contains("cell=0")),
+      files.map(_.getPath.toString).mkString("\n"))
+  }
+
+  test("quantized-code search preserves brute-force recall") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val e = Tables.embeddings(spark, sfDir)
+    // dequantized corpus: codes * scale stand in for the float vectors
+    val deq = Similarity.quantizeInt8(e)
+      .select(col("vec_id"),
+        expr("transform(codes, c -> c * scale)").as("embedding"))
+    val exact = Similarity.knnBruteForce(e)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val viaCodes = Similarity.knnBruteForce(deq)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (qid, nbrs) =>
+      viaCodes.get(qid).map(s => (s intersect nbrs).size.toDouble / nbrs.size).getOrElse(0.0)
+    }
+    assert(recalls.sum / recalls.size >= 0.8,
+      s"int8 recall ${recalls.sum / recalls.size}")
+  }
+
   test("LSH ANN achieves decent recall of the exact top-5") {
     val e = Tables.embeddings(spark, sfDir)
     val exact = Similarity.knnBruteForce(e)

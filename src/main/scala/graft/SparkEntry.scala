@@ -41,6 +41,12 @@ object SparkEntry {
         RawEnd, "30 minutes")),
     "latest_per_key" -> ((s, d) =>
       StationQueries.latestPerKey(Tables.events(s, d))),
+    "timeseries_gapfill" -> ((s, d) =>
+      StationQueries.gapfillLocf(Tables.events(s, d), RawUser, RawStart, RawEnd)),
+    "timeseries_moving_avg" -> ((s, d) =>
+      StationQueries.movingAvg(Tables.events(s, d))),
+    "timeseries_sliding" -> ((s, d) =>
+      StationQueries.slidingWindow(Tables.events(s, d))),
     // ── C. analytics (SURVEY §2C) ──────────────────────────────────────
     "q1_agg" -> ((s, d) => Analytics.q1PricingSummary(Tables.lineitem(s, d))),
     "q3_shipping" -> ((s, d) => Analytics.q3Shipping(s,
@@ -59,6 +65,7 @@ object SparkEntry {
     "range_join" -> ((s, d) => Analytics.rangeJoinActivity(Tables.events(s, d))),
     "events_profile" -> ((s, d) => Analytics.eventsProfile(Tables.events(s, d))),
     "events_profile_approx" -> ((s, d) => Analytics.eventsProfileApprox(Tables.events(s, d))),
+    "events_anomaly" -> ((s, d) => Analytics.anomalyZScore(Tables.events(s, d))),
     // ── D. LLM-training-data pipeline (SURVEY §2D) ─────────────────────
     "dedup_exact" -> ((s, d) => TextDedup.exact(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => TextDedup.ngramJaccard(Tables.documents(s, d))),
@@ -91,6 +98,7 @@ object SparkEntry {
     "contamination_check" -> ((s, d) => Corpus.contamination(Tables.documents(s, d))),
     "dedup_clusters" -> ((s, d) => Corpus.nearDupClusters(Tables.documents(s, d))),
     "doc_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
+    "pii_redact" -> ((s, d) => TextAnalysis.piiRedact(Tables.documents(s, d))),
     "embed_quantize" -> ((s, d) => Similarity.quantizeInt8Stats(Tables.embeddings(s, d))),
     "multimodal_meta" -> ((s, d) => Multimodal.metadata(Tables.documents(s, d))),
     "multimodal_features" -> ((s, d) => Multimodal.features(s, Tables.documents(s, d))),
@@ -200,6 +208,36 @@ object SparkEntry {
       s"""SELECT $eventCols FROM (
          | SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
          | FROM events e) t WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "timeseries_gapfill" ->
+      s"""WITH series AS (SELECT gs AS bucket FROM generate_series(
+         |   TIMESTAMP '$RawStart', TIMESTAMP '$RawEnd', INTERVAL 1 HOUR) t(gs)),
+         | agg AS (SELECT date_trunc('hour', ts) AS bucket,
+         |   round(avg(value), 4) AS avg_value, count(*) AS reading_count
+         |  FROM events WHERE user_id = $RawUser
+         |   AND ts >= TIMESTAMP '$RawStart' AND ts <= TIMESTAMP '$RawEnd'
+         |  GROUP BY 1)
+         |SELECT s.bucket, coalesce(a.reading_count, 0) AS reading_count,
+         | a.avg_value,
+         | last_value(a.avg_value IGNORE NULLS) OVER (ORDER BY s.bucket) AS filled_value,
+         | coalesce(a.reading_count, 0) = 0 AS is_gap
+         |FROM series s LEFT JOIN agg a ON s.bucket = a.bucket
+         |ORDER BY s.bucket""".stripMargin,
+    "timeseries_moving_avg" ->
+      """SELECT event_id, user_id, ts, value,
+        | round(avg(value) OVER w, 4) AS mov_avg,
+        | count(*) OVER w AS n_in_window
+        |FROM events
+        |WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "timeseries_sliding" ->
+      """SELECT user_id,
+        | time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS w_start,
+        | count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events CROSS JOIN (VALUES (0), (1)) o(k)
+        |WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -287,6 +325,18 @@ object SparkEntry {
         | count(*) FILTER (WHERE event_type = 'signup') AS signup,
         | count(*) FILTER (WHERE event_type = 'error') AS error
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // threshold compares the ROUNDED z on both engines so the cut cannot
+    // flip on sub-ulp mean/stddev differences
+    "events_anomaly" ->
+      """WITH s AS (SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT event_id, user_id, event_type, value, z FROM (
+        | SELECT e.event_id, e.user_id, e.event_type, e.value,
+        |  round((e.value - s.m) / s.sd, 4) AS z
+        | FROM events e JOIN s USING (event_type)
+        | WHERE e.value IS NOT NULL) t
+        |WHERE abs(z) >= 2.5 ORDER BY event_id""".stripMargin,
     "events_profile" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
         | round(quantile_cont(value, 0.5), 4) AS p50,
@@ -516,6 +566,19 @@ object SparkEntry {
          |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS BIGINT) AS n_shingles_distinct
          | FROM (SELECT doc_id, $wsSql AS ws FROM documents) w) t
          |ORDER BY doc_id""".stripMargin,
+    // oracle generated from TextAnalysis.PiiPatterns so the two engines
+    // can never drift on pattern text or application order (the shared
+    // patterns avoid constructs where Java and RE2 regexes diverge)
+    "pii_redact" -> {
+      val pats = graft.ops.TextAnalysis.PiiPatterns
+      val counts = pats.map { case (name, pat, _) =>
+        s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$name"
+      }.mkString(",\n ")
+      val redacted = pats.foldLeft("text") { case (c, (_, pat, tok)) =>
+        s"regexp_replace($c, '$pat', '$tok', 'g')"
+      }
+      s"SELECT doc_id,\n $counts,\n $redacted AS redacted_text\nFROM documents ORDER BY doc_id"
+    },
     "embed_quantize" ->
       """SELECT vec_id, round(absmax / 127.0, 6) AS scale,
         | CAST(list_min(codes) AS BIGINT) AS code_min,

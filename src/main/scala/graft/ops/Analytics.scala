@@ -265,4 +265,29 @@ object Analytics {
         count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
       .orderBy(col("event_type").asc_nulls_first, col("user_bucket").asc_nulls_first)
+
+  /** Statistical anomaly flagging: per-type mean/stddev, then each event's
+    * z-score; events with |z| ≥ threshold surface (the monitoring query a
+    * weather system runs over sensor readings — the reference's range
+    * validation (consumer/main.py:142-161) is the degenerate fixed-bounds
+    * form of this).
+    *
+    * Scale: the stats side is a tiny per-type aggregate (map-side partial
+    * agg, broadcast back) — the fact table streams through once with no
+    * wide shuffle. The z-score is rounded at the boundary and the
+    * threshold compares the ROUNDED value so the cut is engine-stable.
+    */
+  def anomalyZScore(events: DataFrame, threshold: Double = 2.5): DataFrame = {
+    val typed = events.filter(col("event_type").isNotNull && col("value").isNotNull)
+    val stats = typed
+      .groupBy(col("event_type"))
+      .agg(avg(col("value")).as("__mean"), stddev_samp(col("value")).as("__std"))
+    typed
+      .join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", round((col("value") - col("__mean")) / col("__std"), 4))
+      .filter(abs(col("z")) >= threshold)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("z"))
+      .orderBy(col("event_id"))
+  }
 }

@@ -82,6 +82,85 @@ object StationQueries {
         count(lit(1)).as("reading_count"))
       .orderBy(col("bucket"))
 
+  /** Gap-filled station timeseries with last-observation-carried-forward —
+    * the TimescaleDB `time_bucket_gapfill(...) + locf(...)` shape the
+    * reference's hypertable layer provides over the same endpoint as
+    * [[timeseriesStation]] (query/main.py:318-354, migrations/db.sql:5-22).
+    * Missing buckets materialize with reading_count=0 and the previous
+    * bucket's average carried forward.
+    *
+    * Scale: the aggregation is the partition-pruned point lookup of
+    * [[timeseriesStation]]; the generated bucket series and the LOCF
+    * window are bounded by the REQUESTED RANGE's bucket count
+    * (range/interval rows), not by data size, so the single-partition
+    * fill stage is O(buckets) at any corpus scale.
+    */
+  def gapfillLocf(events: DataFrame, userId: Long, start: String,
+                  end: String, interval: String = "1 hour"): DataFrame = {
+    val agg = events
+      .filter(col("user_id") === userId &&
+        col("ts") >= tsLit(start) && col("ts") <= tsLit(end))
+      .groupBy(window(col("ts"), interval).getField("start").as("bucket"))
+      .agg(
+        round(avg(col("value")), 4).as("avg_value"),
+        count(lit(1)).as("reading_count"))
+    val series = events.sparkSession.range(1)
+      .select(explode(sequence(tsLit(start), tsLit(end),
+        expr(s"interval $interval"))).as("bucket"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series
+      .join(agg, Seq("bucket"), "left")
+      .withColumn("reading_count", coalesce(col("reading_count"), lit(0L)))
+      .withColumn("filled_value", last(col("avg_value"), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("reading_count") === 0L)
+      .select(col("bucket"), col("reading_count"), col("avg_value"),
+        col("filled_value"), col("is_gap"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Per-station rolling mean over a trailing time interval — a RANGE
+    * window frame on the event-time axis (the continuous cousin of the
+    * bucketed timeseries; TimescaleDB exposes the same thing as a window
+    * over the hypertable). Frame boundaries are computed on floored
+    * epoch seconds so rows in the same second are frame peers.
+    *
+    * Scale: one hash shuffle on the key, then a streaming in-partition
+    * range frame — no buffering beyond the trailing window, the shape
+    * that survives 100× (per-key history length is what matters, and the
+    * frame evicts as it slides).
+    */
+  def movingAvg(events: DataFrame, windowSec: Long = 3600): DataFrame = {
+    // NTZ has no direct long cast; session tz is UTC so the timestamp
+    // round-trip is the identity and floor(double-epoch) = whole seconds
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(floor(col("ts").cast("timestamp").cast("double")).cast("long"))
+      .rangeBetween(-windowSec, 0)
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        round(avg(col("value")).over(w), 4).as("mov_avg"),
+        count(lit(1)).over(w).as("n_in_window"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Sliding-window keyed timeseries: overlapping 1-hour windows every
+    * 30 minutes (`window(ts, duration, slide)`) — each event lands in
+    * duration/slide windows via Spark's Expand, then one keyed shuffle.
+    * The streaming-capable form of a smoothed rollup (the same operator
+    * Structured Streaming uses for sliding aggregations).
+    */
+  def slidingWindow(events: DataFrame, duration: String = "1 hour",
+                    slide: String = "30 minutes"): DataFrame =
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(col("user_id"),
+        window(col("ts"), duration, slide).getField("start").as("w_start"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("user_id"), col("w_start"))
+
   /** get_latest_weather_data — DISTINCT ON (station_id) … ORDER BY
     * station_id, timestamp DESC (migrations/db.sql:79-90): newest row per
     * key, tie-broken by event_id. row_number over a keyed window = one

@@ -150,4 +150,33 @@ object TextAnalysis {
         col("avg_token_len"), col("quality_score"))
       .orderBy(col("doc_id"))
   }
+
+  // PII patterns, in application order (more-specific first so an SSN is
+  // not half-eaten by the phone pattern). Written in the regex subset
+  // that Java and RE2 interpret identically (no backrefs, no lookaround)
+  // so the DuckDB oracle runs the very same patterns.
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\\.[A-Za-z0-9.-]+", "<EMAIL>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
+    ("phone", "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b", "<PHONE>"))
+
+  /** PII redaction — the scrub stage every pretraining pipeline runs
+    * before text leaves the ingest boundary: emails, IPv4s, SSNs and
+    * phone numbers replaced by typed placeholder tokens, with per-class
+    * match counts for audit. Narrow and codegen'd (regexp_replace /
+    * regexp_count chains); patterns applied most-specific-first so
+    * overlapping classes resolve deterministically.
+    */
+  def piiRedact(documents: DataFrame): DataFrame = {
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$name")
+    }
+    val redacted = PiiPatterns.foldLeft(col("text")) {
+      case (c, (_, pat, tok)) => regexp_replace(c, pat, tok)
+    }
+    documents
+      .select(Seq(col("doc_id")) ++ counts :+ redacted.as("redacted_text"): _*)
+      .orderBy(col("doc_id"))
+  }
 }

@@ -10,16 +10,22 @@ import java.nio.charset.StandardCharsets
   * line is wrapped in [info] noise that breaks the driver's parser.
   *
   * Timing methodology: one untimed warmup execution per query, then the
-  * minimum of 3 timed executions. This VM shows one-off flukes of up to
-  * 36x on identical code (see BENCH_r1 vs r2), so min-of-N with a real
-  * warmup is the only way to report steady-state numbers.
+  * minimum of 5 timed executions, interleaved REP-MAJOR (rep 1 of every
+  * query, then rep 2 of every query, ...). This VM shows one-off flukes
+  * of up to 36x on identical code (see BENCH_r1 vs r2), and a single
+  * multi-minute host-contention window can span several MINUTES of wall
+  * clock: with reps taken back-to-back per query, one stall poisons
+  * every rep of a contiguous alphabetical block of queries (the
+  * BENCH_r04 artifact). Rep-major interleaving puts each query's N
+  * samples in N distinct time windows, so min-of-N survives any stall
+  * shorter than a full sweep.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -42,9 +48,15 @@ object Bench {
         -1.0
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      timeOnce(name, fn) // warmup, untimed
-      name -> (1 to math.max(1, reps)).map(_ => timeOnce(name, fn)).min
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    queries.foreach { case (name, fn) => timeOnce(name, fn) } // warmup sweep, untimed
+    // rep-major: sample r of every query before sample r+1 of any — each
+    // query's reps land in distinct time windows (see scaladoc)
+    val samples: Seq[Seq[Double]] =
+      (1 to math.max(1, reps)).map(_ => queries.map { case (n, f) => timeOnce(n, f) })
+    val results = queries.zipWithIndex.map { case ((name, _), i) =>
+      val s = samples.map(_(i))
+      name -> (if (s.exists(_ < 0)) -1.0 else s.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -330,7 +330,7 @@ object SparkEntry {
     "events_anomaly" ->
       """WITH s AS (SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
         |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
-        |  GROUP BY 1)
+        |  GROUP BY 1 HAVING stddev_samp(value) > 0)
         |SELECT event_id, user_id, event_type, value, z FROM (
         | SELECT e.event_id, e.user_id, e.event_type, e.value,
         |  round((e.value - s.m) / s.sd, 4) AS z

@@ -283,7 +283,11 @@ object Analytics {
       .groupBy(col("event_type"))
       .agg(avg(col("value")).as("__mean"), stddev_samp(col("value")).as("__std"))
     typed
-      .join(broadcast(stats), Seq("event_type"))
+      // sd=0 groups (all-identical values) have no meaningful z-score;
+      // filtering them explicitly also keeps engines agreeing — Spark's
+      // Divide yields NULL on /0 while IEEE-float engines yield NaN/inf,
+      // and NaN ordering differs across engines.
+      .join(broadcast(stats.filter(col("__std") > 0)), Seq("event_type"))
       .withColumn("z", round((col("value") - col("__mean")) / col("__std"), 4))
       .filter(abs(col("z")) >= threshold)
       .select(col("event_id"), col("user_id"), col("event_type"),

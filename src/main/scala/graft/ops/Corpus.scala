@@ -42,7 +42,6 @@ object Corpus {
         lower(trim(regexp_replace(scrubbed, "\\s+", " "))).as("norm_text"))
       .withColumn("norm_chars", length(col("norm_text")).cast("long"))
       .select(col("doc_id"), col("raw_chars"), col("norm_chars"), col("norm_text"))
-      .orderBy(col("doc_id"))
   }
 
   /** 0..255 content-hash bucket from the first two hex chars of
@@ -73,7 +72,6 @@ object Corpus {
         when(col("bucket") < 205, "train")
           .when(col("bucket") < 230, "val")
           .otherwise("test"))
-      .orderBy(col("doc_id"))
 
   /** Deterministic stratified sample: within each stratum (`lang`),
     * rank docs by a content hash and keep the top ceil(frac·n) — an
@@ -95,7 +93,6 @@ object Corpus {
       .withColumn("__n", count(lit(1)).over(w))
       .filter(col("rnk") <= ceil(lit(frac) * col("__n")))
       .select(col("doc_id"), col("lang"), col("rnk"))
-      .orderBy(col("doc_id"))
   }
 
   /** Corpus-wide top-k word bigrams — the vocabulary/statistics pass
@@ -149,7 +146,6 @@ object Corpus {
         (col("n_contaminated") / col("n_shingles") >= threshold).cast("boolean"))
       .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
         col("contamination_rate"), col("is_contaminated"))
-      .orderBy(col("doc_id"))
   }
 
   /** Near-dup CLUSTER assignment: connected components over the
@@ -196,6 +192,5 @@ object Corpus {
     labels
       .withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("boolean"))
       .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
-      .orderBy(col("doc_id"))
   }
 }

@@ -42,7 +42,6 @@ object Multimodal {
       length(col("blob")).cast("long").as("size_bytes"),
       substring(hex(col("blob")), 1, 8).as("magic_hex"),
       md5(col("blob")).as("content_md5"))
-      .orderBy(col("doc_id"))
 
   /** STUB decode kernel — deterministic fake in place of a codec call.
     * A real deployment swaps the body for e.g. an image library while
@@ -94,7 +93,6 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1, col("__stride")))
           .as("frame_idx"))
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
-      .orderBy(col("doc_id"), col("frame_idx"))
 
   /** Resize plan: integer-exact target dimensions with the long side
     * scaled to `maxDim`, aspect preserved (floor semantics on both
@@ -113,7 +111,6 @@ object Multimodal {
         col("height").cast("long").as("height"),
         floor(col("width") * maxDim / col("__long")).as("out_w"),
         floor(col("height") * maxDim / col("__long")).as("out_h"))
-      .orderBy(col("doc_id"))
 
   /** Feature pipeline as a DataFrame (driver-facing entry): decode then
     * derived columns (aspect ratio, frame-sampling stride).
@@ -124,5 +121,4 @@ object Multimodal {
       .withColumn("aspect_ratio", round(col("width").cast("double") / col("height"), 4))
       .withColumn("sample_stride", greatest(lit(1), (col("n_frames") / 8).cast("int")))
       .withColumn("mean_byte", round(col("mean_byte"), 4))
-      .orderBy(col("doc_id"))
 }

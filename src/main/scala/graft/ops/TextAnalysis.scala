@@ -33,7 +33,6 @@ object TextAnalysis {
           .cast("double") / size(col("__t")), 4).as("stopword_ratio"),
         round((length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
           .cast("double") / length(col("text")), 4).as("punct_ratio"))
-      .orderBy(col("doc_id"))
 
   /** Subword-ish tokenizer pattern: letter runs, digit runs, single
     * punctuation marks — the pre-tokenization split a BPE vocabulary is
@@ -61,7 +60,6 @@ object TextAnalysis {
       nBpe.as("n_bpe_tokens"),
       when(nWs === 0, lit(null).cast("double"))
         .otherwise(round(nBpe.cast("double") / nWs, 4)).as("tokens_per_word"))
-      .orderBy(col("doc_id"))
   }
 
   /** Marker-word language ID. Scores each candidate language by counting
@@ -95,7 +93,6 @@ object TextAnalysis {
           .otherwise("fr"))
       .select(col("doc_id"), col("lang").as("lang_label"), col("lang_guess"),
         col("s_en"), col("s_es"), col("s_de"), col("s_fr"))
-      .orderBy(col("doc_id"))
   }
 
   /** Content fingerprints: md5 of the normalized text (exact-dup key)
@@ -108,7 +105,6 @@ object TextAnalysis {
       md5(norm).as("fp_md5"),
       length(norm).cast("long").as("fp_len"),
       substring(norm, 1, 16).as("fp_head"))
-      .orderBy(col("doc_id"))
 
   /** Within-document repetition: the fraction of a doc's word 3-gram
     * occurrences that are repeats of an earlier shingle in the same doc
@@ -129,7 +125,6 @@ object TextAnalysis {
         when(col("n_shingles_total") === 0, lit(null).cast("double"))
           .otherwise(round(lit(1.0) -
             col("n_shingles_distinct").cast("double") / col("n_shingles_total"), 4)))
-      .orderBy(col("doc_id"))
   }
 
   /** Composite quality score: four independent indicators, 0.25 each.
@@ -148,7 +143,6 @@ object TextAnalysis {
       .filter(col("quality_score") >= minScore)
       .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"),
         col("avg_token_len"), col("quality_score"))
-      .orderBy(col("doc_id"))
   }
 
   // PII patterns, in application order (more-specific first so an SSN is
@@ -177,6 +171,5 @@ object TextAnalysis {
     }
     documents
       .select(Seq(col("doc_id")) ++ counts :+ redacted.as("redacted_text"): _*)
-      .orderBy(col("doc_id"))
   }
 }

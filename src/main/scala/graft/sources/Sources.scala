@@ -122,15 +122,22 @@ object Sources {
         val r = if (rel.isEmpty) s.getPath.getName else rel + "/" + s.getPath.getName
         leaves(s.getPath, depth - 1, r)
       }
+    // Hadoop FileSystem.rename signals most failures (dest exists,
+    // missing parent, object-store quirks) by returning FALSE, not by
+    // throwing — an unchecked false on the staged→live rename followed
+    // by the trash delete below would silently lose the displaced
+    // partition. Every rename must prove it succeeded before cleanup.
+    def renameOrDie(src: Path, dst: Path): Unit =
+      require(fs.rename(src, dst), s"rename $src -> $dst failed")
     leaves(staging, partitionCols.length, "").foreach { rel =>
       val live = new Path(hPath, rel)
       val saved = new Path(trash, rel)
       if (fs.exists(live)) {
         fs.mkdirs(saved.getParent)
-        fs.rename(live, saved)
+        renameOrDie(live, saved)
       }
       fs.mkdirs(live.getParent)
-      fs.rename(new Path(staging, rel), live)
+      renameOrDie(new Path(staging, rel), live)
     }
     // cleanup ONLY on success — on a mid-swap failure both the staged
     // output and the displaced originals survive for recovery

@@ -81,6 +81,15 @@ object EventStream {
         col("e.props").as("props"),
         col("__raw"))
 
+  /** Parsed-only projection of [[fromKafka]] — the default DAG input
+    * for any composition that persists the stream. `__raw` exists for
+    * the DLQ branch only; without this drop, a pass-through sink (e.g.
+    * validate → upsert) would write the full raw JSON into the table,
+    * doubling row width and changing the stored schema.
+    */
+  def fromKafkaParsed(raw: DataFrame): DataFrame =
+    fromKafka(raw).drop("__raw")
+
   /** Structural DLQ for the Kafka path: frames whose payload did not
     * parse (from_json yields a null struct → null event_id AND null ts)
     * re-emitted in the collector's {error, original_message, trace_id}
@@ -168,6 +177,10 @@ object EventStream {
   def upsertSink(spark: SparkSession, events: DataFrame, path: String,
                  checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     Ingest.validate(events)
+      // defense-in-depth: never let the Kafka DLQ payload column reach
+      // the stored table even if a caller wires fromKafka (not
+      // fromKafkaParsed) straight into the sink
+      .drop("__raw")
       .withColumn("ts", col("ts").cast("timestamp"))
       .withColumn("dt", to_date(col("ts")).cast("string"))
       .writeStream

@@ -32,6 +32,8 @@ object SparkEntry {
     // ── B. query service (SURVEY §2B) ──────────────────────────────────
     "raw_station" -> ((s, d) =>
       StationQueries.rawStation(Tables.events(s, d), RawUser, RawStart, RawEnd)),
+    "raw_station_all" -> ((s, d) =>
+      StationQueries.rawStationAll(Tables.events(s, d), RawUser)),
     "agg_station" -> ((s, d) =>
       StationQueries.aggStation(Tables.events(s, d), RawUser, RawStart, RawEnd)),
     "timeseries_bucket" -> ((s, d) =>
@@ -185,6 +187,9 @@ object SparkEntry {
     "raw_station" ->
       s"""SELECT * FROM events WHERE user_id = $RawUser
          | AND ts >= TIMESTAMP '$RawStart' AND ts <= TIMESTAMP '$RawEnd'
+         |ORDER BY ts DESC""".stripMargin,
+    "raw_station_all" ->
+      s"""SELECT * FROM events WHERE user_id = $RawUser
          |ORDER BY ts DESC""".stripMargin,
     "agg_station" ->
       s"""SELECT user_id, round(avg(value), 4) AS avg_value, min(value) AS min_value,

@@ -26,6 +26,31 @@ object StationQueries {
         col("ts") >= tsLit(start) && col("ts") <= tsLit(end))
       .orderBy(col("ts").desc)
 
+  /** The endpoint's DEFAULT form — start/end omitted: ALL rows for the
+    * station, newest first (query/main.py:180-212 appends the BETWEEN
+    * clause only when both bounds are given). Still a pruned point
+    * lookup at scale: the key predicate reaches the scan, and output
+    * size is one station's history, not the corpus.
+    */
+  def rawStationAll(events: DataFrame, userId: Long): DataFrame =
+    events
+      .filter(col("user_id") === userId)
+      .orderBy(col("ts").desc)
+
+  /** Partition-pruning bound for events stored date-partitioned
+    * (Sources.writePartitioned on `dt` = to_date(ts)): constrains the
+    * PARTITION column from the same literal bounds the endpoint
+    * receives, so the scan lists only in-range `dt=` directories — the
+    * Spark analog of the reference's TimescaleDB chunk exclusion
+    * (migrations/db.sql:5-22). Compose under [[rawStation]] /
+    * [[timeseriesStation]]; their `ts` predicates stay as row-level
+    * pushed filters within the surviving partitions. CI-locked in
+    * PartitionPruningSpec.
+    */
+  def dtBounded(events: DataFrame, start: String, end: String): DataFrame =
+    events.filter(
+      col("dt") >= to_date(tsLit(start)) && col("dt") <= to_date(tsLit(end)))
+
   /** GET /weather/aggregate/{station} — avg/min/max of the measurement
     * over a range (query/main.py:262-272). Averages rounded at the output
     * boundary (double-sum order nondeterminism).

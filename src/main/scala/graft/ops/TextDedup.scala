@@ -154,6 +154,50 @@ object TextDedup {
     DedupIndex(digests, buckets, sh, bands, rows)
   }
 
+  /** Persist a built [[DedupIndex]] as three parquet tables BUCKETED by
+    * their equi-join keys (digests by `__h1`, band buckets by `bucket`,
+    * shingle sets by `doc_id`) — the continuous-ingest layout SURVEY §4
+    * promises: each day's batch equi-joins the corpus-sized index with
+    * NO Exchange on the index side (the batch, the small side by
+    * nature, reshuffles to match — CI-locked in TextDedupSpec). Band
+    * geometry rides along in a one-row meta table so a query can never
+    * run with mismatched bands/rows. Mirrors the cell-partitioned IVF
+    * persistence (Similarity.writeIvfPartitioned).
+    *
+    * Bucketing metadata lives in the catalog, so tables are registered
+    * as `<tablePrefix>_digests/_buckets/_shingles` with files at
+    * `path`. Returns the LOADED index (reading from storage), like the
+    * IVF writer.
+    */
+  def writeDedupIndex(index: DedupIndex, tablePrefix: String, path: String,
+                      nBuckets: Int = 8): DedupIndex = {
+    val spark = index.digests.sparkSession
+    import graft.sources.Sources.writeBucketed
+    writeBucketed(index.digests, s"${tablePrefix}_digests", s"$path/digests",
+      "__h1", nBuckets)
+    writeBucketed(index.buckets, s"${tablePrefix}_buckets", s"$path/buckets",
+      "bucket", nBuckets)
+    writeBucketed(index.shingles, s"${tablePrefix}_shingles", s"$path/shingles",
+      "doc_id", nBuckets)
+    import spark.implicits._
+    Seq((index.bands, index.rows)).toDF("bands", "rows")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    loadDedupIndex(spark, tablePrefix, path)
+  }
+
+  /** Restore a persisted [[DedupIndex]]: bucketed reads via the catalog
+    * (so joins see the bucketing) and geometry from the meta table.
+    */
+  def loadDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                     tablePrefix: String, path: String): DedupIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    DedupIndex(
+      spark.table(s"${tablePrefix}_digests"),
+      spark.table(s"${tablePrefix}_buckets"),
+      spark.table(s"${tablePrefix}_shingles"),
+      meta.getAs[Int]("bands"), meta.getAs[Int]("rows"))
+  }
+
   /** Incremental dedup of a new batch AGAINST the accepted corpus — the
     * daily-crawl shape: (1) exact gate, an anti-join of batch content
     * digests against the index (digest-only shuffle, like [[exact]]);

@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.StationQueries
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+
+/** Time-axis partition pruning: events stored date-partitioned (the
+  * 100 TB layout from SURVEY §2B) must serve the station hot-path
+  * queries by LISTING only in-range `dt=` directories — the Spark
+  * analog of the reference's TimescaleDB chunk exclusion. Same proof
+  * pattern as the IVF cell-pruning spec: assert on the scan's
+  * PartitionFilters and on the actual file listing, not just on plan
+  * strings.
+  */
+class PartitionPruningSpec extends SparkSpec {
+
+  private val user = 7L
+  private val start = "2024-01-05 00:00:00"
+  private val end = "2024-01-08 00:00:00"
+
+  test("date-partitioned events prune the scan to in-range dt directories") {
+    val events = Tables.events(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_dt").toString
+    Sources.writePartitioned(
+      events.withColumn("dt", to_date(col("ts"))), dir, Seq("dt"))
+    val part = spark.read.parquet(dir)
+
+    // the partitioned read serves the same rows as the flat table
+    val viaPart = StationQueries.rawStation(
+      StationQueries.dtBounded(part, start, end), user, start, end)
+      .drop("dt").collect().map(_.toSeq).toSeq
+    val viaFlat = StationQueries.rawStation(events, user, start, end)
+      .collect().map(_.toSeq).toSeq
+    assert(viaPart === viaFlat && viaFlat.nonEmpty)
+
+    // the scan plans a partition-pruned read: dt bounds land in
+    // PartitionFilters and the file listing excludes out-of-range days
+    val bounded = StationQueries.dtBounded(part, start, end)
+      .filter(col("user_id") === user)
+    val scan = bounded.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.metadata("PartitionFilters").contains("dt"),
+      scan.metadata.mkString("\n"))
+    // user_id stays a row-level pushed filter, not a partition filter
+    assert(scan.metadata("PushedFilters").contains("user_id"),
+      scan.metadata.mkString("\n"))
+    val files = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .flatMap(_.files).map(_.getPath.toString)
+    val allDays = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("dt="))
+    val keptDays = files.flatMap(_.split("/").find(_.startsWith("dt="))).distinct
+    assert(files.nonEmpty && allDays > keptDays.size,
+      s"expected pruning: $allDays days total, kept ${keptDays.size}")
+    assert(keptDays.forall { d =>
+      val day = d.stripPrefix("dt=")
+      day >= "2024-01-05" && day <= "2024-01-08"
+    }, keptDays.mkString(", "))
+  }
+}

@@ -82,4 +82,51 @@ class TextDedupSpec extends SparkSpec {
       s"extra=${survived -- expect} missing=${expect -- survived}")
     assert(survived.nonEmpty && survived.size < batchIds.size)
   }
+
+  test("persisted dedup index: same survivors, no Exchange on the index side") {
+    val all = Tables.documents(spark, sfDir)
+    val corpus = all.filter(col("doc_id") % 5 =!= 4)
+    val batch = all.filter(col("doc_id") % 5 === 4)
+    val built = TextDedup.buildDedupIndex(corpus)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+    val loaded = TextDedup.writeDedupIndex(built, "dedup_idx_spec", dir)
+    try {
+      // geometry survives the round trip
+      assert(loaded.bands === built.bands && loaded.rows === built.rows)
+      // identical survivors from the in-memory and the persisted index
+      val a = TextDedup.dedupIncremental(built, batch)
+        .select("doc_id").as[Long].collect().toSet
+      val b = TextDedup.dedupIncremental(loaded, batch)
+        .select("doc_id").as[Long].collect().toSet
+      assert(a === b && a.nonEmpty)
+      // the near-dup candidate join (batch band buckets vs corpus-sized
+      // index buckets): with broadcast off, the ONLY shuffle is the
+      // batch side re-clustering to the index's bucketing — the index
+      // (the 100 TB side) is read pre-shuffled from its buckets
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val newBuckets = batch
+          .withColumn("shingles", Hashes.shingleHashes(
+            split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "), 3))
+          .filter(size(col("shingles")) > 0)
+          .withColumn("minhash", Hashes.minhashSig(col("shingles"),
+            loaded.bands * loaded.rows))
+          .select(col("doc_id").as("new_id"),
+            explode(Hashes.bandKeys(col("minhash"), loaded.bands, loaded.rows))
+              .as("bucket"))
+        val cand = newBuckets
+          .join(loaded.buckets.withColumnRenamed("doc_id", "old_id"), Seq("bucket"))
+        cand.count()
+        val plan = cand.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), plan.take(1000))
+        assert("Exchange".r.findAllIn(plan).size === 1,
+          s"expected exactly one Exchange (batch side only): ${plan.take(1200)}")
+        assert(plan.contains("Bucketed: true"), plan.take(1200))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      Seq("digests", "buckets", "shingles").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS dedup_idx_spec_$t"))
+    }
+  }
 }

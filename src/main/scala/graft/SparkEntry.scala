@@ -68,6 +68,8 @@ object SparkEntry {
     "events_profile" -> ((s, d) => Analytics.eventsProfile(Tables.events(s, d))),
     "events_profile_approx" -> ((s, d) => Analytics.eventsProfileApprox(Tables.events(s, d))),
     "events_anomaly" -> ((s, d) => Analytics.anomalyZScore(Tables.events(s, d))),
+    "events_funnel" -> ((s, d) => Analytics.funnel(Tables.events(s, d))),
+    "retention_cohorts" -> ((s, d) => Analytics.retentionCohorts(Tables.events(s, d))),
     // ── D. LLM-training-data pipeline (SURVEY §2D) ─────────────────────
     "dedup_exact" -> ((s, d) => TextDedup.exact(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => TextDedup.ngramJaccard(Tables.documents(s, d))),
@@ -86,6 +88,7 @@ object SparkEntry {
     "knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d))),
     "knn_lsh" -> ((s, d) => Similarity.knnLsh(Tables.embeddings(s, d))),
     "knn_ivf" -> ((s, d) => Similarity.knnIvf(Tables.embeddings(s, d))),
+    "knn_ivf_sq8" -> ((s, d) => Similarity.knnIvfSq8(Tables.embeddings(s, d))),
     "corpus_curation" -> ((s, d) => Curation.curate(Tables.documents(s, d))),
     "corpus_curation_cc" -> ((s, d) => Curation.curateClustered(Tables.documents(s, d))),
     "text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
@@ -97,6 +100,7 @@ object SparkEntry {
     "split_assign" -> ((s, d) => Corpus.splitAssign(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => Corpus.sampleStratified(Tables.documents(s, d))),
     "ngram_topk" -> ((s, d) => Corpus.ngramTopK(Tables.documents(s, d))),
+    "tfidf_topterms" -> ((s, d) => Corpus.tfidfTopTerms(Tables.documents(s, d))),
     "contamination_check" -> ((s, d) => Corpus.contamination(Tables.documents(s, d))),
     "dedup_clusters" -> ((s, d) => Corpus.nearDupClusters(Tables.documents(s, d))),
     "doc_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
@@ -342,6 +346,30 @@ object SparkEntry {
         | FROM events e JOIN s USING (event_type)
         | WHERE e.value IS NOT NULL) t
         |WHERE abs(z) >= 2.5 ORDER BY event_id""".stripMargin,
+    "events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |   WHERE event_type = 'view' AND user_id IS NOT NULL AND ts IS NOT NULL
+        |   GROUP BY 1),
+        | s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |   JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |   WHERE e.event_type = 'click' GROUP BY 1),
+        | s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |   JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |   WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(1 AS INTEGER) AS step, 'view' AS event_type,
+        |  (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT CAST(2 AS INTEGER), 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY step""".stripMargin,
+    "retention_cohorts" ->
+      """WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |   FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+        | act AS (SELECT DISTINCT e.user_id, f.cohort_week,
+        |   CAST(floor(date_diff('day', f.cohort_week, CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS week_offset
+        |  FROM events e JOIN f ON e.user_id = f.user_id
+        |  WHERE e.ts IS NOT NULL)
+        |SELECT cohort_week, week_offset, count(*) AS n_users
+        |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_profile" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
         | round(quantile_cont(value, 0.5), 4) AS p50,
@@ -526,6 +554,22 @@ object SparkEntry {
          |   i -> ws[i] || ' ' || ws[i+1])) AS bigram FROM w)
          |SELECT bigram, count(*) AS n FROM b
          |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "tfidf_topterms" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter($wsSql, x -> x != '')) AS term
+         |  FROM documents),
+         | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         | n AS (SELECT count(*) AS n_docs FROM documents),
+         | scored AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |   round(tf.tf * (ln((n.n_docs + 1) * 1.0 / (df.df + 1)) + 1.0), 4) AS tfidf
+         |  FROM tf JOIN df USING (term) CROSS JOIN n)
+         |SELECT doc_id, term, tf, df, tfidf, rnk FROM (
+         | SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |   ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
+         | FROM scored) t
+         |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
     "contamination_check" ->
       s"""WITH sh AS ($shingleSubSql),
          | bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),

@@ -294,4 +294,61 @@ object Analytics {
         col("value"), col("z"))
       .orderBy(col("event_id"))
   }
+
+  /** Ordered funnel conversion — how many users progress through the
+    * step sequence IN ORDER (each step strictly after the previous
+    * step's first completion). The product-analytics staple the
+    * reference's event store exists to feed.
+    *
+    * Scale: one keyed aggregation per step, all on `user_id` — the
+    * frontier frame shrinks monotonically (survivors only) and carries
+    * just (user_id, ts): at 100 TB each step joins the full corpus
+    * against an ever-smaller id frame, never corpus×corpus, and every
+    * shuffle reuses the same key.
+    */
+  def funnel(events: DataFrame,
+             steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val typed = events.filter(col("user_id").isNotNull && col("ts").isNotNull)
+    var frontier = typed.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("__t"))
+    val counts = scala.collection.mutable.ArrayBuffer[DataFrame](
+      frontier.agg(count(lit(1)).as("n_users"))
+        .select(lit(1).cast("int").as("step"),
+          lit(steps.head).as("event_type"), col("n_users")))
+    steps.tail.zipWithIndex.foreach { case (s, i) =>
+      frontier = typed.filter(col("event_type") === s)
+        .join(frontier, Seq("user_id"))
+        .filter(col("ts") > col("__t"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("__t"))
+      counts += frontier.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 2).cast("int").as("step"),
+          lit(s).as("event_type"), col("n_users"))
+    }
+    counts.reduce(_ unionByName _).orderBy(col("step"))
+  }
+
+  /** Weekly cohort retention: users grouped by the ISO week of their
+    * first event; n_users = distinct users from that cohort active in
+    * each later week (offset in whole weeks from the cohort's Monday).
+    * Both engines truncate weeks to Monday and the offset is integer
+    * date arithmetic, so the table is engine-exact.
+    *
+    * Scale: one aggregation to find first events, one equi-join back
+    * on `user_id` (same partitioning reused), one distinct + count —
+    * all narrow columns; the events payload never re-shuffles.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val typed = events.filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val firsts = typed.groupBy(col("user_id"))
+      .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+    typed
+      .join(firsts, Seq("user_id"))
+      .select(col("user_id"), col("cohort_week"),
+        floor(datediff(to_date(col("ts")), col("cohort_week")) / 7)
+          .cast("long").as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
 }

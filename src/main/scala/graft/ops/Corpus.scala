@@ -117,6 +117,36 @@ object Corpus {
       .limit(k)
   }
 
+  /** Per-doc top-k terms by tf-idf — the keyword/topic-signal pass a
+    * curation pipeline runs for corpus exploration and domain
+    * weighting. Standard smoothed idf = ln((N+1)/(df+1)) + 1 (never
+    * zero, never divides by zero). Two shuffles total: tf groups on
+    * (doc_id, term), df groups on term; the doc count joins in as a
+    * broadcast scalar, never a driver-side collect. Ranking uses the
+    * ROUNDED score with a term tie-break so ordering is
+    * engine-deterministic (same discipline as the knn rankings).
+    */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 5): DataFrame = {
+    val words = filter(split(normText, " "), w => w =!= "")
+    val tf = documents
+      .select(col("doc_id"), explode(words).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("__n"))
+    tf
+      .join(df_, Seq("term"))
+      .join(broadcast(nDocs))
+      .withColumn("tfidf", round(
+        col("tf") * (log((col("__n") + 1).cast("double") / (col("df") + 1)) + 1.0), 4))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rnk"))
+  }
+
   /** Benchmark-contamination check: the fraction of each corpus doc's
     * distinct 3-word shingles that also appear in a benchmark set
     * (here: every 20th doc stands in for the eval suite). The

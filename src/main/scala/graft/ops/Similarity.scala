@@ -240,6 +240,28 @@ object Similarity {
     queryIvf(index, queries, k, nProbe, excludeSelf = true)
   }
 
+  /** IVF-SQ8: the IVF cell layout SERVED FROM int8 codes — the
+    * billion-vector configuration where the stored corpus is the
+    * quantized form ([[quantizeInt8]]: 4× smaller than float32) and
+    * only the query batch carries floats. Each probe therefore reads
+    * 1/4 the bytes of float IVF on top of the nProbe/nCells partition
+    * pruning; scoring runs on the dequantized codes (codes × scale),
+    * whose recall the embed_quantize spec already bounds (and the
+    * IvfSq8 spec re-asserts end-to-end ≥ 0.8 @5 vs brute force).
+    * Build once / query many, same as [[buildIvf]]/[[queryIvf]].
+    */
+  def knnIvfSq8(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+                nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val deq = quantizeInt8(embeddings)
+      .select(col("vec_id"),
+        expr("transform(codes, c -> c * scale)").as("embedding"))
+    val index = buildIvf(deq, nCells)
+    // queries keep full float precision — only the CORPUS is quantized
+    val queries = prepared(embeddings).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn2"))
+    queryIvf(index, queries, k, nProbe, excludeSelf = true)
+  }
+
   /** Random-hyperplane LSH ANN — the scale path. bands×bitsPerBand
     * pseudo-random hyperplanes (deterministic ±1 entries from xxhash64
     * parity of (dimension, plane)); per band, the sign pattern forms a

@@ -136,6 +136,19 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "ts")
 
+  /** Stream-static enrichment: each micro-batch joins a STATIC
+    * dimension frame on `joinCol` — the standard lookup-table pattern
+    * (station metadata, user attributes). The dim side is broadcast
+    * per micro-batch, so the stream never shuffles and late dimension
+    * updates are picked up on the next batch re-read when the dim is a
+    * table-backed frame. Left join: an event with no dimension row
+    * flows through with nulls rather than silently dropping (DLQ-style
+    * routing on the null columns stays composable downstream).
+    */
+  def enriched(events: DataFrame, dim: DataFrame,
+               joinCol: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(joinCol), "left")
+
   /** Hourly windowed aggregation per event_type — the streaming form of
     * the timeseries_bucket query. Append mode: a bucket emits once its
     * watermark passes.

@@ -101,4 +101,43 @@ class AnalyticsSpec extends SparkSpec {
     assert(chk === 0)
     latest.unpersist()
   }
+
+  test("funnel counts only users whose steps occur strictly in order") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1 completes the whole funnel in order
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 11:00:00", "click"),
+      (1L, "2024-01-01 12:00:00", "purchase"),
+      // u2 skips click: purchase without a prior click must not count
+      (2L, "2024-01-02 10:00:00", "view"),
+      (2L, "2024-01-02 11:00:00", "purchase"),
+      // u3 clicks BEFORE viewing: ordering matters
+      (3L, "2024-01-03 09:00:00", "click"),
+      (3L, "2024-01-03 10:00:00", "view"))
+      .toDF("user_id", "ts", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val out = graft.ops.Analytics.funnel(ev)
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(out === Array((1, "view", 3L), (2, "click", 1L), (3, "purchase", 1L)))
+  }
+
+  test("retention cohorts count distinct users per (cohort week, offset)") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: first event Mon Jan 1 (week 0), active again in week 2
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-16 10:00:00", "click"),
+      // u2: same cohort week, active only in week 0
+      (2L, "2024-01-03 10:00:00", "view"),
+      (2L, "2024-01-04 10:00:00", "view"))
+      .toDF("user_id", "ts", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val out = graft.ops.Analytics.retentionCohorts(ev)
+      .select(col("cohort_week").cast("string"), col("week_offset"), col("n_users"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(out === Set(
+      ("2024-01-01", 0L, 2L),   // both users active in their first week
+      ("2024-01-01", 2L, 1L)))  // only u1 returns two weeks later
+  }
 }

@@ -66,6 +66,24 @@ class CorpusSpec extends SparkSpec {
     assert(top.forall(_._1.split(" ").length === 2))
   }
 
+  test("tfidf ranks rare terms above common ones, k rows max per doc") {
+    val d = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry durian cherry cherry")).toDF("doc_id", "text")
+    val out = Corpus.tfidfTopTerms(d, k = 2)
+      .select("doc_id", "term", "rnk").as[(Long, String, Long)].collect()
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2)).toMap
+    // per-doc output is capped at k and ranks are 1..n
+    assert(out.groupBy(_._1).values.forall(_.length <= 2))
+    // doc 1: apple (tf=2, df=1) beats banana (tf=1, df=2)
+    assert(byDoc(1L).head === "apple")
+    // doc 3: cherry's tf=3 overcomes its common-ness vs durian (tf=1, rare)
+    assert(byDoc(3L).head === "cherry")
+    // doc 2: equal tf and df → deterministic term tie-break
+    assert(byDoc(2L) === Seq("banana", "cherry"))
+  }
+
   test("contamination flags a doc duplicated into the benchmark set") {
     val out = Corpus.contamination(docs).cache()
     // benchmark docs themselves are excluded from the report

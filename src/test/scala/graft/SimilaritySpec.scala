@@ -173,4 +173,31 @@ class SimilaritySpec extends SparkSpec {
     // operator contract is "bucketed candidates, exact rerank".
     assert(mean > 0.2, s"mean LSH recall $mean too low")
   }
+
+  test("IVF-SQ8 (codes-served cells) loses no recall vs float IVF") {
+    val e = Tables.embeddings(spark, sfDir)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val exact = Similarity.knnBruteForce(e)
+        .as[(Long, Long, Double, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val got = df.as[(Long, Long, Double, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = exact.map { case (q, nbrs) =>
+        got.get(q).map(a => (a intersect nbrs).size.toDouble / nbrs.size).getOrElse(0.0)
+      }
+      rs.sum / rs.size
+    }
+    // the claim under test: serving from int8 codes costs (almost) no
+    // recall ON TOP of IVF probing — probing loss itself is a tuning
+    // choice (nProbe/nCells) already visible in the float path on this
+    // deliberately fragmented tiny-corpus geometry (500 vecs, 16 cells)
+    val floatIvf = recallOf(Similarity.knnIvf(e))
+    val sq8Ivf = recallOf(Similarity.knnIvfSq8(e))
+    assert(sq8Ivf >= floatIvf - 0.05, s"sq8 $sq8Ivf vs float $floatIvf")
+    assert(sq8Ivf > 0.5, s"IVF-SQ8 recall $sq8Ivf")
+    // and with every cell probed, the int8 step alone keeps ≥0.8 —
+    // consistent with the quantized-code spec above
+    val full = recallOf(Similarity.knnIvfSq8(e, nProbe = 16))
+    assert(full >= 0.8, s"full-probe IVF-SQ8 recall $full")
+  }
 }

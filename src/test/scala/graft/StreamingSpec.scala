@@ -36,6 +36,25 @@ class StreamingSpec extends SparkSpec {
     assert(g.size >= e.size - 25, s"too few windows emitted: ${g.size} vs ${e.size}")
   }
 
+  test("stream-static enrichment joins dimension values into each batch") {
+    import spark.implicits._
+    val dim = Tables.events(spark, sfDir).select("user_id").distinct()
+      .withColumn("segment",
+        when(col("user_id") % 2 === 0, "even").otherwise("odd"))
+    val q = EventStream.enriched(EventStream.source(spark, stagedDir), dim)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .select("user_id", "segment").as[(Long, String)].collect()
+      assert(got.nonEmpty)
+      // every event carried its dimension value (left join, full dim)
+      assert(got.forall { case (u, s) =>
+        s === (if (u % 2 == 0) "even" else "odd") })
+    } finally q.stop()
+  }
+
   test("stateful latest-per-key stream matches the batch latest-per-key") {
     import spark.implicits._
     val got = {

@@ -145,6 +145,66 @@ object Sources {
     fs.delete(trash, true)
   }
 
+  /** Small-file compaction for a partitioned parquet table — the
+    * maintenance pass every continuously-ingested table needs: each
+    * micro-batch/upsert leaves per-partition file fragments, and at
+    * 100 TB a scan's task count (and the namenode/liststatus load) is
+    * driven by FILE count, not byte count. Rewrites each partition into
+    * ~ceil(partitionBytes / targetBytes) files.
+    *
+    * Mechanics: partition byte sizes come from a driver-side METADATA
+    * listing (one listStatus walk — no data movement); each row then
+    * gets a deterministic output-file slot `pmod(xxhash64(keys...),
+    * nFiles(partition))` joined in from the broadcast-sized size map,
+    * and one repartition on (partitionCols, slot) co-locates every
+    * slot's rows so the writer emits one file per slot per partition
+    * dir. Data is only read and written ONCE, shuffled on exactly the
+    * layout being produced. Output goes to `destPath`; swap-in follows
+    * the [[upsertPartitionedKeepLast]] staging protocol (or a
+    * transactional format's rewrite commit at 100 TB).
+    *
+    * Partition values are joined back by their directory string form
+    * (`k=v`); values needing URL-escaping (rare for date/hour-style
+    * partition keys) are out of scope here.
+    */
+  def compactPartitions(spark: SparkSession, srcPath: String, destPath: String,
+                        partitionCols: Seq[String],
+                        targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    import org.apache.hadoop.fs.Path
+    val hPath = new Path(srcPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leafSizes(p: Path, depth: Int, rel: String): Seq[(String, Long)] =
+      if (depth == 0)
+        Seq(rel -> fs.listStatus(p).filter(_.isFile).map(_.getLen).sum)
+      else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { s =>
+        val r = if (rel.isEmpty) s.getPath.getName else rel + "/" + s.getPath.getName
+        leafSizes(s.getPath, depth - 1, r)
+      }
+    import spark.implicits._
+    val sizes = leafSizes(hPath, partitionCols.length, "")
+      .map { case (rel, bytes) =>
+        (rel, math.max(1L, (bytes + targetBytes - 1) / targetBytes)) }
+      .toDF("__rel", "__n_files")
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prevInfer = spark.conf.get(inferKey)
+    spark.conf.set(inferKey, "false")
+    val df =
+      try spark.read.parquet(srcPath)
+      finally spark.conf.set(inferKey, prevInfer)
+    val relExpr = concat_ws("/",
+      partitionCols.map(c => concat(lit(c + "="), col(c).cast("string"))): _*)
+    val dataCols = df.columns.filterNot(partitionCols.contains)
+    val slotted = df
+      .withColumn("__rel", relExpr)
+      .join(broadcast(sizes), Seq("__rel"))
+      .withColumn("__slot",
+        pmod(xxhash64(dataCols.map(col): _*), col("__n_files")))
+    slotted
+      .repartition((partitionCols :+ "__slot").map(col): _*)
+      .drop("__rel", "__n_files", "__slot")
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(destPath)
+  }
+
   /** Bucketed external table — pre-shuffled storage so repeated joins
     * and aggregations on the bucket key run with NO exchange at read
     * time. This is the 100 TB answer to "the same big join every day":

@@ -57,4 +57,26 @@ class PartitionPruningSpec extends SparkSpec {
       day >= "2024-01-05" && day <= "2024-01-08"
     }, keptDays.mkString(", "))
   }
+
+  test("compaction bin-packs partition fragments without changing the data") {
+    val events = Tables.events(spark, sfDir).withColumn("dt", to_date(col("ts")))
+    val src = java.nio.file.Files.createTempDirectory("graft_frag").toString
+    val dest = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // fragment: 4 writer tasks per partition dir
+    events.repartition(4).write.mode("overwrite").partitionBy("dt").parquet(src)
+    def filesPerDay(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("dt=")).map(d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val before = filesPerDay(src)
+    assert(before.values.max >= 4, before.toString)
+    Sources.compactPartitions(spark, src, dest, Seq("dt"))
+    val after = filesPerDay(dest)
+    // huge default target vs tiny partitions → one file per partition
+    assert(after.keySet === before.keySet)
+    assert(after.values.forall(_ === 1), after.toString)
+    // byte-identical row set (dt comes back as string partition value)
+    val a = spark.read.parquet(src).drop("dt")
+    val b = spark.read.parquet(dest).drop("dt")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }

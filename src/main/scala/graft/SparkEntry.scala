@@ -62,6 +62,8 @@ object SparkEntry {
     "events_sessionize_native" -> ((s, d) => Analytics.sessionizeNative(Tables.events(s, d))),
     "rollup_events" -> ((s, d) => Analytics.rollupEvents(Tables.events(s, d))),
     "asof_join" -> ((s, d) => AsofJoin.purchaseSignupAsof(Tables.events(s, d))),
+    "asof_join_forward" -> ((s, d) => AsofJoin.purchaseSignupAsofForward(Tables.events(s, d))),
+    "asof_join_tolerance" -> ((s, d) => AsofJoin.purchaseSignupAsofTolerance(Tables.events(s, d))),
     "pivot_events" -> ((s, d) => Analytics.pivotEvents(Tables.events(s, d))),
     "cube_events" -> ((s, d) => Analytics.cubeEvents(Tables.events(s, d))),
     "range_join" -> ((s, d) => Analytics.rangeJoinActivity(Tables.events(s, d))),
@@ -308,6 +310,34 @@ object SparkEntry {
         |    AND user_id IS NOT NULL AND ts IS NOT NULL) t WHERE rn = 1) r
         | ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    "asof_join_forward" ->
+      """SELECT l.event_id, l.ts, l.user_id, l.event_type, l.value, l.props,
+        | r.ts AS asof_ts, r.value AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (
+        |  SELECT * FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |     ORDER BY event_id DESC) AS rn
+        |   FROM events WHERE event_type = 'signup'
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL) t WHERE rn = 1) r
+        | ON l.user_id = r.user_id AND l.ts <= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "asof_join_tolerance" ->
+      """SELECT event_id, ts, user_id, event_type, value, props,
+        | CASE WHEN asof_ts >= ts - INTERVAL '2 days' THEN asof_ts END AS asof_ts,
+        | CASE WHEN asof_ts >= ts - INTERVAL '2 days' THEN asof_value END AS asof_value
+        |FROM (
+        | SELECT l.event_id, l.ts, l.user_id, l.event_type, l.value, l.props,
+        |  r.ts AS asof_ts, r.value AS asof_value
+        | FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        | ASOF LEFT JOIN (
+        |   SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'signup'
+        |     AND user_id IS NOT NULL AND ts IS NOT NULL) t WHERE rn = 1) r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts) x
+        |ORDER BY event_id""".stripMargin,
     "range_join" ->
       """WITH hours AS (
         |  SELECT date_trunc('hour', ts) AS h, count(*) AS n FROM events GROUP BY 1),

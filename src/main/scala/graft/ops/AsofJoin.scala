@@ -32,9 +32,21 @@ object AsofJoin {
     * @param ts        event-time column name (present on both sides)
     * @param payload   right-side columns to carry (renamed asof_<name>)
     * @param tieBreak  right-side arrival-order column for keep-last
+    * @param direction "backward" (default): most recent right row at or
+    *                  before left.ts — or "forward": earliest right row
+    *                  at or after it (pandas merge_asof's direction).
+    *                  Same single-shuffle union+window plan either way;
+    *                  only the window's sort order flips.
+    * @param tolerance optional max |left.ts - right.ts| as an interval
+    *                  literal (e.g. "2 days"): matches further away are
+    *                  nulled, mirroring merge_asof's tolerance. Applied
+    *                  after the carry — no extra shuffle.
     */
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
-           payload: Seq[String], tieBreak: Option[String] = None): DataFrame = {
+           payload: Seq[String], tieBreak: Option[String] = None,
+           direction: String = "backward",
+           tolerance: Option[String] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward", direction)
     val leftCols = left.columns.toSeq
     val rBase = right.filter(col(key).isNotNull && col(ts).isNotNull)
     val rDeduped = tieBreak match {
@@ -59,14 +71,29 @@ object AsofJoin {
     val unioned = lAligned
       .select((leftCols.map(col) :+ col("__tag")) ++ payload.map(c => col(s"__p_$c")): _*)
       .unionByName(rAligned)
+    // backward scans time ascending carrying the last right row seen;
+    // forward scans descending carrying the NEXT right row back. In
+    // both orders __tag asc puts the right row first at equal ts, so an
+    // exactly-simultaneous reference row is visible to the left row.
+    val tsOrder = if (direction == "backward") col(ts).asc else col(ts).desc
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__tag"))
+      .orderBy(tsOrder, col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payload.foldLeft(unioned)((d, c) =>
       d.withColumn(s"asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w)))
       .withColumn(s"asof_$ts",
         last(when(col("__tag") === 0, col(ts)), ignoreNulls = true).over(w))
-    carried
+    val withinTol = tolerance match {
+      case None => lit(true)
+      case Some(t) =>
+        val iv = expr(s"interval $t")
+        if (direction == "backward") col(s"asof_$ts") >= col(ts) - iv
+        else col(s"asof_$ts") <= col(ts) + iv
+    }
+    val tolApplied = (payload.map(c => s"asof_$c") :+ s"asof_$ts")
+      .foldLeft(carried)((d, c) =>
+        d.withColumn(c, when(withinTol, col(c))))
+    tolApplied
       .filter(col("__tag") === 1)
       .select((leftCols.map(col) :+ col(s"asof_$ts")) ++ payload.map(c => col(s"asof_$c")): _*)
   }
@@ -80,5 +107,30 @@ object AsofJoin {
       events.filter(col("event_type") === "signup"),
       key = "user_id", ts = "ts", payload = Seq("value"),
       tieBreak = Some("event_id"))
+      .orderBy(col("event_id"))
+
+  /** Forward variant: each purchase annotated with the user's NEXT
+    * signup value at-or-after the purchase time (merge_asof
+    * direction="forward").
+    */
+  def purchaseSignupAsofForward(events: DataFrame): DataFrame =
+    asof(
+      events.filter(col("event_type") === "purchase"),
+      events.filter(col("event_type") === "signup"),
+      key = "user_id", ts = "ts", payload = Seq("value"),
+      tieBreak = Some("event_id"), direction = "forward")
+      .orderBy(col("event_id"))
+
+  /** Tolerance variant: the backward match only counts if the signup is
+    * within `tol` of the purchase (merge_asof tolerance) — stale
+    * reference rows null out instead of silently matching.
+    */
+  def purchaseSignupAsofTolerance(events: DataFrame,
+                                  tol: String = "2 days"): DataFrame =
+    asof(
+      events.filter(col("event_type") === "purchase"),
+      events.filter(col("event_type") === "signup"),
+      key = "user_id", ts = "ts", payload = Seq("value"),
+      tieBreak = Some("event_id"), tolerance = Some(tol))
       .orderBy(col("event_id"))
 }

@@ -187,6 +187,35 @@ object Similarity {
     IvfIndex(centroids, assigned)
   }
 
+  /** Nearest-centroid cell assignment with FIXED centroids — the same
+    * L2 argmin KMeans.transform computes (ties to the lowest cell id,
+    * matching KMeans's first-minimum rule; spec-proven identical over
+    * the corpus). One narrow pass: centroids broadcast, no shuffle of
+    * the vectors beyond the per-vector argmin window.
+    */
+  private def assignCells(centroids: DataFrame, base: DataFrame): DataFrame =
+    base.crossJoin(broadcast(centroids))
+      .withColumn("__d2", VectorOps.vecNorm2(zip_with(col("v"), col("centroid"),
+        (a: Column, b: Column) => a - b)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("__d2"), col("cell"))))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("v"), col("norm2"), col("cell"))
+
+  /** Incremental index growth — the continuous-ingest shape for ANN,
+    * symmetric to dedup_incremental: a new embedding batch is assigned
+    * to the EXISTING coarse quantizer (centroids are fixed model
+    * metadata — no refit, no touch of the stored corpus) and appended.
+    * At 100 TB this is an append of new files into the affected `cell=`
+    * partitions of the [[writeIvfPartitioned]] layout; periodic refit
+    * is an offline rebuild, exactly like re-training any index. Cost
+    * scales with the batch, never the corpus.
+    */
+  def appendToIvf(index: IvfIndex, newEmbeddings: DataFrame): IvfIndex =
+    IvfIndex(index.centroids,
+      index.assigned.unionByName(
+        assignCells(index.centroids, prepared(newEmbeddings))))
+
   /** Persist a built IVF index cell-partitioned — the billion-vector
     * layout: probing nProbe of nCells reads ONLY those cells' files
     * (partition pruning), so query I/O is nProbe/nCells of the corpus.

@@ -81,6 +81,24 @@ object EventStream {
         col("e.props").as("props"),
         col("__raw"))
 
+  /** Producer-side projection — the inverse of [[fromKafka]]: events
+    * serialized to the collector's one-JSON-message-per-record topic
+    * shape (collector/main.py:129-131), key = user_id so a key-
+    * partitioned topic keeps per-user order (what the watermarked
+    * dedup and sessionization downstream rely on). Attach
+    * `.writeStream.format("kafka")` (broker deployment) or any test
+    * sink; spec proves fromKafka ∘ toKafka is the identity on valid
+    * events.
+    */
+  def toKafka(events: DataFrame): DataFrame =
+    events.select(
+      col("user_id").cast("string").cast("binary").as("key"),
+      to_json(struct(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props")))
+        .cast("binary").as("value"))
+
   /** Parsed-only projection of [[fromKafka]] — the default DAG input
     * for any composition that persists the stream. `__raw` exists for
     * the DLQ branch only; without this drop, a pass-through sink (e.g.

@@ -45,6 +45,34 @@ class AsofJoinSpec extends SparkSpec {
     assert(out === Map(3L -> Some(150.0), 5L -> None))
   }
 
+  test("forward asof picks the earliest right row at or after each left ts") {
+    val e = ev(
+      (1L, "2024-01-01 09:00:00", 1L, "signup", 100.0),
+      (2L, "2024-01-01 10:00:00", 1L, "purchase", 5.0),   // → next signup 200.0
+      (3L, "2024-01-01 11:00:00", 1L, "signup", 200.0),
+      (4L, "2024-01-01 11:00:00", 1L, "purchase", 6.0),   // simultaneous → 200.0
+      (5L, "2024-01-01 12:00:00", 1L, "purchase", 7.0),   // nothing after → null
+      (6L, "2024-01-01 08:00:00", 2L, "purchase", 8.0)    // user 2 has no signup → null
+    )
+    val out = AsofJoin.purchaseSignupAsofForward(e)
+      .select("event_id", "asof_value").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out === Map(
+      2L -> Some(200.0), 4L -> Some(200.0), 5L -> None, 6L -> None))
+  }
+
+  test("tolerance nulls matches farther away than the interval") {
+    val e = ev(
+      (1L, "2024-01-01 09:00:00", 1L, "signup", 100.0),
+      (2L, "2024-01-01 10:00:00", 1L, "purchase", 5.0),   // 1h old → kept
+      (3L, "2024-01-05 10:00:00", 1L, "purchase", 6.0))   // 4d old → nulled at 2d tol
+    val out = AsofJoin.purchaseSignupAsofTolerance(e)
+      .select("event_id", "asof_value", "asof_ts").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out(2L)._1 === Some(100.0))
+    assert(out(3L) === (None, None)) // both payload AND matched ts null out
+  }
+
   test("asof on real events: every non-null match is the max signup ts <= purchase ts") {
     val e = Tables.events(spark, sfDir)
     val out = AsofJoin.purchaseSignupAsof(e).filter(col("asof_ts").isNotNull)

@@ -98,4 +98,36 @@ class PropertySpec extends SparkSpec {
       assert(h1.toSeq === h2.toSeq)
     }
   }
+
+  test("funnel step counts are monotonically non-increasing (5 datasets)") {
+    (1 to 5).foreach { trial =>
+      val ev = toDf(samples(eventGen, 300, 41L * trial))
+      val steps = graft.ops.Analytics.funnel(ev)
+        .select("step", "n_users").as[(Int, Long)].collect().sortBy(_._1)
+      assert(steps.map(_._1).toSeq === Seq(1, 2, 3))
+      // a user must complete step i before counting for step i+1
+      assert(steps.sliding(2).forall { case Array(a, b) => b._2 <= a._2 },
+        steps.mkString(", "))
+      assert(steps.forall(_._2 >= 0))
+    }
+  }
+
+  test("retention offset-0 users per cohort equal the cohort size (5 datasets)") {
+    (1 to 5).foreach { trial =>
+      val ev = toDf(samples(eventGen, 300, 43L * trial))
+      val ret = graft.ops.Analytics.retentionCohorts(ev)
+        .select(col("cohort_week").cast("string"), col("week_offset"), col("n_users"))
+        .as[(String, Long, Long)].collect()
+      // every user is active in their own first week, so offset 0 counts
+      // the full cohort — and no offset can exceed it
+      val cohorts = ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy("user_id")
+        .agg(to_date(date_trunc("week", min(col("ts")))).cast("string").as("cw"))
+        .groupBy("cw").count().as[(String, Long)].collect().toMap
+      val zero = ret.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+      assert(zero === cohorts, s"offset-0 $zero vs cohort sizes $cohorts")
+      assert(ret.forall { case (cw, _, n) => n <= cohorts(cw) })
+      assert(ret.forall(_._2 >= 0))
+    }
+  }
 }

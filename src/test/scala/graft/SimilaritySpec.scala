@@ -174,6 +174,33 @@ class SimilaritySpec extends SparkSpec {
     assert(mean > 0.2, s"mean LSH recall $mean too low")
   }
 
+  test("incremental IVF append assigns like the trained model and serves the union") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sfDir)
+    val built = Similarity.buildIvf(e)
+    // fixed-centroid assignment reproduces KMeans.transform cell-for-cell
+    val reassigned = Similarity.appendToIvf(
+      Similarity.IvfIndex(built.centroids, built.assigned.limit(0)), e)
+    val drift = built.assigned.select("vec_id", "cell")
+      .except(reassigned.assigned.select("vec_id", "cell")).count()
+    assert(drift === 0)
+    // index grown from half the corpus + appended other half ≡ the
+    // full index under the same quantizer (same cells, same answers)
+    val half = e.filter(col("vec_id") % 2 === 0)
+    val rest = e.filter(col("vec_id") % 2 === 1)
+    val grown = Similarity.appendToIvf(
+      Similarity.IvfIndex(built.centroids,
+        Similarity.appendToIvf(Similarity.IvfIndex(built.centroids,
+          built.assigned.limit(0)), half).assigned), rest)
+    def q(ix: Similarity.IvfIndex) = ix.assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn2"))
+    val a = Similarity.queryIvf(reassigned, q(reassigned), excludeSelf = true)
+      .collect().map(_.toSeq).toSeq
+    val b = Similarity.queryIvf(grown, q(grown), excludeSelf = true)
+      .collect().map(_.toSeq).toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
   test("IVF-SQ8 (codes-served cells) loses no recall vs float IVF") {
     val e = Tables.embeddings(spark, sfDir)
     def recallOf(df: org.apache.spark.sql.DataFrame): Double = {

@@ -135,6 +135,23 @@ class StreamingSpec extends SparkSpec {
     assert(Ingest.validate(parsed).count() === 2)
   }
 
+  test("fromKafka after toKafka is the identity on valid events") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_id").isNotNull && col("ts").isNotNull &&
+        col("user_id").isNotNull).limit(200)
+    val round = EventStream.fromKafkaParsed(EventStream.toKafka(ev))
+    val a = ev.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(round.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    assert(a.exceptAll(round).isEmpty && round.exceptAll(a).isEmpty)
+    // keys carry the user id for per-user topic ordering
+    val keys = EventStream.toKafka(ev)
+      .select(col("key").cast("string").cast("long")).as[Long].collect().toSet
+    val users = ev.select("user_id").as[Long].collect().toSet
+    assert(keys === users)
+  }
+
   test("streaming upsert sink converges to keep-last per key across micro-batches") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_upsert_src").toString

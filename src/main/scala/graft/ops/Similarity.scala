@@ -232,6 +232,22 @@ object Similarity {
       spark.read.parquet(s"$path/assigned"))
   }
 
+  /** Append a new batch to a PERSISTED cell-partitioned index
+    * ([[writeIvfPartitioned]] layout): assign against the stored
+    * centroids, write new files into only the affected `cell=`
+    * directories (mode append — existing files never rewritten), and
+    * return the refreshed loader. The storage-level face of
+    * [[appendToIvf]]: continuous ingest touches O(batch) files while
+    * the corpus-sized index stays in place.
+    */
+  def appendToIvfPartitioned(path: String, newEmbeddings: DataFrame): IvfIndex = {
+    val spark = newEmbeddings.sparkSession
+    val centroids = spark.read.parquet(s"$path/centroids")
+    assignCells(centroids, prepared(newEmbeddings))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
+    IvfIndex(centroids, spark.read.parquet(s"$path/assigned"))
+  }
+
   /** Query phase against a built index: each query probes its nProbe
     * nearest cells (L2, the training metric) and exactly reranks only
     * those candidates. `queries` columns: query_id, qv array<double>,

@@ -224,6 +224,28 @@ object EventStream {
       }
       .start()
 
+  /** One-shot backfill/catch-up: run the ingest DAG (validate →
+    * watermarked dedup) over everything CURRENTLY in `dir`, write
+    * parquet, and stop — `Trigger.AvailableNow`, the replay mode of
+    * the same streaming job (checkpoint-compatible with the continuous
+    * form, so a backfill and the live stream share offsets and never
+    * double-process). Re-running with the same checkpoint is a no-op:
+    * exactly-once lands at the sink level. At 100 TB this is how the
+    * engine rebuilds from the raw landing zone — same DAG, bounded
+    * run, rate-limited by maxFilesPerTrigger if configured.
+    */
+  def backfillOnce(spark: SparkSession, dir: String, destPath: String,
+                   checkpointDir: String): Unit =
+    cleaned(source(spark, dir))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", destPath)
+      .start()
+      .awaitTermination()
+
   /** Run the whole pipeline synchronously against whatever files are in
     * `dir`, collecting results via a memory sink. Used by the spec; a
     * production job points the same DAG at a real sink with a

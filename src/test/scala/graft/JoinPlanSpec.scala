@@ -70,4 +70,15 @@ class JoinPlanSpec extends SparkSpec {
         s"array payload rides the candidate shuffle: ${e.output}")
     }
   }
+
+  test("tfidf keeps the rank-limit pushdown and broadcasts the doc count") {
+    val plan = planOf(graft.ops.Corpus.tfidfTopTerms(Tables.documents(spark, sfDir)))
+    // WindowGroupLimit = per-partition top-k BEFORE the window exchange;
+    // losing it means every (doc,term) row rides the final shuffle
+    assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+    // the corpus-count scalar must arrive by broadcast, never a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
 }

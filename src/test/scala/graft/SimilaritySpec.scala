@@ -199,6 +199,16 @@ class SimilaritySpec extends SparkSpec {
     val b = Similarity.queryIvf(grown, q(grown), excludeSelf = true)
       .collect().map(_.toSeq).toSeq
     assert(a === b && a.nonEmpty)
+    // the persisted layout appends the same way: half written, half
+    // appended file-level ≡ the full in-memory index
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    Similarity.writeIvfPartitioned(
+      Similarity.IvfIndex(built.centroids,
+        built.assigned.join(half.select("vec_id"), Seq("vec_id"), "left_semi")), dir)
+    val appended = Similarity.appendToIvfPartitioned(dir, rest)
+    val c = Similarity.queryIvf(appended, q(appended), excludeSelf = true)
+      .collect().map(_.toSeq).toSeq
+    assert(c === a)
   }
 
   test("IVF-SQ8 (codes-served cells) loses no recall vs float IVF") {

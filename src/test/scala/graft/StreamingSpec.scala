@@ -186,6 +186,20 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(tgt).listFiles().map(_.getName).count(_.startsWith("dt=")) === 2)
   }
 
+  test("backfill runs to completion once and replays as a no-op") {
+    val src = stagedDir
+    val dest = java.nio.file.Files.createTempDirectory("graft_backfill").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_backfill_ck").toString
+    EventStream.backfillOnce(spark, src, dest, ckpt) // terminates on its own
+    val expect = Ingest.validate(Tables.events(spark, sfDir))
+      .dropDuplicates("user_id", "ts").count()
+    val got = spark.read.parquet(dest).count()
+    assert(got === expect, s"backfill wrote $got, batch pipeline says $expect")
+    // same checkpoint → offsets already committed → nothing reprocessed
+    EventStream.backfillOnce(spark, src, dest, ckpt)
+    assert(spark.read.parquet(dest).count() === expect)
+  }
+
   test("watermarked dedup drops duplicate keys within the horizon") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dupes").toString

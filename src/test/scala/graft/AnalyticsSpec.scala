@@ -122,6 +122,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(out === Array((1, "view", 3L), (2, "click", 1L), (3, "purchase", 1L)))
   }
 
+  test("funnel on a corpus with no first-step events reports zero at every step") {
+    import spark.implicits._
+    val ev = Seq((1L, "2024-01-01 10:00:00", "click"))
+      .toDF("user_id", "ts", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val out = graft.ops.Analytics.funnel(ev)
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    // one row per step even when empty — dashboards rely on the full shape
+    assert(out.map(t => (t._1, t._3)).toSeq === Seq((1, 0L), (2, 0L), (3, 0L)))
+  }
+
   test("retention cohorts count distinct users per (cohort week, offset)") {
     import spark.implicits._
     val ev = Seq(

@@ -73,6 +73,15 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(3L) === (None, None)) // both payload AND matched ts null out
   }
 
+  test("asof with an empty right side annotates every left row with nulls") {
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "purchase", 5.0),
+      (2L, "2024-01-01 11:00:00", 2L, "purchase", 6.0))
+    val out = AsofJoin.purchaseSignupAsof(e) // no signup rows at all
+    assert(out.count() === 2)
+    assert(out.filter(col("asof_value").isNotNull || col("asof_ts").isNotNull).count() === 0)
+  }
+
   test("asof on real events: every non-null match is the max signup ts <= purchase ts") {
     val e = Tables.events(spark, sfDir)
     val out = AsofJoin.purchaseSignupAsof(e).filter(col("asof_ts").isNotNull)

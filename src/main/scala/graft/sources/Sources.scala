@@ -145,6 +145,28 @@ object Sources {
     fs.delete(trash, true)
   }
 
+  /** Clustered partitioned write — the second pruning axis after
+    * directory partitioning: rows are RANGE-partitioned and sorted on
+    * (partitionCols ++ sortCols), so within each partition directory
+    * every file (and every row group inside it) covers a narrow,
+    * non-overlapping slice of the sort key. Parquet stores per-chunk
+    * min/max, and Spark's scan skips row groups whose range excludes
+    * the predicate — so at 100 TB a `dt=.../user_id=k` lookup reads one
+    * file's worth of one partition instead of the whole day. This is
+    * the linear form of Z-ordering (right for one dominant secondary
+    * key); the spec proves the non-overlap property from the actual
+    * file footers, not from the plan.
+    */
+  def writeClustered(df: DataFrame, path: String, partitionCols: Seq[String],
+                     sortCols: Seq[String], numFiles: Int = 0): Unit = {
+    val keys = (partitionCols ++ sortCols).map(col)
+    val ranged =
+      if (numFiles > 0) df.repartitionByRange(numFiles, keys: _*)
+      else df.repartitionByRange(keys: _*)
+    ranged.sortWithinPartitions(keys: _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+  }
+
   /** Small-file compaction for a partitioned parquet table — the
     * maintenance pass every continuously-ingested table needs: each
     * micro-batch/upsert leaves per-partition file fragments, and at

@@ -58,6 +58,45 @@ class PartitionPruningSpec extends SparkSpec {
     }, keptDays.mkString(", "))
   }
 
+  test("clustered write produces non-overlapping sort-key ranges per file") {
+    import scala.jdk.CollectionConverters._
+    val events = Tables.events(spark, sfDir).withColumn("dt", to_date(col("ts")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_clustered").toString
+    Sources.writeClustered(events, dir, Seq("dt"), Seq("user_id"), numFiles = 24)
+    // proof from the FOOTERS: within a partition dir, every file covers
+    // a disjoint user_id slice — the property row-group skipping needs
+    val conf = spark.sparkContext.hadoopConfiguration
+    def userIdRange(f: java.io.File): (Long, Long) = {
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try {
+        val stats = rd.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == "user_id")
+          .map(_.getStatistics)
+        (stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
+          stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
+      } finally rd.close()
+    }
+    val dayDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("dt="))
+    val multiFileDays = dayDirs.map(d =>
+      d -> d.listFiles().filter(_.getName.endsWith(".parquet"))).filter(_._2.length >= 2)
+    assert(multiFileDays.nonEmpty, "need at least one partition with several files")
+    multiFileDays.foreach { case (day, files) =>
+      val ranges = files.map(userIdRange).sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, aMax), (bMin, _)) =>
+          assert(bMin > aMax, s"${day.getName}: overlapping ranges $ranges")
+        case _ =>
+      }
+    }
+    // and the data is unchanged
+    val a = Tables.events(spark, sfDir)
+    val b = spark.read.parquet(dir).drop("dt")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("compaction bin-packs partition fragments without changing the data") {
     val events = Tables.events(spark, sfDir).withColumn("dt", to_date(col("ts")))
     val src = java.nio.file.Files.createTempDirectory("graft_frag").toString

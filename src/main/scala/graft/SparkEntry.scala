@@ -103,6 +103,8 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => Corpus.sampleStratified(Tables.documents(s, d))),
     "ngram_topk" -> ((s, d) => Corpus.ngramTopK(Tables.documents(s, d))),
     "tfidf_topterms" -> ((s, d) => Corpus.tfidfTopTerms(Tables.documents(s, d))),
+    "source_quality" -> ((s, d) => Corpus.sourceQuality(Tables.documents(s, d))),
+    "doc_lm_score" -> ((s, d) => Corpus.lmScore(Tables.documents(s, d))),
     "contamination_check" -> ((s, d) => Corpus.contamination(Tables.documents(s, d))),
     "dedup_clusters" -> ((s, d) => Corpus.nearDupClusters(Tables.documents(s, d))),
     "doc_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
@@ -526,6 +528,41 @@ object SparkEntry {
          |   AS DOUBLE) AS quality_score
          | FROM ($statsSubSql) st) q
          |WHERE quality_score >= 0.75 ORDER BY doc_id""".stripMargin,
+    "source_quality" ->
+      s"""WITH st AS ($statsSubSql),
+         | q AS (SELECT doc_id FROM (
+         |  SELECT doc_id,
+         |   (CASE WHEN n_tokens BETWEEN 10 AND 2000 THEN 0.25 ELSE 0.0 END +
+         |    CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END +
+         |    CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END +
+         |    CASE WHEN n_distinct_tokens * 1.0 / n_tokens >= 0.3 THEN 0.25 ELSE 0.0 END)
+         |    AS score FROM st) x WHERE score >= 0.75),
+         | d AS (SELECT doc_id FROM (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY $normSql) AS canonical_id
+         |  FROM documents) t WHERE doc_id != canonical_id)
+         |SELECT doc.source, count(*) AS n_docs,
+         | CAST(sum(CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         | CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+         | round(sum(CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS quality_rate,
+         | round(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_rate,
+         | round(avg(doc.n_chars), 4) AS avg_chars
+         |FROM documents doc
+         | LEFT JOIN q ON doc.doc_id = q.doc_id
+         | LEFT JOIN d ON doc.doc_id = d.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "doc_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, list_filter($wsSql, x -> x != '') AS ws FROM documents),
+         | b AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |   i -> struct_pack(w1 := ws[i], bigram := ws[i] || ' ' || ws[i+1]))) AS p FROM t),
+         | br AS (SELECT doc_id, p.w1 AS w1, p.bigram AS bigram FROM b),
+         | c2 AS (SELECT bigram, count(*) AS c2 FROM br GROUP BY 1),
+         | c1 AS (SELECT w1, count(*) AS c1 FROM
+         |   (SELECT unnest(ws) AS w1 FROM t) u GROUP BY 1),
+         | v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(ws) AS w FROM t) w)
+         |SELECT br.doc_id, count(*) AS n_bigrams,
+         | round(avg(ln((c2.c2 + 1) * 1.0 / (c1.c1 + v.v))), 4) AS lm_score
+         |FROM br JOIN c2 USING (bigram) JOIN c1 USING (w1) CROSS JOIN v
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "corpus_curation" ->
       s"""WITH st AS ($statsSubSql),
          | q AS (SELECT doc_id FROM (

@@ -178,6 +178,68 @@ object Corpus {
         col("contamination_rate"), col("is_contaminated"))
   }
 
+  /** Per-source curation dashboard — the domain-level view large-scale
+    * pipelines filter on (drop/downweight whole sources by measured
+    * quality, the RefinedWeb/C4 pattern): doc volume, quality-gate pass
+    * rate, exact-dup rate, and mean length per source. Composes the
+    * row-level operators; the final rollup is one tiny aggregation on
+    * `source`, so the dashboard costs the same passes the row-level
+    * gates already run.
+    */
+  def sourceQuality(documents: DataFrame): DataFrame = {
+    val quality = TextAnalysis.qualityFilter(documents)
+      .select(col("doc_id")).withColumn("__q", lit(1L))
+    val dups = TextDedup.exact(documents)
+      .filter(col("is_dup")).select(col("doc_id")).withColumn("__d", lit(1L))
+    documents
+      .join(quality, Seq("doc_id"), "left")
+      .join(dups, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__q")), lit(0L)).as("n_quality"),
+        coalesce(sum(col("__d")), lit(0L)).as("n_dups"),
+        round(coalesce(sum(col("__q")), lit(0L)).cast("double") / count(lit(1)), 4)
+          .as("quality_rate"),
+        round(coalesce(sum(col("__d")), lit(0L)).cast("double") / count(lit(1)), 4)
+          .as("dup_rate"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** Bigram-LM fluency score — the KenLM-style quality signal of
+    * pretraining pipelines, with the corpus itself as the LM: per doc,
+    * the mean add-one-smoothed conditional log-probability
+    * avg(ln((c(w1 w2)+1)/(c(w1)+V))) over its word bigrams. Gibberish
+    * and boilerplate score low against the corpus distribution;
+    * repeated common prose scores high. Counts are two corpus-wide
+    * aggregations (bigram, unigram) joined back to the per-doc bigram
+    * stream — the vocabulary scalar broadcasts; nothing collects.
+    */
+  def lmScore(documents: DataFrame): DataFrame = {
+    val words = filter(split(normText, " "), w => w =!= "")
+    val toks = documents.select(col("doc_id"), words.as("ws"))
+    val biRows = toks
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)), " +
+          "slice(ws, 2, greatest(size(ws) - 1, 0)), " +
+          "(a, b) -> struct(a AS w1, concat(a, ' ', b) AS bigram))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bigram").as("bigram"))
+    val c2 = biRows.groupBy(col("bigram")).agg(count(lit(1)).as("__c2"))
+    val c1 = toks.select(explode(col("ws")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
+    val vocab = toks.select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).as("__v"))
+    biRows
+      .join(c2, Seq("bigram"))
+      .join(c1, Seq("w1"))
+      .join(broadcast(vocab))
+      .withColumn("__lp",
+        log((col("__c2") + 1).cast("double") / (col("__c1") + col("__v"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("__lp")), 4).as("lm_score"))
+  }
+
   /** Near-dup CLUSTER assignment: connected components over the
     * [[TextDedup.minhashLsh]] pair graph, labeling every doc with the
     * smallest doc_id reachable through near-dup edges (canonical =

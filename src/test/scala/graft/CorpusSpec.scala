@@ -84,6 +84,36 @@ class CorpusSpec extends SparkSpec {
     assert(byDoc(2L) === Seq("banana", "cherry"))
   }
 
+  test("sourceQuality aggregates per-source rates consistently") {
+    val out = Corpus.sourceQuality(docs)
+      .select("source", "n_docs", "n_quality", "n_dups", "quality_rate", "dup_rate")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, n, q, d, qr, dr) =>
+      q <= n && d <= n && qr >= 0 && qr <= 1 && dr >= 0 && dr <= 1 })
+    // totals reconcile with the corpus
+    assert(out.map(_._2).sum === docs.count())
+    assert(out.map(_._3).sum ===
+      graft.ops.TextAnalysis.qualityFilter(docs).count())
+  }
+
+  test("lmScore ranks corpus-typical prose above gibberish") {
+    val d = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "the cat sat on the sofa"),
+      (4L, "zxq wvub plorth gnarf klepta vom"))
+      .toDF("doc_id", "text")
+    val out = Corpus.lmScore(d)
+      .select("doc_id", "n_bigrams", "lm_score")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // n_bigrams = tokens - 1
+    assert(out(1L)._2 === 5L && out(4L)._2 === 5L)
+    // docs sharing the corpus's dominant bigrams outscore the unique-word doc
+    assert(out(1L)._3 > out(4L)._3,
+      s"common ${out(1L)._3} vs gibberish ${out(4L)._3}")
+  }
+
   test("contamination flags a doc duplicated into the benchmark set") {
     val out = Corpus.contamination(docs).cache()
     // benchmark docs themselves are excluded from the report

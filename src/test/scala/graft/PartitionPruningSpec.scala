@@ -118,4 +118,30 @@ class PartitionPruningSpec extends SparkSpec {
     val b = spark.read.parquet(dest).drop("dt")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("compaction handles multi-level (dt, hour) partitioning") {
+    val events = Tables.events(spark, sfDir)
+      .withColumn("dt", to_date(col("ts")))
+      .withColumn("hr", format_string("%02d", hour(col("ts"))))
+      .limit(2000)
+    val src = java.nio.file.Files.createTempDirectory("graft_frag2").toString
+    val dest = java.nio.file.Files.createTempDirectory("graft_compact2").toString
+    events.repartition(3).write.mode("overwrite")
+      .partitionBy("dt", "hr").parquet(src)
+    Sources.compactPartitions(spark, src, dest, Seq("dt", "hr"))
+    def leafFiles(dir: String): Map[String, Int] = {
+      val base = new java.io.File(dir)
+      base.listFiles().filter(_.getName.startsWith("dt=")).flatMap(d =>
+        d.listFiles().filter(_.getName.startsWith("hr=")).map(h =>
+          s"${d.getName}/${h.getName}" ->
+            h.listFiles().count(_.getName.endsWith(".parquet")))).toMap
+    }
+    val before = leafFiles(src)
+    val after = leafFiles(dest)
+    assert(after.keySet === before.keySet)
+    assert(before.values.max > 1 && after.values.forall(_ === 1), after.toString)
+    val a = spark.read.parquet(src).drop("dt", "hr")
+    val b = spark.read.parquet(dest).drop("dt", "hr")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }

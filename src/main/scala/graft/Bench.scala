@@ -58,7 +58,16 @@ object Bench {
       val s = samples.map(_(i))
       name -> (if (s.exists(_ < 0)) -1.0 else s.min)
     }
+    // medians ride along for noise transparency: min is the steady-state
+    // claim, median shows how contended the run was (min ≪ median ⇒ the
+    // host was noisy, not the code slow)
+    val medians = queries.zipWithIndex.map { case ((name, _), i) =>
+      val s = samples.map(_(i)).sorted
+      name -> (if (s.exists(_ < 0)) -1.0 else s(s.length / 2))
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val ms = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // A failed query (-1) must invalidate the headline, not deflate it:
     // total is -1 whenever any query failed, with the count made explicit.
@@ -67,7 +76,7 @@ object Bench {
       if (failed > 0) -1.0
       else if (results.nonEmpty) results.map(_._2).sum
       else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"medians":$ms,"sf":"$sfDir"}"""
     Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
     println(json)
     spark.stop()

@@ -100,6 +100,38 @@ class SourcesSkewSpec extends SparkSpec {
     parsed.unpersist()
   }
 
+  test("AQE splits a skewed join partition (the no-salt skew path)") {
+    // one hot key carrying most rows — the shape that stalls a plain
+    // sort-merge join on a single straggler task. With the skew-join
+    // thresholds lowered to test scale, AQE must mark and split the
+    // oversized partition; salting (Skew.scala) stays the fallback for
+    // aggregation skew, but joins should heal without code changes.
+    val conf = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(50000)
+        .select(when(col("id") % 100 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+          concat(lit("payload-payload-payload-"), col("id")).as("v"))
+      val right = spark.range(200).select(col("id").as("k"), col("id").as("w"))
+      val joined = left.join(right, "k")
+      // reference count via an explicitly-broadcast join (strategy-independent)
+      val expect = left.join(broadcast(right), "k").count()
+      // collect() executes joined's OWN QueryExecution, so the adaptive
+      // plan below is the final one (count() would plan a separate query)
+      assert(joined.collect().length.toLong === expect && expect > 40000L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(1200))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("join salt is stable under repartition") {
     val ev = Tables.events(spark, sfDir).select("event_id", "event_type", "value")
     def salts(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =

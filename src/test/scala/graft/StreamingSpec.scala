@@ -186,6 +186,27 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(tgt).listFiles().map(_.getName).count(_.startsWith("dt=")) === 2)
   }
 
+  test("backfill with maxFilesPerTrigger processes in bounded micro-batches") {
+    val src = stagedDir // staged as 2 files
+    val dest = java.nio.file.Files.createTempDirectory("graft_bf_rate").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bf_rate_ck").toString
+    val q = EventStream.cleaned(
+      spark.readStream.schema(EventStream.eventSchema)
+        .option("maxFilesPerTrigger", 1).parquet(src))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", dest).start()
+    q.awaitTermination()
+    // one file per micro-batch → at least 2 committed batches in the log
+    val batches = new java.io.File(s"$ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 2, s"expected >=2 micro-batches, saw $batches")
+    val expect = Ingest.validate(Tables.events(spark, sfDir))
+      .dropDuplicates("user_id", "ts").count()
+    assert(spark.read.parquet(dest).count() === expect)
+  }
+
   test("backfill runs to completion once and replays as a no-op") {
     val src = stagedDir
     val dest = java.nio.file.Files.createTempDirectory("graft_backfill").toString

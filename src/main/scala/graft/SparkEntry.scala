@@ -110,6 +110,10 @@ object SparkEntry {
     "doc_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "pii_redact" -> ((s, d) => TextAnalysis.piiRedact(Tables.documents(s, d))),
     "embed_quantize" -> ((s, d) => Similarity.quantizeInt8Stats(Tables.embeddings(s, d))),
+    "seq_pack" -> ((s, d) => TrainingPrep.seqPack(Tables.documents(s, d))),
+    "data_mix" -> ((s, d) => TrainingPrep.mixWeights(Tables.documents(s, d))),
+    "shard_assign" -> ((s, d) => TrainingPrep.shardAssign(Tables.documents(s, d))),
+    "badword_filter" -> ((s, d) => TrainingPrep.badwordFilter(Tables.documents(s, d))),
     "multimodal_meta" -> ((s, d) => Multimodal.metadata(Tables.documents(s, d))),
     "multimodal_features" -> ((s, d) => Multimodal.features(s, Tables.documents(s, d))),
     "multimodal_frame_sample" -> ((s, d) => Multimodal.frameSample(s, Tables.documents(s, d))),
@@ -742,6 +746,54 @@ object SparkEntry {
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM ndcc)
          |  AND d.doc_id NOT IN (SELECT doc_id FROM ed)
          |ORDER BY d.doc_id""".stripMargin,
+    // the oracle computes the packing prefix sum as ONE global window —
+    // sound at gate SF; the engine's two-level scan must agree exactly
+    "seq_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len(list_filter($wsSql, x -> x != '')) AS BIGINT) AS n_tokens
+         | FROM documents),
+         | c AS (SELECT doc_id, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS stream_offset
+         | FROM t)
+         |SELECT doc_id, n_tokens, stream_offset,
+         | stream_offset // 256 AS pack_id,
+         | stream_offset % 256 AS pack_offset,
+         | (stream_offset % 256) + n_tokens > 256 AS spans_boundary
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "data_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        | t AS (SELECT sum(n_docs) AS tot,
+        |   sum(CAST(round(pow(n_docs, 0.5), 6) AS DECIMAL(28,6))) AS ptot FROM c),
+        | w AS (SELECT source, n_docs, tot,
+        |   round(CAST(CAST(round(pow(n_docs, 0.5), 6) AS DECIMAL(28,6)) AS DOUBLE)
+        |     / CAST(ptot AS DOUBLE), 6) AS weight
+        |  FROM c CROSS JOIN t)
+        |SELECT source, n_docs,
+        | round(n_docs * 1.0 / tot, 6) AS raw_share, weight,
+        | CAST(round(weight * 1000) AS BIGINT) AS target_n,
+        | round(CAST(round(weight * 1000) AS BIGINT) * 1.0 / n_docs, 4) AS epochs
+        |FROM w ORDER BY source""".stripMargin,
+    "shard_assign" ->
+      """SELECT doc_id, shard,
+        | CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM (SELECT doc_id,
+        |  CAST((strpos('0123456789abcdef',
+        |     substr(md5(CAST(doc_id AS VARCHAR) || '|graft-shard-v1'), 1, 1)) - 1) * 16
+        |   + (strpos('0123456789abcdef',
+        |     substr(md5(CAST(doc_id AS VARCHAR) || '|graft-shard-v1'), 2, 1)) - 1)
+        |   AS BIGINT) % 8 AS shard,
+        |  md5(CAST(doc_id AS VARCHAR) || '|graft-shard-v1') AS h
+        | FROM documents) t ORDER BY doc_id""".stripMargin,
+    "badword_filter" ->
+      s"""SELECT doc_id, n_tokens, n_bad,
+         | CASE WHEN n_tokens = 0 THEN NULL
+         |      ELSE round(n_bad * 1.0 / n_tokens, 4) END AS bad_ratio,
+         | coalesce(round(n_bad * 1.0 / n_tokens, 4) > 0.05, FALSE) AS is_flagged
+         |FROM (SELECT doc_id,
+         |  CAST(len(list_filter($wsSql, x -> x != '')) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter($wsSql, x -> x IN ('slow','dup','error','bad'))) AS BIGINT) AS n_bad
+         | FROM documents) t ORDER BY doc_id""".stripMargin,
     "token_count" ->
       """SELECT doc_id, n_ws_tokens, n_bpe_tokens,
         | CASE WHEN n_ws_tokens = 0 THEN NULL

@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-set assembly operators — the last mile of an LLM data
+  * pipeline, after cleaning/dedup (SURVEY.md §2D extensions): sequence
+  * packing into fixed token budgets, temperature-based source mixture
+  * weighting, deterministic shard assignment for training shuffle, and
+  * a C4-style blocklist filter.
+  *
+  * Scale rules: global order statistics (the packing prefix sum) use a
+  * two-level scan — per-bucket partial sums plus a broadcast of the
+  * tiny bucket-offset table — never a single-partition global window;
+  * assignments are content-hash-deterministic (stable under
+  * repartition, retry, and cluster size); mixture math is decimal-exact
+  * where cross-engine float summation order could bite.
+  */
+object TrainingPrep {
+
+  import TextDedup.normText
+
+  private def words = filter(split(normText, " "), w => w =!= "")
+
+  /** Sequence packing: concatenate documents in doc_id order into an
+    * infinite token stream and chunk it at `budget`-token boundaries —
+    * the GPT-style pretraining pack (each doc learns its stream offset,
+    * pack id, offset within the pack, and whether it straddles a pack
+    * boundary). The heart is a global prefix sum over token counts.
+    *
+    * A naive `sum().over(Window.orderBy(doc_id))` funnels the corpus
+    * through ONE task. Instead this is the classic two-level scan:
+    * docs map to `buckets` contiguous doc_id ranges; within-bucket
+    * cumsums run as `buckets`-way parallel window partitions, and the
+    * bucket offset table (one row per bucket) is prefix-summed on the
+    * driver-adjacent tiny frame and broadcast back. At 100 TB, set
+    * `buckets` ≈ the cluster's task count: each bucket is one
+    * task-sized sort, and nothing ever converges to a single partition.
+    */
+  def seqPack(documents: DataFrame, budget: Int = 256,
+              buckets: Int = 32): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), size(words).cast("long").as("n_tokens"))
+    val maxId = toks.agg(max(col("doc_id")).as("__max_id"))
+    val bucketed = toks
+      .join(broadcast(maxId))
+      // monotone doc_id → bucket map; doc_id*buckets stays far below 2^53
+      .withColumn("__b",
+        floor(col("doc_id") * buckets / (col("__max_id") + 1)).cast("long"))
+      .drop("__max_id")
+    val localCum = sum(col("n_tokens"))
+      .over(Window.partitionBy(col("__b")).orderBy(col("doc_id")))
+    // one row per bucket: the single-partition window is over a
+    // `buckets`-sized frame, by construction
+    val offsets = bucketed
+      .groupBy(col("__b")).agg(sum(col("n_tokens")).as("__bt"))
+      .withColumn("__prev", coalesce(
+        sum(col("__bt")).over(
+          Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__b"), col("__prev"))
+    bucketed
+      .withColumn("__cum", localCum)
+      .join(broadcast(offsets), Seq("__b"))
+      .withColumn("stream_offset",
+        (col("__prev") + col("__cum") - col("n_tokens")).cast("long"))
+      .withColumn("pack_id", floor(col("stream_offset") / budget).cast("long"))
+      .withColumn("pack_offset", (col("stream_offset") % budget).cast("long"))
+      .withColumn("spans_boundary",
+        (col("pack_offset") + col("n_tokens") > budget).cast("boolean"))
+      .select(col("doc_id"), col("n_tokens"), col("stream_offset"),
+        col("pack_id"), col("pack_offset"), col("spans_boundary"))
+  }
+
+  /** Temperature-based source mixture weighting (the multilingual/
+    * multi-domain sampling scheme: p_s ∝ n_s^α with α<1 upweights small
+    * sources): per source, its raw share, its α-tempered sampling
+    * weight, the document budget it receives, and the implied epoch
+    * count over its data. One tiny aggregation on `source`.
+    *
+    * Cross-engine determinism: Σ n_s^α is a float sum whose value
+    * depends on summation ORDER, and Spark's partial aggregation order
+    * is not DuckDB's — so the tempered terms are rounded then summed as
+    * DECIMAL (exact, order-free); only the final scalar division is
+    * float, on identical inputs.
+    */
+  def mixWeights(documents: DataFrame, alpha: Double = 0.5,
+                 budgetDocs: Long = 1000L): DataFrame = {
+    val counts = documents.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val term = round(pow(col("n_docs"), alpha), 6).cast("decimal(28,6)")
+    val totals = counts.agg(
+      sum(col("n_docs")).as("__tot"),
+      sum(term).as("__ptot"))
+    counts
+      .join(broadcast(totals))
+      .withColumn("raw_share",
+        round(col("n_docs").cast("double") / col("__tot"), 6))
+      .withColumn("weight",
+        round(term.cast("double") / col("__ptot").cast("double"), 6))
+      .withColumn("target_n",
+        round(col("weight") * budgetDocs).cast("long"))
+      .withColumn("epochs",
+        round(col("target_n").cast("double") / col("n_docs"), 4))
+      .select(col("source"), col("n_docs"), col("raw_share"), col("weight"),
+        col("target_n"), col("epochs"))
+  }
+
+  private val HexAlphabet = "0123456789abcdef"
+
+  /** Deterministic global shuffle + shard assignment for training-data
+    * writing: shard = content-hash bucket of doc_id (engine-portable
+    * md5-hex arithmetic, same trick as [[Corpus.splitAssign]]), position
+    * within shard = rank by the full hash. The "shuffled" read order is
+    * (shard, pos) — reproducible across runs, engines, and cluster
+    * layouts, with no RNG state anywhere. One shuffle on shard; each
+    * shard's rank is one window partition, so `nShards` should scale
+    * with the cluster (shards ≈ output files, the usual layout).
+    */
+  def shardAssign(documents: DataFrame, nShards: Int = 8,
+                  salt: String = "graft-shard-v1"): DataFrame = {
+    val h = md5(concat_ws("|", col("doc_id").cast("string"), lit(salt)))
+    def hexVal(pos: Int) = expr(
+      s"instr('$HexAlphabet', substring(md5(concat_ws('|', cast(doc_id as string), '$salt')), $pos, 1))")
+    val bucket = ((hexVal(1) - 1) * 16 + (hexVal(2) - 1)).cast("long")
+    documents
+      .select(col("doc_id"), (bucket % nShards).as("shard"), h.as("__h"))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy(col("shard")).orderBy(col("__h"), col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** Blocklist terms for [[badwordFilter]] — stand-ins for the C4/RTP
+    * "bad words" list (the real list is a config file, not engine
+    * semantics). Shared verbatim with the DuckDB oracle.
+    */
+  val Blockwords: Seq[String] = Seq("slow", "dup", "error", "bad")
+
+  /** C4-style blocklist filter: per doc, its blocklisted-token count
+    * and rate, and the drop flag at `threshold`. Emits EVERY doc with
+    * its counts (filtering is the caller's one-line `.filter` away) so
+    * the audit view and the gate share one pass. The blocklist is a
+    * broadcast-sized constant folded into the row predicate: narrow,
+    * codegen'd, zero shuffle at any scale.
+    */
+  def badwordFilter(documents: DataFrame,
+                    threshold: Double = 0.05): DataFrame = {
+    val inList = Blockwords.map(w => s"'$w'").mkString("(", ",", ")")
+    documents
+      .withColumn("__w", words)
+      .select(
+        col("doc_id"),
+        size(col("__w")).cast("long").as("n_tokens"),
+        expr(s"size(filter(__w, t -> t IN $inList))").cast("long").as("n_bad"))
+      .withColumn("bad_ratio",
+        when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_bad").cast("double") / col("n_tokens"), 4)))
+      .withColumn("is_flagged",
+        coalesce(col("bad_ratio") > threshold, lit(false)).cast("boolean"))
+  }
+}

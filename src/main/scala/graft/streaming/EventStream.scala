@@ -193,6 +193,36 @@ object EventStream {
         col("session_window.start").as("session_start"),
         col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * views within the preceding `horizon` — attribution, the canonical
+    * two-stream correlation. Both sides carry watermarks and the join
+    * predicate carries the time bound, which TOGETHER bound the state
+    * store: each side buffers only rows younger than
+    * watermark + horizon, so state is O(rate × horizon) regardless of
+    * stream length — the property that lets this run forever at scale.
+    * Inner join: matches emit as soon as both sides have arrived (no
+    * watermark-close wait, unlike outer stream-stream joins).
+    */
+  def intervalJoin(events: DataFrame, watermark: String = "1 hour",
+                   horizon: String = "30 minutes"): DataFrame = {
+    val valid = Ingest.validate(events)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val purchases = valid.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    val views = valid.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    purchases
+      .join(views, expr(
+        s"user_id = v_user_id AND view_ts <= purchase_ts " +
+          s"AND view_ts >= purchase_ts - interval $horizon"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("purchase_value"), col("view_id"), col("view_ts"))
+  }
+
   /** Streaming upsert sink — the consumer's full persistence path
     * (consumer/main.py:277-376): validate each micro-batch, then merge
     * it into a date-partitioned parquet table with keep-last semantics

@@ -101,6 +101,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.size >= expect.size / 2, s"too few sessions emitted: ${got.size} vs ${expect.size}")
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val got = {
+      val q = EventStream.intervalJoin(EventStream.source(spark, stagedDir))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("sjoin_out").start()
+      q.processAllAvailable(); q.stop()
+      val out = spark.table("sjoin_out").collect().map(_.toSeq).toSet
+      spark.catalog.dropTempView("sjoin_out")
+      out
+    }
+    // batch equivalent: same validate + same interval predicate
+    val valid = Ingest.validate(Tables.events(spark, sfDir))
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val p = valid.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    val v = valid.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val expect = p.join(v, expr(
+        "user_id = v_user_id AND view_ts <= purchase_ts " +
+          "AND view_ts >= purchase_ts - interval 30 minutes"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("purchase_value"), col("view_id"), col("view_ts"))
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty)
+    // inner stream-stream joins emit every match whose rows both arrived
+    // before state cleanup; with the whole source in the initial batches
+    // the emitted set must equal the batch join exactly
+    assert(got === expect,
+      s"stream/batch divergence: missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+  }
+
   test("fromKafka parses the broker frame shape into the events schema") {
     import spark.implicits._
     // Stub of exactly what the Kafka source emits: binary key/value plus

@@ -1,0 +1,109 @@
+package graft
+
+import graft.ops.TrainingPrep
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class TrainingPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("seqPack two-level scan equals the naive global prefix sum") {
+    val out = TrainingPrep.seqPack(docs).cache()
+    assert(out.count() === docs.count())
+    // reference: the single-window global cumsum the oracle also uses
+    val naive = out
+      .select(col("doc_id"), col("n_tokens"))
+      .withColumn("ref_offset", coalesce(
+        sum(col("n_tokens")).over(
+          Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val drift = out.join(naive, Seq("doc_id", "n_tokens"))
+      .filter(col("stream_offset") =!= col("ref_offset")).count()
+    assert(drift === 0)
+    out.unpersist()
+  }
+
+  test("seqPack offsets tile the stream exactly and flags straddlers") {
+    val out = TrainingPrep.seqPack(docs, budget = 256).cache()
+    // offsets are the exclusive prefix sum: sorted by doc_id, each row's
+    // offset is the previous row's offset + tokens (no gaps, no overlap)
+    val rows = out.orderBy("doc_id")
+      .select("stream_offset", "n_tokens", "pack_id", "pack_offset", "spans_boundary")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    var expected = 0L
+    rows.foreach { case (off, n, packId, packOff, spans) =>
+      assert(off === expected)
+      assert(packId === off / 256 && packOff === off % 256)
+      assert(spans === (packOff + n > 256))
+      expected = off + n
+    }
+    // pack ids are dense from 0
+    val packs = out.select("pack_id").distinct().as[Long].collect().sorted
+    assert(packs.head === 0L && packs.last === packs.length - 1)
+    out.unpersist()
+  }
+
+  test("seqPack is stable under repartition and bucket-count choice") {
+    val base = TrainingPrep.seqPack(docs)
+    val re = TrainingPrep.seqPack(docs.repartition(13), buckets = 7)
+    assert(base.except(re).count() === 0 && re.except(base).count() === 0)
+  }
+
+  test("mixWeights: weights sum to ~1 and budget is honored") {
+    val out = TrainingPrep.mixWeights(docs, alpha = 0.5, budgetDocs = 1000L)
+      .as[(String, Long, Double, Double, Long, Double)].collect()
+    assert(out.length === docs.select("source").distinct().count())
+    val wSum = out.map(_._4).sum
+    assert(math.abs(wSum - 1.0) < 1e-3, s"weights sum $wSum")
+    val targetSum = out.map(_._5).sum
+    assert(math.abs(targetSum - 1000L) <= out.length, s"targets sum $targetSum")
+    // α<1 upweights small sources: weight ordering follows n_docs ordering
+    // but compressed — check monotonicity
+    val sorted = out.sortBy(_._2)
+    assert(sorted.map(_._4).zip(sorted.map(_._4).drop(1)).forall { case (a, b) => a <= b })
+  }
+
+  test("mixWeights α=1 recovers raw shares") {
+    val out = TrainingPrep.mixWeights(docs, alpha = 1.0, budgetDocs = 1000L)
+      .select("raw_share", "weight").as[(Double, Double)].collect()
+    out.foreach { case (raw, w) => assert(math.abs(raw - w) < 2e-6) }
+  }
+
+  test("shardAssign: dense positions per shard, deterministic, balanced-ish") {
+    val out = TrainingPrep.shardAssign(docs, nShards = 8).cache()
+    assert(out.count() === docs.count())
+    assert(out.select("doc_id").distinct().count() === docs.count())
+    // positions are 1..n_s dense within each shard
+    val perShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .as[(Long, Long, Long, Long)].collect()
+    perShard.foreach { case (_, n, lo, hi) => assert(lo === 1L && hi === n) }
+    assert(perShard.map(_._1).toSet.subsetOf((0L until 8L).toSet))
+    // hash balance: no shard holds more than 3x its fair share
+    val fair = docs.count().toDouble / 8
+    perShard.foreach { case (s, n, _, _) =>
+      assert(n < 3 * fair, s"shard $s holds $n of fair $fair") }
+    // stable under repartition
+    val re = TrainingPrep.shardAssign(docs.repartition(11), nShards = 8)
+    assert(out.except(re).count() === 0 && re.except(out).count() === 0)
+    out.unpersist()
+  }
+
+  test("badwordFilter emits every doc and flags exactly ratio > threshold") {
+    val out = TrainingPrep.badwordFilter(docs, threshold = 0.05).cache()
+    assert(out.count() === docs.count())
+    val bad = out.filter(col("is_flagged") &&
+      (col("bad_ratio").isNull || col("bad_ratio") <= 0.05)).count()
+    val good = out.filter(!col("is_flagged") && col("bad_ratio") > 0.05).count()
+    assert(bad === 0 && good === 0)
+    // synthetic: a pure-blocklist doc flags, a clean doc doesn't
+    val synth = Seq((1L, "slow dup error bad"), (2L, "fast clean text here"))
+      .toDF("doc_id", "text")
+    val m = TrainingPrep.badwordFilter(synth)
+      .select("doc_id", "is_flagged").as[(Long, Boolean)].collect().toMap
+    assert(m(1L) && !m(2L))
+    out.unpersist()
+  }
+}

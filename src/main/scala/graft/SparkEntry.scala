@@ -71,6 +71,7 @@ object SparkEntry {
     "events_profile_approx" -> ((s, d) => Analytics.eventsProfileApprox(Tables.events(s, d))),
     "events_anomaly" -> ((s, d) => Analytics.anomalyZScore(Tables.events(s, d))),
     "events_funnel" -> ((s, d) => Analytics.funnel(Tables.events(s, d))),
+    "events_histogram" -> ((s, d) => Analytics.valueHistogram(Tables.events(s, d))),
     "retention_cohorts" -> ((s, d) => Analytics.retentionCohorts(Tables.events(s, d))),
     // ── D. LLM-training-data pipeline (SURVEY §2D) ─────────────────────
     "dedup_exact" -> ((s, d) => TextDedup.exact(Tables.documents(s, d))),
@@ -107,6 +108,7 @@ object SparkEntry {
     "doc_lm_score" -> ((s, d) => Corpus.lmScore(Tables.documents(s, d))),
     "contamination_check" -> ((s, d) => Corpus.contamination(Tables.documents(s, d))),
     "dedup_clusters" -> ((s, d) => Corpus.nearDupClusters(Tables.documents(s, d))),
+    "doc_overlap" -> ((s, d) => Corpus.docOverlap(Tables.documents(s, d))),
     "doc_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "pii_redact" -> ((s, d) => TextAnalysis.piiRedact(Tables.documents(s, d))),
     "embed_quantize" -> ((s, d) => Similarity.quantizeInt8Stats(Tables.embeddings(s, d))),
@@ -397,6 +399,17 @@ object SparkEntry {
         |UNION ALL SELECT CAST(2 AS INTEGER), 'click', (SELECT count(*) FROM s2)
         |UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', (SELECT count(*) FROM s3)
         |ORDER BY step""".stripMargin,
+    "events_histogram" ->
+      """WITH e AS (SELECT value FROM events WHERE value IS NOT NULL),
+        | x AS (SELECT min(value) AS lo, max(value) AS hi FROM e),
+        | b AS (SELECT CAST(CASE WHEN (hi - lo) / 20 = 0 THEN 0
+        |    ELSE least(floor((value - lo) / ((hi - lo) / 20)), 19) END AS BIGINT) AS bin
+        |  FROM e CROSS JOIN x)
+        |SELECT bin,
+        | round(lo + bin * (hi - lo) / 20, 4) AS bin_lo,
+        | round(lo + (bin + 1) * (hi - lo) / 20, 4) AS bin_hi,
+        | count(*) AS n
+        |FROM b CROSS JOIN x GROUP BY bin, lo, hi ORDER BY bin""".stripMargin,
     "retention_cohorts" ->
       """WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
         |   FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
@@ -675,6 +688,16 @@ object SparkEntry {
          |   SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst)
          |SELECT doc_id, min(r) AS cluster_id, doc_id = min(r) AS is_canonical
          |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "doc_overlap" ->
+      s"""WITH sh AS ($shingleSubSql),
+         | c AS (SELECT s, count(*) AS nd FROM sh GROUP BY s),
+         | per AS (SELECT doc_id, count(*) AS n_shingles,
+         |   sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_shared
+         |  FROM sh JOIN c USING (s) GROUP BY doc_id)
+         |SELECT doc_id, n_shingles, CAST(n_shared AS BIGINT) AS n_shared,
+         | round(n_shared * 1.0 / n_shingles, 4) AS overlap_fraction,
+         | n_shared * 1.0 / n_shingles >= 0.5 AS is_mostly_dup
+         |FROM per ORDER BY doc_id""".stripMargin,
     "doc_repetition" ->
       s"""SELECT doc_id, n_shingles_total, n_shingles_distinct,
          | CASE WHEN n_shingles_total = 0 THEN NULL

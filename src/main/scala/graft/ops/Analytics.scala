@@ -295,6 +295,34 @@ object Analytics {
       .orderBy(col("event_id"))
   }
 
+  /** Equi-width value histogram: one extremes aggregation (tiny,
+    * broadcast back as a scalar pair), then one pass assigning each row
+    * its bin and one id-free keyed count — the distribution view behind
+    * any monitoring dashboard. All bin math is pure IEEE-double
+    * arithmetic on (value, lo, hi) so the oracle computes bit-identical
+    * bins; the top edge clamps into the last bin. Two narrow shuffles
+    * (`nBins` keys) at any scale.
+    */
+  def valueHistogram(events: DataFrame, nBins: Int = 20): DataFrame = {
+    val vals = events.filter(col("value").isNotNull).select(col("value"))
+    val ext = vals.agg(min(col("value")).as("__lo"), max(col("value")).as("__hi"))
+    val width = (col("__hi") - col("__lo")) / nBins
+    vals
+      .join(broadcast(ext))
+      .withColumn("bin",
+        when(width === 0, lit(0L))
+          .otherwise(least(floor((col("value") - col("__lo")) / width),
+            lit(nBins - 1).cast("long"))))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(ext))
+      .withColumn("bin_lo",
+        round(col("__lo") + col("bin") * (col("__hi") - col("__lo")) / nBins, 4))
+      .withColumn("bin_hi",
+        round(col("__lo") + (col("bin") + 1) * (col("__hi") - col("__lo")) / nBins, 4))
+      .select(col("bin"), col("bin_lo"), col("bin_hi"), col("n"))
+  }
+
   /** Ordered funnel conversion — how many users progress through the
     * step sequence IN ORDER (each step strictly after the previous
     * step's first completion). The product-analytics staple the

@@ -240,6 +240,38 @@ object Corpus {
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("__lp")), 4).as("lm_score"))
   }
 
+  /** Cross-document substring duplication: the fraction of each doc's
+    * distinct 3-gram shingles that appear in at least one OTHER doc —
+    * the dup-span signal corpus reports use to find boilerplate-heavy
+    * documents that exact/near dedup both miss (a doc can be 60%
+    * template and still unique as a whole). Two keyed aggregations on
+    * the 8-byte hashed shingle (graft.functions.ShingleHashes) and one
+    * equi-join that reuses the same partitioning; only (doc_id, hash)
+    * pairs ever shuffle, never text.
+    */
+  def docOverlap(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sh = documents
+      .withColumn("__sh", Hashes.shingleHashes(split(normText, " "), 3))
+      .filter(size(col("__sh")) > 0)
+      .select(col("doc_id"), size(col("__sh")).cast("long").as("n_shingles"),
+        explode(col("__sh")).as("s"))
+    // rows are per-doc DISTINCT shingles, so count(*) per shingle = the
+    // number of docs containing it
+    val counts = sh.groupBy(col("s")).agg(count(lit(1)).as("__nd"))
+    sh.join(counts, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("n_shingles")).as("n_shingles"),
+        sum(when(col("__nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("overlap_fraction",
+        round(col("n_shared").cast("double") / col("n_shingles"), 4))
+      .withColumn("is_mostly_dup",
+        (col("n_shared").cast("double") / col("n_shingles") >= threshold)
+          .cast("boolean"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        col("overlap_fraction"), col("is_mostly_dup"))
+  }
+
   /** Near-dup CLUSTER assignment: connected components over the
     * [[TextDedup.minhashLsh]] pair graph, labeling every doc with the
     * smallest doc_id reachable through near-dup edges (canonical =

@@ -151,4 +151,29 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-01-01", 0L, 2L),   // both users active in their first week
       ("2024-01-01", 2L, 1L)))  // only u1 returns two weeks later
   }
+
+  test("valueHistogram bins tile [min,max], counts sum to non-null rows") {
+    val ev = Tables.events(spark, sfDir)
+    val out = Analytics.valueHistogram(ev).orderBy("bin")
+      .as[(Long, Double, Double, Long)].collect()
+    assert(out.nonEmpty && out.map(_._1).forall(b => b >= 0 && b < 20))
+    assert(out.map(_._4).sum === ev.filter(col("value").isNotNull).count())
+    // edges are contiguous: bin b's hi equals bin b+1's lo when adjacent
+    out.sliding(2).foreach {
+      case Array((b1, _, hi1, _), (b2, lo2, _, _)) if b2 == b1 + 1 =>
+        assert(math.abs(hi1 - lo2) < 1e-9, s"gap between bin $b1 and $b2")
+      case _ =>
+    }
+    // extremes bins are populated: min lands in bin 0, max in bin 19
+    assert(out.head._1 === 0L && out.last._1 === 19L)
+  }
+
+  test("valueHistogram degenerate case: constant values land in bin 0") {
+    val ev = Seq((1L, "2024-01-01 10:00:00", 1L, "click", 5.0, "{}"),
+      (2L, "2024-01-01 11:00:00", 2L, "view", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val out = Analytics.valueHistogram(ev).as[(Long, Double, Double, Long)].collect()
+    assert(out.toSeq === Seq((0L, 5.0, 5.0, 2L)))
+  }
 }

@@ -160,4 +160,31 @@ class CorpusSpec extends SparkSpec {
     }
     labels.unpersist()
   }
+
+  test("docOverlap: exact dups overlap fully, synthetic template spans are caught") {
+    val out = Corpus.docOverlap(docs).cache()
+    // every doc with >=1 shingle appears; fractions in [0,1]
+    val bad = out.filter(col("overlap_fraction") < 0 || col("overlap_fraction") > 1 ||
+      col("n_shared") > col("n_shingles")).count()
+    assert(bad === 0)
+    // exact duplicates (same normalized text) share ALL their shingles
+    val dupIds = TextDedup.exact(docs).filter(col("is_dup"))
+      .select("doc_id").as[Long].collect()
+    if (dupIds.nonEmpty) {
+      val full = out.filter(col("doc_id").isin(dupIds.map(Long.box): _*))
+        .filter(col("overlap_fraction") < 1.0).count()
+      assert(full === 0, "an exact dup did not overlap fully")
+    }
+    // synthetic: half-template docs overlap ~half, unique doc ~zero
+    val synth = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon unique1 unique2 unique3"),
+      (3L, "totally different words without any shared span here")
+    ).toDF("doc_id", "text")
+    val m = Corpus.docOverlap(synth)
+      .select("doc_id", "overlap_fraction").as[(Long, Double)].collect().toMap
+    assert(m(1L) > 0.4 && m(2L) > 0.4, s"template spans missed: $m")
+    assert(m(3L) === 0.0, s"unique doc flagged: $m")
+    out.unpersist()
+  }
 }

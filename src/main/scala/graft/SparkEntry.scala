@@ -92,6 +92,7 @@ object SparkEntry {
     "knn_lsh" -> ((s, d) => Similarity.knnLsh(Tables.embeddings(s, d))),
     "knn_ivf" -> ((s, d) => Similarity.knnIvf(Tables.embeddings(s, d))),
     "knn_ivf_sq8" -> ((s, d) => Similarity.knnIvfSq8(Tables.embeddings(s, d))),
+    "knn_ivf_pq" -> ((s, d) => Similarity.knnIvfPq(Tables.embeddings(s, d))),
     "corpus_curation" -> ((s, d) => Curation.curate(Tables.documents(s, d))),
     "corpus_curation_cc" -> ((s, d) => Curation.curateClustered(Tables.documents(s, d))),
     "text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),

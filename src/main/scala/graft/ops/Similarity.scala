@@ -307,6 +307,127 @@ object Similarity {
     queryIvf(index, queries, k, nProbe, excludeSelf = true)
   }
 
+  /** A trained product quantizer: per-subspace KMeans codebooks
+    * (m_subs × k_centroids rows, each carrying its sub-vector centroid —
+    * broadcast-sized model metadata, like [[IvfIndex]] centroids), plus
+    * the geometry needed to slice queries the same way.
+    */
+  case class PqModel(codebooks: DataFrame, mSubs: Int, subDim: Int)
+
+  /** Explode vectors into (id, sub, subv) sub-vector rows — the shared
+    * slicing for PQ train/encode/query. Narrow (one explode, no
+    * shuffle); `idCol`/`vecCol` name the input columns.
+    */
+  private def subVectors(df: DataFrame, idCol: String, vecCol: String,
+                         mSubs: Int, subDim: Int): DataFrame =
+    df.select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, ${mSubs - 1}), s -> slice($vecCol, s * $subDim + 1, $subDim))"))
+      .as(Seq("sub", "subv")))
+
+  /** Train a product quantizer (Jégou et al., TPAMI 2011): an
+    * independent KMeans codebook per sub-vector block. m fits over
+    * (corpus/m)-sized frames — training is a bounded model-fit pass,
+    * exactly like the IVF coarse quantizer; the resulting codebooks are
+    * m × k rows of metadata.
+    */
+  def trainPq(embeddings: DataFrame, mSubs: Int = 8, kCentroids: Int = 32): PqModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = prepared(embeddings)
+    val dim = base.select(size(col("v"))).head().getInt(0)
+    require(dim % mSubs == 0, s"dim $dim not divisible by mSubs $mSubs")
+    val subDim = dim / mSubs
+    val subs = subVectors(base, "vec_id", "v", mSubs, subDim)
+      .withColumn("fv", array_to_vector(col("subv")))
+      .localCheckpoint(true) // m fits share one materialization of the slices
+    val books = (0 until mSubs).map { s =>
+      val model = new KMeans().setK(kCentroids).setSeed(42 + s).setMaxIter(10)
+        .setFeaturesCol("fv").setPredictionCol("cid")
+        .fit(subs.filter(col("sub") === s))
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (s, i, c.toArray) }
+    }
+    PqModel(books.flatten.toDF("sub", "cid", "centroid"), mSubs, subDim)
+  }
+
+  /** Encode the corpus: per vector, the m nearest-centroid ids — m
+    * bytes replacing dim floats (here 8 B vs 256 B float32, 32×). Same
+    * broadcast-argmin shape as [[assignCells]], keyed by (vec_id, sub);
+    * codes reassemble into one array row per vector so the stored
+    * layout stays narrow.
+    */
+  def encodePq(model: PqModel, base: DataFrame): DataFrame =
+    subVectors(base, "vec_id", "v", model.mSubs, model.subDim)
+      .join(broadcast(model.codebooks), Seq("sub"))
+      .withColumn("__d2", VectorOps.vecNorm2(zip_with(col("subv"), col("centroid"),
+        (a: Column, b: Column) => a - b)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("sub")).orderBy(col("__d2"), col("cid"))))
+      .filter(col("__rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub, cid))), p -> p.cid)")
+        .as("codes"))
+
+  /** IVF-PQ ANN — the billion-vector serving configuration (FAISS's
+    * IVFx,PQy): coarse IVF cells prune I/O to nProbe/nCells, PQ codes
+    * shrink what a probe READS to m bytes/vector, and scoring is
+    * asymmetric-distance (ADC): the query precomputes, per subspace,
+    * its dot/norm against all k centroids (an m×k lookup table —
+    * broadcast), so a candidate scores with m table lookups instead of
+    * a dim-length dot product. The ADC top `rerank` then re-score
+    * exactly against the float vectors — the standard two-stage serve.
+    *
+    * Scale shape: candidate scoring shuffles only (query_id, vec_id,
+    * partial sums); vectors re-join once for the rerank-sized survivor
+    * set. Every model artifact (centroids, codebooks, ADC tables) is
+    * broadcast-sized by construction.
+    */
+  def knnIvfPq(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+               nCells: Int = 16, nProbe: Int = 4, mSubs: Int = 8,
+               kCentroids: Int = 32, rerank: Int = 50): DataFrame = {
+    val index = buildIvf(embeddings, nCells)
+    val pq = trainPq(embeddings, mSubs, kCentroids)
+    val codes = encodePq(pq, index.assigned)
+      .join(index.assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), posexplode(col("codes")).as(Seq("sub", "code")))
+    val queries = prepared(embeddings).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn2"))
+    // coarse probe: each query's nProbe nearest cells (same as queryIvf)
+    val probes = queries.crossJoin(broadcast(index.centroids))
+      .withColumn("d2", VectorOps.vecNorm2(zip_with(col("qv"), col("centroid"),
+        (a: Column, b: Column) => a - b)))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("cell"))
+    // ADC lookup table: per (query, sub, centroid) partial dot + norm²
+    val adc = subVectors(queries, "query_id", "qv", pq.mSubs, pq.subDim)
+      .join(broadcast(pq.codebooks), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid"),
+        VectorOps.vecDot(col("subv"), col("centroid")).as("pdot"),
+        VectorOps.vecNorm2(col("centroid")).as("pnorm2"))
+    val scored = broadcast(probes).join(codes, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id")) // self-query benchmark form
+      .join(broadcast(adc).withColumnRenamed("cid", "code"), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("adot"), sum(col("pnorm2")).as("anorm2"))
+      .withColumn("approx_rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy((col("adot") / sqrt(col("anorm2"))).desc, col("vec_id"))))
+      .filter(col("approx_rnk") <= rerank)
+      .select(col("query_id"), col("vec_id"))
+    scored
+      .join(prepared(embeddings), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cos_sim", round(cosRaw(col("qv"), col("v"), col("qn2"), col("norm2")), 4))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Random-hyperplane LSH ANN — the scale path. bands×bitsPerBand
     * pseudo-random hyperplanes (deterministic ±1 entries from xxhash64
     * parity of (dimension, plane)); per band, the sign pattern forms a

@@ -103,6 +103,7 @@ object SparkEntry {
     "text_normalize" -> ((s, d) => Corpus.normalize(Tables.documents(s, d))),
     "split_assign" -> ((s, d) => Corpus.splitAssign(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => Corpus.sampleStratified(Tables.documents(s, d))),
+    "sample_weighted" -> ((s, d) => Corpus.sampleWeighted(Tables.documents(s, d))),
     "ngram_topk" -> ((s, d) => Corpus.ngramTopK(Tables.documents(s, d))),
     "tfidf_topterms" -> ((s, d) => Corpus.tfidfTopTerms(Tables.documents(s, d))),
     "source_quality" -> ((s, d) => Corpus.sourceQuality(Tables.documents(s, d))),
@@ -633,6 +634,24 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY lang) AS n
         | FROM documents) t
         |WHERE rnk <= ceil(0.2 * n) ORDER BY doc_id""".stripMargin,
+    "sample_weighted" ->
+      """WITH m AS (SELECT max(n_chars) AS max_w FROM documents),
+        | u AS (SELECT doc_id, n_chars,
+        |  CAST(((strpos('0123456789abcdef',
+        |      substr(md5(CAST(doc_id AS VARCHAR) || '|graft-wsample-v1'), 1, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef',
+        |      substr(md5(CAST(doc_id AS VARCHAR) || '|graft-wsample-v1'), 2, 1)) - 1)) * 16
+        |    + (strpos('0123456789abcdef',
+        |      substr(md5(CAST(doc_id AS VARCHAR) || '|graft-wsample-v1'), 3, 1)) - 1)
+        |   AS BIGINT) * 16
+        |    + (strpos('0123456789abcdef',
+        |      substr(md5(CAST(doc_id AS VARCHAR) || '|graft-wsample-v1'), 4, 1)) - 1) AS u16
+        |  FROM documents)
+        |SELECT doc_id, n_chars, u16,
+        | round(n_chars * 1.0 / max_w, 4) AS keep_p
+        |FROM u CROSS JOIN m
+        |WHERE u16 * max_w < n_chars * 65536
+        |ORDER BY doc_id""".stripMargin,
     "ngram_topk" ->
       s"""WITH w AS (SELECT list_filter($wsSql, x -> x != '') AS ws FROM documents),
          | b AS (SELECT unnest(list_transform(range(1, len(ws)),

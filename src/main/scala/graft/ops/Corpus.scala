@@ -95,6 +95,33 @@ object Corpus {
       .select(col("doc_id"), col("lang"), col("rnk"))
   }
 
+  /** Deterministic WEIGHTED sample — importance sampling where a doc's
+    * keep-probability is proportional to its length (the
+    * token-budget-proportional selection a pretraining mixture uses;
+    * swap the weight column for a quality score and the same operator
+    * is quality-weighted sampling). Keep iff u(doc) < n_chars/max,
+    * where u is a 16-bit uniform from md5(doc_id|salt) built with the
+    * same engine-portable hex arithmetic as [[splitAssign]] — integer
+    * compares end to end, so the keep set is bit-identical across
+    * engines, runs, and layouts. One broadcast scalar (max weight);
+    * otherwise narrow, zero shuffle.
+    */
+  def sampleWeighted(documents: DataFrame,
+                     salt: String = "graft-wsample-v1"): DataFrame = {
+    def hexVal(pos: Int) = expr(
+      s"instr('$HexAlphabet', substring(md5(concat_ws('|', cast(doc_id as string), '$salt')), $pos, 1))")
+    val u16 = (((hexVal(1) - 1) * 16 + (hexVal(2) - 1)) * 16 + (hexVal(3) - 1)) * 16 +
+      (hexVal(4) - 1)
+    val maxW = documents.agg(max(col("n_chars")).as("__max_w"))
+    documents
+      .join(broadcast(maxW))
+      .withColumn("u16", u16.cast("long"))
+      // integer cross-multiply: u/65536 < n_chars/max ⇔ u·max < n_chars·65536
+      .filter(col("u16") * col("__max_w") < col("n_chars") * 65536L)
+      .select(col("doc_id"), col("n_chars"), col("u16"),
+        round(col("n_chars").cast("double") / col("__max_w"), 4).as("keep_p"))
+  }
+
   /** Corpus-wide top-k word bigrams — the vocabulary/statistics pass
     * (boilerplate detection, stopword induction, domain drift checks).
     * Per-row bigram explode, then one count aggregation: map-side

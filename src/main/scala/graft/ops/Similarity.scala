@@ -390,11 +390,28 @@ object Similarity {
     val pq = trainPq(embeddings, mSubs, kCentroids)
     val codes = encodePq(pq, index.assigned)
       .join(index.assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
-      .select(col("vec_id"), col("cell"), posexplode(col("codes")).as(Seq("sub", "code")))
     val queries = prepared(embeddings).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn2"))
+    queryIvfPq(index.centroids, pq, codes, queries, prepared(embeddings),
+      k, nProbe, rerank, excludeSelf = true)
+  }
+
+  /** Query phase of IVF-PQ, shared by the in-memory composition
+    * ([[knnIvfPq]]) and the persisted layout ([[loadIvfPq]]): coarse
+    * probe on `centroids`, ADC scoring of `codes` (vec_id, cell,
+    * codes), exact rerank of the shortlist against `rerankCorpus` (a
+    * [[prepared]] frame — at scale, a point-lookup of the rerank-sized
+    * survivor id set, the only touch of float vectors on the whole
+    * path).
+    */
+  def queryIvfPq(centroids: DataFrame, pq: PqModel, codes: DataFrame,
+                 queries: DataFrame, rerankCorpus: DataFrame, k: Int = 5,
+                 nProbe: Int = 4, rerank: Int = 50,
+                 excludeSelf: Boolean = false): DataFrame = {
+    val codeRows = codes
+      .select(col("vec_id"), col("cell"), posexplode(col("codes")).as(Seq("sub", "code")))
     // coarse probe: each query's nProbe nearest cells (same as queryIvf)
-    val probes = queries.crossJoin(broadcast(index.centroids))
+    val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("d2", VectorOps.vecNorm2(zip_with(col("qv"), col("centroid"),
         (a: Column, b: Column) => a - b)))
       .withColumn("pr", row_number().over(
@@ -407,8 +424,8 @@ object Similarity {
       .select(col("query_id"), col("sub"), col("cid"),
         VectorOps.vecDot(col("subv"), col("centroid")).as("pdot"),
         VectorOps.vecNorm2(col("centroid")).as("pnorm2"))
-    val scored = broadcast(probes).join(codes, Seq("cell"))
-      .filter(col("query_id") =!= col("vec_id")) // self-query benchmark form
+    val scored = broadcast(probes).join(codeRows, Seq("cell"))
+      .filter(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
       .join(broadcast(adc).withColumnRenamed("cid", "code"), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("pdot")).as("adot"), sum(col("pnorm2")).as("anorm2"))
@@ -418,7 +435,7 @@ object Similarity {
       .filter(col("approx_rnk") <= rerank)
       .select(col("query_id"), col("vec_id"))
     scored
-      .join(prepared(embeddings), Seq("vec_id"))
+      .join(rerankCorpus, Seq("vec_id"))
       .join(broadcast(queries), Seq("query_id"))
       .withColumn("cos_sim", round(cosRaw(col("qv"), col("v"), col("qn2"), col("norm2")), 4))
       .withColumn("rnk", row_number().over(
@@ -426,6 +443,36 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"), col("rnk"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Persist the IVF-PQ serving artifact: coarse centroids + PQ
+    * codebooks (model metadata, tiny) and the code table partitioned by
+    * cell — the layout where a probe reads m BYTES per candidate from
+    * only its probed cells' files. This is the configuration in which
+    * the float corpus is cold storage touched only by the rerank
+    * point-lookup; everything the hot path scans is codes.
+    */
+  def writeIvfPq(ivf: IvfIndex, pq: PqModel, path: String): Unit = {
+    ivf.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    pq.codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
+    encodePq(pq, ivf.assigned)
+      .join(ivf.assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** Load a [[writeIvfPq]] layout: (centroids, model, codes reader) —
+    * geometry (mSubs, subDim) restored from the codebooks themselves.
+    * Compose with [[queryIvfPq]]; the codes reader partition-prunes on
+    * cell.
+    */
+  def loadIvfPq(spark: org.apache.spark.sql.SparkSession,
+                path: String): (DataFrame, PqModel, DataFrame) = {
+    val codebooks = spark.read.parquet(s"$path/codebooks")
+    val mSubs = codebooks.agg(max(col("sub"))).head().getInt(0) + 1
+    val subDim = codebooks.select(size(col("centroid"))).head().getInt(0)
+    (spark.read.parquet(s"$path/centroids"),
+      PqModel(codebooks, mSubs, subDim),
+      spark.read.parquet(s"$path/codes"))
   }
 
   /** Random-hyperplane LSH ANN — the scale path. bands×bitsPerBand

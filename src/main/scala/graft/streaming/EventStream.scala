@@ -254,6 +254,34 @@ object EventStream {
       }
       .start()
 
+  /** Incrementally-maintained aggregate table — the materialized-view
+    * face of [[windowedAgg]]: update mode re-emits each (bucket,
+    * event_type) row whenever new events land in its window, and
+    * foreachBatch upserts the NEW cumulative value over the old one
+    * (keep-last on the micro-batch sequence number — monotone per
+    * checkpoint, so redelivered batches can't regress a row). The
+    * dashboard table the reference's query service would read is thus
+    * always current without ever recomputing history; each micro-batch
+    * touches only the date partitions its windows fall in. The batch
+    * version column `__v` rides along in the stored table as merge
+    * lineage.
+    */
+  def aggTableSink(spark: SparkSession, events: DataFrame, path: String,
+                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    windowedAgg(cleaned(events))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sources.upsertPartitionedKeepLast(spark, path,
+          batch
+            .withColumn("dt", to_date(col("bucket")).cast("string"))
+            .withColumn("__v", lit(batchId)),
+          keyCols = Seq("bucket", "event_type"), orderCol = "__v",
+          partitionCols = Seq("dt"))
+      }
+      .start()
+
   /** One-shot backfill/catch-up: run the ingest DAG (validate →
     * watermarked dedup) over everything CURRENTLY in `dir`, write
     * parquet, and stop — `Trigger.AvailableNow`, the replay mode of

@@ -219,6 +219,40 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(tgt).listFiles().map(_.getName).count(_.startsWith("dt=")) === 2)
   }
 
+  test("incrementally-maintained aggregate table converges to the batch aggregate") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_aggtbl_src").toString
+    val tgt = java.nio.file.Files.createTempDirectory("graft_aggtbl_tgt").toString + "/table"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_aggtbl_ck").toString
+    def write(rows: Seq[(Long, String, Long, String, Double, String)], f: String): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .coalesce(1).write.mode("overwrite").parquet(src + "/" + f)
+    write(Seq(
+      (1L, "2024-01-01 10:05:00", 1L, "click", 10.0, "{}"),
+      (2L, "2024-01-01 10:20:00", 2L, "click", 5.0, "{}"),
+      (3L, "2024-01-01 11:10:00", 1L, "view", 2.0, "{}")), "b1")
+    val q = EventStream.aggTableSink(spark,
+      spark.readStream.schema(EventStream.eventSchema).parquet(src + "/*"), tgt, ckpt)
+    q.processAllAvailable()
+    // batch 2 lands MORE clicks in the already-emitted 10:00 window →
+    // update mode must re-emit it and the upsert must replace, not append
+    write(Seq(
+      (4L, "2024-01-01 10:40:00", 3L, "click", 7.0, "{}"),
+      (5L, "2024-01-02 09:00:00", 1L, "click", 1.0, "{}")), "b2")
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(tgt)
+      .select(col("bucket").cast("string"), col("event_type"), col("n"), col("total_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got === Set(
+      ("2024-01-01 10:00:00", "click", 3L, 22.0),
+      ("2024-01-01 11:00:00", "view", 1L, 2.0),
+      ("2024-01-02 09:00:00", "click", 1L, 1.0)))
+    // two date partitions materialized; batch 2 touched only its own dates
+    assert(new java.io.File(tgt).listFiles().map(_.getName)
+      .count(_.startsWith("dt=")) === 2)
+  }
+
   test("backfill with maxFilesPerTrigger processes in bounded micro-batches") {
     val src = stagedDir // staged as 2 files
     val dest = java.nio.file.Files.createTempDirectory("graft_bf_rate").toString

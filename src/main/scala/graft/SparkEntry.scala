@@ -29,6 +29,7 @@ object SparkEntry {
     "ingest_batch_stats" -> ((s, d) => Ingest.batchStats(Tables.events(s, d))),
     "ingest_pipeline" -> ((s, d) => Ingest.pipeline(Tables.events(s, d))),
     "ingest_props_extract" -> ((s, d) => Ingest.extractProps(Tables.events(s, d))),
+    "ingest_dlq_replay" -> ((s, d) => Ingest.dlqReplay(Tables.events(s, d))),
     // ── B. query service (SURVEY §2B) ──────────────────────────────────
     "raw_station" -> ((s, d) =>
       StationQueries.rawStation(Tables.events(s, d), RawUser, RawStart, RawEnd)),
@@ -200,6 +201,23 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
         |FROM events ORDER BY event_id""".stripMargin,
+    "ingest_dlq_replay" ->
+      s"""WITH d AS (SELECT *,
+         |  CASE WHEN user_id IS NULL OR ts IS NULL THEN 'missing_key'
+         |       WHEN value IS NULL OR event_type IS NULL THEN 'missing_field'
+         |       WHEN value < 0 OR value > 300 THEN 'value_out_of_range'
+         |       WHEN event_type NOT IN ('click','view','purchase','signup') THEN 'bad_event_type'
+         |       ELSE 'unknown' END AS reason
+         | FROM events WHERE NOT coalesce($validSql, FALSE)),
+         | r AS (SELECT event_id, ts, user_id, event_type,
+         |  CASE WHEN reason = 'value_out_of_range'
+         |       THEN least(greatest(value, 0), 300) ELSE value END AS value,
+         |  props, reason,
+         |  reason = 'value_out_of_range' AS repaired
+         | FROM d)
+         |SELECT event_id, ts, user_id, event_type, value, props, reason, repaired,
+         | coalesce($validSql, FALSE) AS recovered
+         |FROM r ORDER BY event_id""".stripMargin,
     "raw_station" ->
       s"""SELECT * FROM events WHERE user_id = $RawUser
          | AND ts >= TIMESTAMP '$RawStart' AND ts <= TIMESTAMP '$RawEnd'

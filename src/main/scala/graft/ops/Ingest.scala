@@ -67,6 +67,30 @@ object Ingest {
           .when(!col("event_type").isin(ValidTypes: _*), "bad_event_type")
           .otherwise("unknown"))
 
+  /** DLQ replay with repair — the operational loop that drains a dead
+    * letter queue: apply the known-safe fixes (out-of-range values
+    * clamp to the sensor's physical bounds — the standard treatment for
+    * spike/underflow readings), revalidate, and split into recovered
+    * rows (re-enter the pipeline, tagged with their original reason and
+    * a repair marker) vs dead rows (structurally unfixable: missing
+    * keys/fields, unknown types — back to the queue/human). Narrow
+    * per-row work on the DLQ subset only; composes with [[pipeline]]
+    * for the re-ingest.
+    */
+  def dlqReplay(events: DataFrame): DataFrame = {
+    val repaired = dlq(events)
+      .withColumn("value",
+        when(col("reason") === "value_out_of_range",
+          least(greatest(col("value"), lit(0.0)), lit(MaxValue)))
+          .otherwise(col("value")))
+      .withColumn("repaired", (col("reason") === "value_out_of_range").cast("boolean"))
+    repaired
+      .withColumn("recovered", coalesce(validCond, lit(false)).cast("boolean"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"), col("reason"), col("repaired"),
+        col("recovered"))
+  }
+
   /** Keep-last dedup on (user_id, ts): the ON CONFLICT DO UPDATE upsert
     * (consumer/main.py:229-245). "Last" = highest event_id (arrival
     * order). One shuffle on the dedup key; the window never needs a full

@@ -65,4 +65,29 @@ class IngestSpec extends SparkSpec {
     assert(out.groupBy("user_id", "ts").count().filter(col("count") > 1).count() === 0)
     out.unpersist()
   }
+
+  test("DLQ replay recovers exactly the clamp-fixable rows") {
+    val ev = Tables.events(spark, sfDir)
+    val replay = Ingest.dlqReplay(ev).cache()
+    // replay covers the whole DLQ, nothing more
+    assert(replay.count() === Ingest.dlq(ev).count())
+    // recovered ⇔ repaired: value clamping is the only safe fix, so
+    // exactly the out-of-range rows come back (their other fields were
+    // valid by reason precedence)
+    assert(replay.filter(col("recovered") =!= col("repaired")).count() === 0)
+    // every recovered row now passes the validator verbatim
+    val revalidated = Ingest.validate(
+      replay.filter(col("recovered"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assert(revalidated.count() === replay.filter(col("recovered")).count())
+    // clamped values sit on the violated bound
+    assert(replay.filter(col("repaired") &&
+      (col("value") =!= 0.0) && (col("value") =!= 300.0)).count() === 0)
+    // dead rows keep their original values untouched
+    val dead = replay.filter(!col("recovered") && col("value").isNotNull)
+    val origDead = Ingest.dlq(ev)
+      .filter(col("reason") =!= "value_out_of_range" && col("value").isNotNull)
+    assert(dead.count() === origDead.count())
+    replay.unpersist()
+  }
 }

@@ -50,6 +50,8 @@ object SparkEntry {
       StationQueries.movingAvg(Tables.events(s, d))),
     "timeseries_sliding" -> ((s, d) =>
       StationQueries.slidingWindow(Tables.events(s, d))),
+    "timeseries_gaps" -> ((s, d) =>
+      StationQueries.gapDetect(Tables.events(s, d))),
     // ── C. analytics (SURVEY §2C) ──────────────────────────────────────
     "q1_agg" -> ((s, d) => Analytics.q1PricingSummary(Tables.lineitem(s, d))),
     "q3_shipping" -> ((s, d) => Analytics.q3Shipping(s,
@@ -277,6 +279,15 @@ object SparkEntry {
         |FROM events CROSS JOIN (VALUES (0), (1)) o(k)
         |WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "timeseries_gaps" ->
+      """SELECT user_id, prev_ts AS gap_start, ts AS gap_end,
+        | CAST(floor(epoch(ts)) - floor(epoch(prev_ts)) AS BIGINT) AS gap_sec
+        |FROM (
+        | SELECT user_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL) t
+        |WHERE floor(epoch(ts)) - floor(epoch(prev_ts)) > 21600
+        |ORDER BY user_id, gap_start""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -488,6 +488,24 @@ object Similarity {
       spark.read.parquet(s"$path/codes"))
   }
 
+  /** Append a new embedding batch to a persisted IVF-PQ layout
+    * ([[writeIvfPq]]): assign cells against the STORED coarse
+    * centroids, encode with the STORED codebooks (both are fixed model
+    * metadata — no refit, no touch of existing code files), and append
+    * new code files into only the affected `cell=` directories. The
+    * continuous-ingest shape for the quantized index, symmetric to
+    * [[appendToIvfPartitioned]]: cost ∝ batch, never corpus; periodic
+    * codebook refit is an offline rebuild like any index retrain.
+    */
+  def appendToIvfPq(path: String, newEmbeddings: DataFrame): Unit = {
+    val spark = newEmbeddings.sparkSession
+    val (centroids, pq, _) = loadIvfPq(spark, path)
+    val assigned = assignCells(centroids, prepared(newEmbeddings))
+    encodePq(pq, assigned)
+      .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
   /** Random-hyperplane LSH ANN — the scale path. bands×bitsPerBand
     * pseudo-random hyperplanes (deterministic ±1 entries from xxhash64
     * parity of (dimension, plane)); per band, the sign pattern forms a

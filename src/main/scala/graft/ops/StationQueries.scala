@@ -188,6 +188,29 @@ object StationQueries {
         round(avg(col("value")), 4).as("avg_value"))
       .orderBy(col("user_id"), col("w_start"))
 
+  /** Sensor-outage detection: per station, reporting gaps longer than
+    * `thresholdSec` between consecutive readings — the monitoring query
+    * a telemetry pipeline runs against exactly this table (which
+    * stations went dark, when, for how long). One keyed lag window
+    * (same single shuffle as [[movingAvg]], same epoch-seconds frame
+    * discipline); output is one row per gap, so it shrinks with data
+    * health, not data size.
+    */
+  def gapDetect(events: DataFrame, thresholdSec: Long = 21600): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("gap_sec",
+        (floor(col("ts").cast("timestamp").cast("double")) -
+          floor(col("prev_ts").cast("timestamp").cast("double"))).cast("long"))
+      .filter(col("gap_sec") > thresholdSec)
+      .select(col("user_id"), col("prev_ts").as("gap_start"),
+        col("ts").as("gap_end"), col("gap_sec"))
+  }
+
   /** get_latest_weather_data — DISTINCT ON (station_id) … ORDER BY
     * station_id, timestamp DESC (migrations/db.sql:79-90): newest row per
     * key, tie-broken by event_id. row_number over a keyed window = one

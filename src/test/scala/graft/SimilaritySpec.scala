@@ -303,4 +303,39 @@ class SimilaritySpec extends SparkSpec {
     assert(files.nonEmpty &&
       files.forall(_.getPath.toString.contains("cell=0")))
   }
+
+  test("IVF-PQ append encodes against stored models and only adds files") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sfDir)
+    val initial = e.filter(col("vec_id") % 5 =!= 4)
+    val batch = e.filter(col("vec_id") % 5 === 4)
+    // models trained on the INITIAL corpus only — the realistic shape
+    val ivf = Similarity.buildIvf(initial)
+    val pq = Similarity.trainPq(initial)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
+    Similarity.writeIvfPq(ivf, pq, dir)
+    val before = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("cell=")).flatMap(_.listFiles())
+      .map(_.getAbsolutePath).toSet
+    Similarity.appendToIvfPq(dir, batch)
+    // existing files untouched, new files appended
+    val after = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("cell=")).flatMap(_.listFiles())
+      .map(_.getAbsolutePath).toSet
+    assert(before.subsetOf(after) && after.size > before.size)
+    // the grown stored index serves exactly like the in-memory union
+    // encoded with the same fixed models
+    val (centroids, pqL, codes) = Similarity.loadIvfPq(spark, dir)
+    assert(codes.count() === e.count())
+    val grownIvf = Similarity.appendToIvf(ivf, batch)
+    val memCodes = Similarity.encodePq(pq, grownIvf.assigned)
+      .join(grownIvf.assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val queries = Similarity.prepared(e).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn2"))
+    val stored = Similarity.queryIvfPq(centroids, pqL, codes, queries,
+      Similarity.prepared(e), excludeSelf = true).collect().map(_.toSeq).toSeq
+    val mem = Similarity.queryIvfPq(ivf.centroids, pq, memCodes, queries,
+      Similarity.prepared(e), excludeSelf = true).collect().map(_.toSeq).toSeq
+    assert(stored === mem)
+  }
 }

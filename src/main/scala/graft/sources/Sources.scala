@@ -179,9 +179,9 @@ object Sources {
     *
     * Grid coordinates come from min/max scaling (two broadcast
     * scalars — no rank pass): right when keys are roughly uniform
-    * (ids, timestamps); a heavily skewed key wants rank-based scaling
-    * (one extra window pass over (key) — same Morton math) so tiles
-    * stay balanced.
+    * (ids, timestamps). For a heavily skewed key use
+    * [[writeZOrderedRanked]] — value scaling would collapse most rows
+    * into a few grid cells and kill pruning on that axis.
     */
   def writeZOrdered(df: DataFrame, path: String, partitionCols: Seq[String],
                     zCols: (String, String), numFiles: Int = 0,
@@ -195,17 +195,24 @@ object Sources {
       when(hi === lo, lit(0L)).otherwise(
         least(floor((c.cast("double") - lo) / (hi - lo) * side), lit(side - 1)))
         .cast("long")
-    def morton(x: Column, y: Column): Column =
-      (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-        acc
-          .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
-          .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
-      }
     val zed = df.join(broadcast(ext))
-      .withColumn("__z", morton(
+      .withColumn("__z", morton(bits,
         grid(col(cx), col("__xlo"), col("__xhi")),
         grid(col(cy), col("__ylo"), col("__yhi"))))
       .drop("__xlo", "__xhi", "__ylo", "__yhi")
+    writeByZ(zed, path, partitionCols, numFiles)
+  }
+
+  /** Morton bit-interleave of two `bits`-bit grid coordinates. */
+  private def morton(bits: Int, x: Column, y: Column): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  private def writeByZ(zed: DataFrame, path: String,
+                       partitionCols: Seq[String], numFiles: Int): Unit = {
     val keys = partitionCols.map(col) :+ col("__z")
     val ranged =
       if (numFiles > 0) zed.repartitionByRange(numFiles, keys: _*)
@@ -213,6 +220,36 @@ object Sources {
     ranged.sortWithinPartitions(keys: _*)
       .drop("__z")
       .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+  }
+
+  /** RANK-scaled Z-order — the skewed-key form of [[writeZOrdered]]:
+    * grid coordinates come from each key's QUANTILE splits
+    * (approxQuantile — one sample-based pass, broadcast as a literal
+    * array) instead of min/max value scaling, so every grid row/column
+    * holds ~equal data mass no matter how the values distribute, and
+    * pruning stays alive on a long-tailed key. Coordinates are the
+    * split-array rank of the value (a codegen'd aggregate over the
+    * 2^bits-element broadcast array — write-time cost only). 8-bit
+    * grids (256×256 tiles) are the practical default here: quantile
+    * estimation at 2^16 splits buys nothing.
+    */
+  def writeZOrderedRanked(df: DataFrame, path: String,
+                          partitionCols: Seq[String], zCols: (String, String),
+                          numFiles: Int = 0, bits: Int = 8): Unit = {
+    val (cx, cy) = zCols
+    val side = 1 << bits
+    val probs = (1 until side).map(_.toDouble / side).toArray
+    def splitsOf(c: String): Array[Double] =
+      df.stat.approxQuantile(c, probs, 0.001)
+    def grid(c: String, splits: Array[Double]): Column = {
+      val arr = array(splits.map(lit(_)): _*)
+      // rank = #splits ≤ value — equals the quantile bucket index
+      aggregate(arr, lit(0L),
+        (acc, s) => acc + when(col(c).cast("double") >= s, 1L).otherwise(0L))
+    }
+    val zed = df.withColumn("__z",
+      morton(bits, grid(cx, splitsOf(cx)), grid(cy, splitsOf(cy))))
+    writeByZ(zed, path, partitionCols, numFiles)
   }
 
   /** Small-file compaction for a partitioned parquet table — the

@@ -181,6 +181,43 @@ class SourcesSkewSpec extends SparkSpec {
     assert(zT < lT / 2, s"z-order ts span $zT not better than linear $lT")
   }
 
+  test("rank-scaled z-order keeps pruning alive on a heavy-tailed key") {
+    // lognormal-ish x: value scaling collapses ~all rows into the lowest
+    // grid cells; rank scaling spreads them by data mass
+    val data = spark.range(20000).select(
+      exp(rand(7) * 8.0).as("x"), (rand(13) * 1000.0).as("y"))
+      .cache()
+    val n = data.count().toDouble
+    val mmDir = java.nio.file.Files.createTempDirectory("graft_z_mm").toString
+    val rkDir = java.nio.file.Files.createTempDirectory("graft_z_rk").toString
+    Sources.writeZOrdered(data, mmDir, Seq.empty, ("x", "y"), numFiles = 16)
+    Sources.writeZOrderedRanked(data, rkDir, Seq.empty, ("x", "y"), numFiles = 16)
+    assert(spark.read.parquet(rkDir).count() === 20000)
+
+    // avg per-file span of x measured in RANK terms (fraction of all
+    // rows falling inside the file's [min, max] x interval) — the
+    // quantity that decides how much a predicate on x can prune
+    def avgRankSpan(dir: String): Double = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      assert(files.length > 4)
+      val spans = files.map { f =>
+        val (lo, hi) = spark.read.parquet(f).agg(min("x"), max("x"))
+          .as[(Double, Double)].head()
+        data.filter(col("x") >= lo && col("x") <= hi).count() / n
+      }
+      spans.sum / spans.length
+    }
+    val mm = avgRankSpan(mmDir)
+    val rk = avgRankSpan(rkDir)
+    // a 1/16 z-interval on a square Morton curve spans ~1/4 of each
+    // axis, so ~0.3-0.45 with boundary effects is the healthy range;
+    // value scaling on this tail measures ~0.75 (x-pruning dead)
+    assert(rk < 0.55, s"ranked z-order x rank-span $rk")
+    assert(rk < mm * 0.7, s"ranked $rk not enough better than minmax $mm")
+    data.unpersist()
+  }
+
   test("salted join equals plain join") {
     val ev = Tables.events(spark, sfDir)
     val dim = Seq(("click", 1.0), ("view", 0.5), ("purchase", 5.0),

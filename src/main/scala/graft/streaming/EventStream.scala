@@ -358,6 +358,50 @@ object EventStream {
       .toDF("user_id", "event_id", "ts", "value")
   }
 
+  /** Streaming sensor-outage detection — the stateful twin of
+    * [[graft.ops.StationQueries.gapDetect]]: per station, keep the
+    * newest seen timestamp as keyed state and EMIT a gap row the moment
+    * a reading arrives more than `thresholdSec` after it — monitoring
+    * that fires on arrival instead of on re-scan. State is one
+    * timestamp per key (bounded by key cardinality); gap arithmetic
+    * floors to epoch seconds exactly like the batch form, so emitted
+    * rows are comparable row-for-row. Assumes per-key in-order arrival
+    * across micro-batches (the key-partitioned-topic guarantee
+    * [[toKafka]] encodes); within a batch rows are sorted before the
+    * state walk.
+    */
+  def gapDetectStream(spark: SparkSession, events: DataFrame,
+                      thresholdSec: Long = 21600): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val typed = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, Long)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[java.sql.Timestamp]) =>
+          val sorted = rows.toSeq.sortBy { r =>
+            val i = r._2.toInstant; (i.getEpochSecond, i.getNano, r._3)
+          }
+          val out = Seq.newBuilder[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+          var last = state.getOption
+          sorted.foreach { case (_, ts, _) =>
+            last.foreach { prev =>
+              val gap = ts.toInstant.getEpochSecond - prev.toInstant.getEpochSecond
+              if (gap > thresholdSec) out += ((user, prev, ts, gap))
+            }
+            if (last.forall(_.toInstant.isBefore(ts.toInstant))) last = Some(ts)
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF("user_id", "gap_start", "gap_end", "gap_sec")
+  }
+
   /** Driver-facing entry (rows-only check): stage the converted events
     * as a file-stream source, run the full streaming pipeline, return
     * the emitted windows. Append mode withholds windows newer than the

@@ -219,6 +219,25 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(tgt).listFiles().map(_.getName).count(_.startsWith("dt=")) === 2)
   }
 
+  test("streaming gap detection emits exactly the batch-detected outages") {
+    val got = {
+      val q = EventStream.gapDetectStream(spark, EventStream.source(spark, stagedDir))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("gaps_out").start()
+      q.processAllAvailable(); q.stop()
+      val out = spark.table("gaps_out").collect().map(_.toSeq).toSet
+      spark.catalog.dropTempView("gaps_out")
+      out
+    }
+    val expect = graft.ops.StationQueries.gapDetect(Tables.events(spark, sfDir))
+      .withColumn("gap_start", col("gap_start").cast("timestamp"))
+      .withColumn("gap_end", col("gap_end").cast("timestamp"))
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty)
+    assert(got === expect,
+      s"stream/batch gap divergence: missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+  }
+
   test("incrementally-maintained aggregate table converges to the batch aggregate") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_aggtbl_src").toString

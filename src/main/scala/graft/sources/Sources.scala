@@ -145,6 +145,49 @@ object Sources {
     fs.delete(trash, true)
   }
 
+  /** Schema drift report between an incoming batch and a stored table:
+    * columns added, columns missing, and type changes keyed by column
+    * name — the check continuous ingestion runs BEFORE letting a
+    * producer deployment mutate a 100 TB table's schema. Pure metadata
+    * (two StructTypes), no data read.
+    */
+  def schemaDrift(batch: StructType, table: StructType): DataFrame = {
+    val b = batch.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val t = table.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val rows =
+      (b.keySet -- t.keySet).toSeq.sorted.map(n => (n, "added", t.get(n).orNull, b(n))) ++
+      (t.keySet -- b.keySet).toSeq.sorted.map(n => (n, "missing", t(n), b.get(n).orNull)) ++
+      (b.keySet & t.keySet).toSeq.sorted.collect {
+        case n if b(n) != t(n) => (n, "type_changed", t(n), b(n))
+      }
+    // caller builds against its own session; keep this helper
+    // session-agnostic by requiring one active
+    val spark = SparkSession.active
+    import spark.implicits._
+    rows.toDF("column", "drift", "table_type", "batch_type")
+  }
+
+  /** Safe schema evolution for an append path: ADDED nullable columns
+    * merge in (parquet mergeSchema handles old files on read);
+    * MISSING columns null-fill (an older producer is fine); a TYPE
+    * CHANGE is a breaking deploy and throws — route that batch to a
+    * DLQ and page someone, the same contract warehouse MERGE schemas
+    * enforce. Returns the batch projected to the evolved schema
+    * (table columns first, then additions) ready to append.
+    */
+  def evolveForAppend(batch: DataFrame, table: StructType): DataFrame = {
+    val drift = schemaDrift(batch.schema, table).collect()
+    val broken = drift.filter(_.getString(1) == "type_changed")
+    require(broken.isEmpty,
+      s"breaking schema drift: ${broken.map(_.getString(0)).mkString(",")}")
+    val withMissing = table.fields.foldLeft(batch) { (df, f) =>
+      if (batch.schema.fieldNames.contains(f.name)) df
+      else df.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    val added = batch.schema.fieldNames.filterNot(table.fieldNames.contains)
+    withMissing.select((table.fieldNames ++ added).map(col): _*)
+  }
+
   /** Clustered partitioned write — the second pruning axis after
     * directory partitioning: rows are RANGE-partitioned and sorted on
     * (partitionCols ++ sortCols), so within each partition directory

@@ -181,6 +181,34 @@ class SourcesSkewSpec extends SparkSpec {
     assert(zT < lT / 2, s"z-order ts span $zT not better than linear $lT")
   }
 
+  test("schema drift report and safe append evolution") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    val v1 = Seq((1L, "a", 1.0)).toDF("id", "name", "score")
+    v1.write.mode("overwrite").parquet(dir)
+    val table = spark.read.parquet(dir).schema
+    // v2 producer: drops name, adds tag
+    val v2 = Seq((2L, 2.5, "x")).toDF("id", "score", "tag")
+    val drift = Sources.schemaDrift(v2.schema, table)
+      .as[(String, String, String, String)].collect().toSet
+    assert(drift === Set(
+      ("tag", "added", null, "string"),
+      ("name", "missing", "string", null)))
+    // evolution: missing null-fills, added rides along, order = table ++ new
+    val evolved = Sources.evolveForAppend(v2, table)
+    assert(evolved.schema.fieldNames.toSeq === Seq("id", "name", "score", "tag"))
+    evolved.write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.count() === 2)
+    val byId = merged.select("id", "name", "tag")
+      .as[(Long, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(1L) === (("a", null)) && byId(2L) === ((null, "x")))
+    // a type change is a breaking deploy and must throw
+    val broken = Seq(("3", 1.0)).toDF("id", "score")
+    intercept[IllegalArgumentException] {
+      Sources.evolveForAppend(broken, table)
+    }
+  }
+
   test("rank-scaled z-order keeps pruning alive on a heavy-tailed key") {
     // lognormal-ish x: value scaling collapses ~all rows into the lowest
     // grid cells; rank scaling spreads them by data mass

@@ -75,6 +75,7 @@ object SparkEntry {
     "events_anomaly" -> ((s, d) => Analytics.anomalyZScore(Tables.events(s, d))),
     "events_funnel" -> ((s, d) => Analytics.funnel(Tables.events(s, d))),
     "events_histogram" -> ((s, d) => Analytics.valueHistogram(Tables.events(s, d))),
+    "events_dow_hour" -> ((s, d) => Analytics.dowHourProfile(Tables.events(s, d))),
     "retention_cohorts" -> ((s, d) => Analytics.retentionCohorts(Tables.events(s, d))),
     // ── D. LLM-training-data pipeline (SURVEY §2D) ─────────────────────
     "dedup_exact" -> ((s, d) => TextDedup.exact(Tables.documents(s, d))),
@@ -430,6 +431,11 @@ object SparkEntry {
         |UNION ALL SELECT CAST(2 AS INTEGER), 'click', (SELECT count(*) FROM s2)
         |UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', (SELECT count(*) FROM s3)
         |ORDER BY step""".stripMargin,
+    "events_dow_hour" ->
+      """SELECT CAST(isodow(ts) AS BIGINT) AS dow, CAST(hour(ts) AS BIGINT) AS hour,
+        | count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_histogram" ->
       """WITH e AS (SELECT value FROM events WHERE value IS NOT NULL),
         | x AS (SELECT min(value) AS lo, max(value) AS hi FROM e),

@@ -323,6 +323,23 @@ object Analytics {
       .select(col("bin"), col("bin_lo"), col("bin_hi"), col("n"))
   }
 
+  /** Day-of-week × hour-of-day activity profile — the seasonality
+    * heatmap behind capacity planning and anomaly baselines (what does
+    * a NORMAL Tuesday 14:00 look like). ISO day numbering (1 = Monday)
+    * so the engines can't disagree on week start. One tiny keyed
+    * aggregation (≤168 groups): map-side partials absorb everything,
+    * the shuffle moves one row per (dow, hour) per task.
+    */
+  def dowHourProfile(events: DataFrame): DataFrame =
+    events
+      .filter(col("ts").isNotNull)
+      .groupBy(
+        (expr("weekday(ts)") + 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hour"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("avg_value"))
+
   /** Ordered funnel conversion — how many users progress through the
     * step sequence IN ORDER (each step strictly after the previous
     * step's first completion). The product-analytics staple the

@@ -168,6 +168,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.head._1 === 0L && out.last._1 === 19L)
   }
 
+  test("dowHourProfile covers the week grid and conserves event counts") {
+    val ev = Tables.events(spark, sfDir)
+    val out = Analytics.dowHourProfile(ev)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.forall { case (d, h, _, _) => d >= 1 && d <= 7 && h >= 0 && h <= 23 })
+    assert(out.length <= 168)
+    assert(out.map(_._3).sum === ev.filter(col("ts").isNotNull).count())
+    // ISO numbering: a known Monday lands in dow=1
+    val monday = Seq((1L, "2024-01-01 10:00:00", 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val m = Analytics.dowHourProfile(monday).as[(Long, Long, Long, Double)].head()
+    assert(m._1 === 1L && m._2 === 10L)
+  }
+
   test("valueHistogram degenerate case: constant values land in bin 0") {
     val ev = Seq((1L, "2024-01-01 10:00:00", 1L, "click", 5.0, "{}"),
       (2L, "2024-01-01 11:00:00", 2L, "view", 5.0, "{}"))

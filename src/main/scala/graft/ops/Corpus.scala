@@ -316,20 +316,75 @@ object Corpus {
     * Kwak/large-star–small-star family shape); hub-heavy graphs would
     * salt the label join.
     */
-  def nearDupClusters(documents: DataFrame): DataFrame = {
-    val pairs = TextDedup.minhashLsh(documents)
-      .select(col("a_id"), col("b_id"))
+  def nearDupClusters(documents: DataFrame, hubSalts: Int = 16,
+                      hubDegree: Long = 1000000L): DataFrame =
+    clustersFromPairs(documents,
+      TextDedup.minhashLsh(documents).select(col("a_id"), col("b_id")),
+      hubSalts, hubDegree)
+
+  /** Hub guard internals of [[clustersFromPairs]], exposed for the spec:
+    * the directed edge list with its per-round join salt. Non-hub
+    * destinations carry salt 0; destinations whose in-degree ≥
+    * `hubDegree` get a stable src-hash salt in [0, hubSalts) so their
+    * edge rows spread over `hubSalts` join tasks.
+    */
+  private[graft] def saltedEdgeView(pairs: DataFrame, hubSalts: Int,
+                                    hubDegree: Long): (DataFrame, DataFrame) = {
     val edges = pairs
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst")
       .localCheckpoint(true)
+    // Degree histogram ONCE (edges are static across rounds). Hubs are
+    // ≤ |edges|/hubDegree keys by construction — broadcast-sized.
+    val hubs = edges.groupBy(col("dst")).agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") >= hubDegree)
+      .select(col("dst"), lit(true).as("__hub"))
+      .localCheckpoint(true)
+    val salted = edges.join(broadcast(hubs), Seq("dst"), "left")
+      .withColumn("__salt",
+        when(col("__hub"),
+          pmod(xxhash64(col("src")), lit(hubSalts.toLong))).otherwise(lit(0L)))
+      .select(col("src"), col("dst"), col("__salt"))
+      .localCheckpoint(true)
+    (salted, hubs)
+  }
+
+  /** Connected components over an EXPLICIT near-dup pair graph — the
+    * propagation core of [[nearDupClusters]], usable with pairs from any
+    * dedup family (minhash, simhash, embedding LSH).
+    *
+    * Hub guard: a pathological near-dup graph (one template document
+    * near-duplicating millions of docs) concentrates every round's label
+    * join on that hub's dst key — one task streams the hub's whole edge
+    * list. Destinations whose in-degree ≥ `hubDegree` (measured once —
+    * the edge list is static) therefore get their edge rows salted by a
+    * stable src hash and their label row replicated `hubSalts` ways, the
+    * [[Skew.saltedJoin]] shape applied only where the histogram says it
+    * pays: each (src,dst) edge matches exactly one label replica, so the
+    * join RESULT — and the propagation — is unchanged, but a hub's rows
+    * spread over `hubSalts` tasks. Replication cost is hubs×salts rows,
+    * ~zero on healthy graphs. The per-node min-agg needs no salting: min
+    * is decomposable and hash-aggregate map-side partials already reduce
+    * a hub's rows to one partial per task (the [[Skew.saltedSum]]
+    * two-phase shape, done by the engine).
+    */
+  def clustersFromPairs(documents: DataFrame, pairs: DataFrame,
+                        hubSalts: Int = 16, hubDegree: Long = 1000000L): DataFrame = {
+    val (edges, hubs) = saltedEdgeView(pairs, hubSalts, hubDegree)
+    val saltArray = array((0 until hubSalts).map(s => lit(s.toLong)): _*)
     var labels = documents
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
+      // label rows replicated across all salts for hub dsts only
+      val labelsForJoin = labels.withColumnRenamed("doc_id", "dst")
+        .join(broadcast(hubs), Seq("dst"), "left")
+        .withColumn("__salt",
+          explode(when(col("__hub"), saltArray).otherwise(array(lit(0L)))))
+        .select(col("dst"), col("__salt"), col("cluster_id"))
       val viaEdges = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .join(labelsForJoin, Seq("dst", "__salt"))
         .select(col("src").as("doc_id"), col("cluster_id"))
       val updated = labels.union(viaEdges)
         .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))

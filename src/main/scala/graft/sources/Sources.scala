@@ -282,8 +282,10 @@ object Sources {
     val (cx, cy) = zCols
     val side = 1 << bits
     val probs = (1 until side).map(_.toDouble / side).toArray
-    def splitsOf(c: String): Array[Double] =
-      df.stat.approxQuantile(c, probs, 0.001)
+    // both columns' splits from ONE approxQuantile pass (the multi-column
+    // overload shares a single scan of df)
+    val Array(splitsX, splitsY) =
+      df.stat.approxQuantile(Array(cx, cy), probs, 0.001)
     def grid(c: String, splits: Array[Double]): Column = {
       val arr = array(splits.map(lit(_)): _*)
       // rank = #splits ≤ value — equals the quantile bucket index
@@ -291,7 +293,7 @@ object Sources {
         (acc, s) => acc + when(col(c).cast("double") >= s, 1L).otherwise(0L))
     }
     val zed = df.withColumn("__z",
-      morton(bits, grid(cx, splitsOf(cx)), grid(cy, splitsOf(cy))))
+      morton(bits, grid(cx, splitsX), grid(cy, splitsY)))
     writeByZ(zed, path, partitionCols, numFiles)
   }
 

@@ -208,4 +208,46 @@ class CorpusSpec extends SparkSpec {
     assert(m(3L) === 0.0, s"unique doc flagged: $m")
     out.unpersist()
   }
+
+  test("clustersFromPairs hub salting spreads a star hub over tasks without changing labels") {
+    // star graph: one template "hub" (doc 0) near-duplicating 400 leaves
+    // that are NOT near-dups of each other — the pathological shape where
+    // every propagation round funnels the hub's whole edge list through
+    // one label-join task.
+    val nLeaves = 400
+    val members = spark.range(0, nLeaves + 1).toDF("doc_id")
+    val starPairs = spark.range(1, nLeaves + 1)
+      .select(lit(0L).as("a_id"), col("id").as("b_id"))
+    // a disjoint ordinary component to prove non-hub handling coexists
+    val sidePairs = Seq((1000L, 1001L), (1001L, 1002L)).toDF("a_id", "b_id")
+    val sideMembers = Seq(1000L, 1001L, 1002L).toDF("doc_id")
+    val allMembers = members.union(sideMembers)
+    val allPairs = starPairs.union(sidePairs)
+
+    // guard internals: with the threshold below the hub's degree, the hub
+    // is detected and its edges span multiple salts (≥2 ⇒ the label join
+    // cannot put all of the hub's rows in one task); non-hub edges stay
+    // on salt 0 so healthy keys pay nothing
+    val (salted, hubs) = Corpus.saltedEdgeView(allPairs, hubSalts = 8, hubDegree = 100L)
+    assert(hubs.select("dst").as[Long].collect().toSet === Set(0L),
+      "exactly the star hub should exceed the degree threshold")
+    val hubSaltCount = salted.filter(col("dst") === 0L)
+      .select("__salt").distinct().count()
+    assert(hubSaltCount >= 2, s"hub edges spread over $hubSaltCount salts")
+    val nonHubSalts = salted.filter(col("dst") =!= 0L)
+      .select("__salt").distinct().as[Long].collect().toSet
+    assert(nonHubSalts === Set(0L), "non-hub edges must not be salted")
+
+    // propagation result identical with and without the guard active
+    val saltedLabels = Corpus.clustersFromPairs(allMembers, allPairs,
+      hubSalts = 8, hubDegree = 100L)
+    val plainLabels = Corpus.clustersFromPairs(allMembers, allPairs,
+      hubSalts = 8, hubDegree = Long.MaxValue)
+    assert(saltedLabels.except(plainLabels).count() === 0)
+    assert(plainLabels.except(saltedLabels).count() === 0)
+    val byDoc = saltedLabels.select("doc_id", "cluster_id")
+      .as[(Long, Long)].collect().toMap
+    assert((0L to nLeaves.toLong).forall(byDoc(_) === 0L), "star collapses to hub's label")
+    assert(Seq(1000L, 1001L, 1002L).forall(byDoc(_) === 1000L), "side chain keeps its own label")
+  }
 }

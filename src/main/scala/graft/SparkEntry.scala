@@ -103,6 +103,7 @@ object SparkEntry {
     "knn_ivf_pq" -> ((s, d) => AnnServing.knnIvfPq(s, d)),
     "corpus_curation" -> ((s, d) => Curation.curate(Tables.documents(s, d))),
     "corpus_curation_cc" -> ((s, d) => Curation.curateClustered(Tables.documents(s, d))),
+    "corpus_curation_best" -> ((s, d) => Curation.curateKeepBest(Tables.documents(s, d))),
     "text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
@@ -116,6 +117,8 @@ object SparkEntry {
     "tfidf_topterms" -> ((s, d) => Corpus.tfidfTopTerms(Tables.documents(s, d))),
     "source_quality" -> ((s, d) => Corpus.sourceQuality(Tables.documents(s, d))),
     "doc_lm_score" -> ((s, d) => Corpus.lmScore(Tables.documents(s, d))),
+    "perplexity_buckets" -> ((s, d) => Corpus.perplexityBuckets(Tables.documents(s, d))),
+    "doc_entropy" -> ((s, d) => TextAnalysis.entropy(Tables.documents(s, d))),
     "contamination_check" -> ((s, d) => Corpus.contamination(Tables.documents(s, d))),
     "dedup_clusters" -> ((s, d) => Corpus.nearDupClusters(Tables.documents(s, d))),
     "doc_overlap" -> ((s, d) => Corpus.docOverlap(Tables.documents(s, d))),
@@ -501,6 +504,35 @@ object SparkEntry {
          | JOIN sz sb ON sb.doc_id = b_id
          |WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
+    // SimHash oracle — exact recomputation of the 64-bit simhash in
+    // DuckDB: the kernel's token hash is the LOW 8 BYTES of MD5 (chosen
+    // for exactly this portability), recomputed here from the hex of
+    // md5(tok) via per-nibble strpos arithmetic; ±1 votes per bit, sign
+    // → bit, assembled as HUGEINT then converted to the signed BIGINT
+    // the Spark kernel emits. Pairs are exact all-pairs hamming ≤ 3 —
+    // equal to the banded Spark output by pigeonhole (3 differing bits
+    // cannot touch all 4 16-bit chunks, so every qualifying pair shares
+    // a chunk and is found).
+    "dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM documents),
+         | h AS (SELECT doc_id, substr(md5(tok), 17, 16) AS hx FROM t),
+         | nib AS (SELECT doc_id, p, strpos('0123456789abcdef', substr(hx, 17 - p, 1)) - 1 AS v
+         |   FROM h CROSS JOIN (SELECT unnest(range(1, 17)) AS p) ps),
+         | bits AS (SELECT doc_id, (p - 1) * 4 + b AS bit,
+         |   CASE WHEN (v // (1 << b)) % 2 = 1 THEN 1 ELSE -1 END AS vote
+         |   FROM nib CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+         | votes AS (SELECT doc_id, bit, sum(vote) AS vt FROM bits GROUP BY 1, 2),
+         | sh AS (SELECT doc_id,
+         |   (CASE WHEN s >= 9223372036854775808::HUGEINT
+         |         THEN s - 18446744073709551616::HUGEINT ELSE s END)::BIGINT AS sim
+         |   FROM (SELECT doc_id,
+         |           sum(CASE WHEN vt > 0 THEN 1::HUGEINT << bit ELSE 0::HUGEINT END) AS s
+         |         FROM votes GROUP BY 1) z)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+         |ORDER BY 1, 2""".stripMargin,
     // Incremental gate oracle: batch docs (doc_id%5=4) survive unless a
     // CORPUS doc (doc_id%5≠4) shares their normalized text or clears
     // exact Jaccard ≥ 0.5 cross-set. Banding soundness argument is the
@@ -644,6 +676,75 @@ object SparkEntry {
          |JOIN q ON q.doc_id = d.doc_id
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM nd)
          |  AND d.doc_id NOT IN (SELECT doc_id FROM ed)
+         |ORDER BY d.doc_id""".stripMargin,
+    // CCNet bucket oracle: recompute the bigram-LM score (the
+    // doc_lm_score CTE), then per-lang NTILE(3) on the ROUNDED score
+    // with a doc_id tie-break — a total order, so both engines tile
+    // identically.
+    "perplexity_buckets" ->
+      s"""WITH t AS (SELECT doc_id, list_filter($wsSql, x -> x != '') AS ws FROM documents),
+         | b AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |   i -> struct_pack(w1 := ws[i], bigram := ws[i] || ' ' || ws[i+1]))) AS p FROM t),
+         | br AS (SELECT doc_id, p.w1 AS w1, p.bigram AS bigram FROM b),
+         | c2 AS (SELECT bigram, count(*) AS c2 FROM br GROUP BY 1),
+         | c1 AS (SELECT w1, count(*) AS c1 FROM
+         |   (SELECT unnest(ws) AS w1 FROM t) u GROUP BY 1),
+         | v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(ws) AS w FROM t) w),
+         | s AS (SELECT br.doc_id, round(avg(ln((c2.c2 + 1) * 1.0 / (c1.c1 + v.v))), 4) AS lm_score
+         |   FROM br JOIN c2 USING (bigram) JOIN c1 USING (w1) CROSS JOIN v GROUP BY 1),
+         | j AS (SELECT d.doc_id, d.lang, s.lm_score FROM documents d JOIN s ON s.doc_id = d.doc_id)
+         |SELECT doc_id, lang, lm_score,
+         | CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+         |FROM (SELECT doc_id, lang, lm_score,
+         |   ntile(3) OVER (PARTITION BY lang ORDER BY lm_score DESC, doc_id) AS nt FROM j) x
+         |ORDER BY doc_id""".stripMargin,
+    // Entropy oracle: H = log2(N) − (Σ c·log2(c))/N over per-(doc,tok)
+    // counts; + 0.0 folds IEEE -0.0 to +0.0 the same way the Spark side
+    // does.
+    "doc_entropy" ->
+      s"""WITH t AS (SELECT doc_id, unnest(list_filter($wsSql, x -> x != '')) AS tok FROM documents),
+         | c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+         | e AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+         |        sum(c * log2(c)) AS clog FROM c GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_distinct,
+         | round(log2(n_tokens) - clog / n_tokens, 4) + 0.0 AS entropy_bits,
+         | round(CASE WHEN n_distinct > 1
+         |   THEN (log2(n_tokens) - clog / n_tokens) / log2(n_distinct)
+         |   ELSE 0.0 END, 4) + 0.0 AS entropy_norm
+         |FROM e ORDER BY doc_id""".stripMargin,
+    // Keep-best curation oracle: connected components via the recursive
+    // CTE (as corpus_curation_cc), survivor = highest quality score
+    // (tie → lowest doc_id) per component, then the quality gate.
+    "corpus_curation_best" ->
+      s"""WITH RECURSIVE st AS ($statsSubSql),
+         | sc AS (SELECT doc_id,
+         |   (CASE WHEN n_tokens BETWEEN 10 AND 2000 THEN 0.25 ELSE 0.0 END +
+         |    CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END +
+         |    CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END +
+         |    CASE WHEN n_distinct_tokens * 1.0 / n_tokens >= 0.3 THEN 0.25 ELSE 0.0 END) AS score
+         |  FROM st),
+         | q AS (SELECT doc_id FROM sc WHERE score >= 0.75),
+         | sh AS ($shingleSubSql),
+         | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         | cnt AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+         |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         | jp AS (SELECT a_id, b_id FROM cnt
+         |   JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+         |   WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.5),
+         | edges AS (SELECT a_id AS src, b_id AS dst FROM jp
+         |   UNION SELECT b_id, a_id FROM jp),
+         | reach(doc_id, r) AS (
+         |   SELECT doc_id, doc_id FROM documents
+         |   UNION
+         |   SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst),
+         | comp AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+         | best AS (SELECT doc_id FROM (
+         |   SELECT c.doc_id, row_number() OVER (PARTITION BY c.cluster_id
+         |     ORDER BY sc.score DESC, c.doc_id) AS rn
+         |   FROM comp c JOIN sc ON sc.doc_id = c.doc_id) x WHERE rn = 1)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+         | JOIN q ON q.doc_id = d.doc_id
+         | JOIN best ON best.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS raw_chars,

@@ -33,9 +33,33 @@ object HashKernels {
     mix64(h)
   }
 
-  /** One-pass SimHash over a token array: per token take a 64-bit hash,
-    * vote ±1 per bit position, sign of the vote becomes the output bit.
-    * Duplicate tokens vote multiple times (term-frequency weighting).
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Low 8 bytes (big-endian) of MD5 over raw bytes — the PORTABLE
+    * 64-bit hash basis: MD5 exists verbatim in every engine, so a
+    * DuckDB oracle recomputes this exact signed value from
+    * `substr(md5(tok), 17, 16)` hex. Used where cross-engine
+    * bit-identity matters (simhash); the FNV basis stays for
+    * join-key-only hashes (shingles, minhash) where speed wins.
+    */
+  def md5Low64(b: Array[Byte]): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(b)
+    var h = 0L
+    var i = 8
+    while (i < 16) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** One-pass SimHash over a token array: per token take a 64-bit hash
+    * ([[md5Low64]] — portable, so the whole simhash is ANSI-SQL
+    * expressible and oracle-checkable cross-engine), vote ±1 per bit
+    * position, sign of the vote becomes the output bit. Duplicate
+    * tokens vote multiple times (term-frequency weighting).
     */
   def simhash(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
@@ -43,7 +67,7 @@ object HashKernels {
     var t = 0
     while (t < n) {
       if (!arr.isNullAt(t)) {
-        val h = hashBytes(arr.getUTF8String(t).getBytes, 0L)
+        val h = md5Low64(arr.getUTF8String(t).getBytes)
         var i = 0
         while (i < 64) {
           if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1

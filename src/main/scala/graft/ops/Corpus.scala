@@ -267,6 +267,29 @@ object Corpus {
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("__lp")), 4).as("lm_score"))
   }
 
+  /** CCNet-style perplexity bucketing: per-language NTILE(3) over the
+    * [[lmScore]] fluency score — `head` (most fluent third), `middle`,
+    * `tail`. This is the quality-tiering step the CCNet pipeline runs
+    * after its KenLM pass: downstream mixes train on head+middle and
+    * drop (or downweight) tail, PER LANGUAGE so high-resource languages
+    * don't set the bar for low-resource ones. Ranking uses the ROUNDED
+    * score with a doc_id tie-break — a total order, so the tiling is
+    * engine-deterministic (NTILE has identical semantics in ANSI SQL).
+    * Cost: [[lmScore]]'s two corpus aggs + one keyed window on lang —
+    * the window partitions by language, so no global sort ever forms.
+    */
+  def perplexityBuckets(documents: DataFrame): DataFrame = {
+    val scored = lmScore(documents)
+      .join(documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    scored
+      .withColumn("__t", ntile(3).over(
+        Window.partitionBy(col("lang")).orderBy(col("lm_score").desc, col("doc_id"))))
+      .withColumn("ppl_bucket",
+        when(col("__t") === 1, "head").when(col("__t") === 2, "middle").otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("lm_score"), col("ppl_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Cross-document substring duplication: the fraction of each doc's
     * distinct 3-gram shingles that appear in at least one OTHER doc —
     * the dup-span signal corpus reports use to find boilerplate-heavy

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus curation — the composition a pre-training
@@ -53,6 +54,39 @@ object Curation {
     documents
       .join(quality, Seq("doc_id"), "left_semi")
       .join(removed, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  /** Keep-BEST curation: like [[curateClustered]], one survivor per
+    * near-dup connected component — but the survivor is the HIGHEST
+    * QUALITY member (tie → lowest doc_id), not the lowest id. This is
+    * the rule production pipelines actually want: when a Wikipedia page
+    * and three scraped mirrors form one cluster, keep the clean copy,
+    * whichever crawled first. Exact duplicates need no separate stage:
+    * identical text ⇒ Jaccard-1 pairs ⇒ same component (and identical
+    * scores, so the id tie-break picks one deterministically). A
+    * cluster whose best member still fails the quality gate contributes
+    * nothing — the representative must stand on its own.
+    *
+    * Cost over [[curateClustered]]: one extra keyed window on
+    * cluster_id (clusters are tiny — near-dup groups, mostly
+    * singletons) and the quality scores it ranks by; all joins remain
+    * doc_id-only.
+    */
+  def curateKeepBest(documents: DataFrame): DataFrame = {
+    val scores = TextAnalysis.qualityFilter(documents, minScore = 0.0)
+      .select(col("doc_id"), col("quality_score"))
+    val best = Corpus.nearDupClusters(documents)
+      .select(col("doc_id"), col("cluster_id"))
+      .join(scores, Seq("doc_id"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality_score").desc, col("doc_id"))))
+      .filter(col("__rn") === 1)
+      .select("doc_id")
+    documents
+      .join(TextAnalysis.qualityFilter(documents).select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(best, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 }

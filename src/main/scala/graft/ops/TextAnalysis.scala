@@ -131,6 +131,41 @@ object TextAnalysis {
     * Filter keeps docs scoring ≥ 0.75 (at most one failed check) — the
     * usual pre-training corpus gate.
     */
+  /** Per-document unigram Shannon entropy (bits) + entropy normalized
+    * by its per-doc maximum log2(n_distinct) — the information-density
+    * quality signal: template spam and keyword-stuffed pages score low
+    * normalized entropy even when [[textStats]]' distinct-ratio looks
+    * healthy (many distinct tokens, but a few dominate the mass).
+    * Computed as H = log2(N) − (Σ c·log2(c))/N over the per-(doc,token)
+    * counts — one narrow explode + two keyed aggregations on doc_id,
+    * map-side partials absorb the token fan-out; rounded at the output
+    * boundary (float summation order). Docs with no non-empty tokens
+    * are absent (no mass to measure), matching the oracle.
+    */
+  def entropy(documents: DataFrame): DataFrame = {
+    val counts = documents
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("__c"))
+    counts.groupBy(col("doc_id"))
+      .agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("__c").cast("double") * log(2.0, col("__c"))).as("__clog"))
+      // + 0.0 normalizes IEEE -0.0 (a ±1-ulp difference in either
+      // engine's log2 can round to a signed zero) so both engines hash
+      // the same bits
+      .withColumn("entropy_bits", round(
+        log(2.0, col("n_tokens")) - col("__clog") / col("n_tokens"), 4) + lit(0.0))
+      .withColumn("entropy_norm", round(
+        when(col("n_distinct") > 1,
+          (log(2.0, col("n_tokens")) - col("__clog") / col("n_tokens"))
+            / log(2.0, col("n_distinct"))).otherwise(0.0), 4) + lit(0.0))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("entropy_bits"), col("entropy_norm"))
+      .orderBy(col("doc_id"))
+  }
+
   def qualityFilter(documents: DataFrame, minScore: Double = 0.75): DataFrame = {
     val stats = textStats(documents)
     stats

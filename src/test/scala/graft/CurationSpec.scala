@@ -35,6 +35,39 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("keep-best curation keeps the highest-quality member per component") {
+    val docs = Tables.documents(spark, sfDir)
+    val kept = Curation.curateKeepBest(docs).select("doc_id").as[Long].collect().toSet
+    val quality = graft.ops.TextAnalysis.qualityFilter(docs, minScore = 0.0)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    val gate = quality.filter(_._2 >= 0.75).keySet
+    val labels = graft.ops.Corpus.nearDupClusters(docs)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+    labels.groupBy(_._2).foreach { case (_, members) =>
+      val ids = members.map(_._1)
+      val bestId = ids.minBy(id => (-quality(id), id))
+      val survivors = ids.filter(kept.contains)
+      // survivor set is exactly {best} if best passes the gate, else ∅
+      val expected = if (gate.contains(bestId)) Set(bestId) else Set.empty[Long]
+      assert(survivors.toSet === expected,
+        s"cluster ${members.head._2}: survivors $survivors, expected $expected")
+    }
+    // planted cluster where best ≠ lowest id: doc 1 lacks a stopword
+    // (score 0.75), doc 2 is the same text + "the" (score 1.0, jaccard
+    // 0.9 — same near-dup component). keep-best must invert the
+    // keep-lowest-id choice.
+    val content = "quick brown foxes jump over lazy sleeping dogs near quiet rivers"
+    val planted = Seq(
+      (1L, content, "en", "web", content.length.toLong),
+      (2L, content + " the", "en", "web", (content.length + 4).toLong),
+      (3L, "completely different words about astronomy telescopes and galaxies tonight here", "en", "web", 80L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val keptP = Curation.curateKeepBest(planted).select("doc_id").as[Long].collect().toSet
+    val lowP = Curation.curateClustered(planted).select("doc_id").as[Long].collect().toSet
+    assert(keptP.contains(2L) && !keptP.contains(1L), s"keep-best kept $keptP, want 2 not 1")
+    assert(lowP.contains(1L) && !lowP.contains(2L), s"keep-lowest kept $lowP, want 1 not 2")
+  }
+
   test("minhash LSH is a drop-in for the exact near-dup stage on this corpus") {
     val docs = Tables.documents(spark, sfDir)
     val exact = TextDedup.ngramJaccard(docs).select("a_id", "b_id")

@@ -209,6 +209,24 @@ class CorpusSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("perplexity buckets tile each language into thirds ordered by lm score") {
+    val out = Corpus.perplexityBuckets(docs)
+      .as[(Long, String, Double, String)].collect()
+    assert(out.nonEmpty)
+    assert(out.map(_._4).toSet.subsetOf(Set("head", "middle", "tail")))
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      // NTILE semantics: bucket sizes differ by at most one
+      val sizes = rows.groupBy(_._4).map(_._2.length)
+      assert(sizes.max - sizes.min <= 1, s"$lang bucket sizes $sizes")
+      // the tiling respects the score order: every head score ≥ every
+      // middle score ≥ every tail score
+      def scores(b: String) = rows.filter(_._4 == b).map(_._3)
+      for (Seq(hi, lo) <- Seq("head", "middle", "tail").combinations(2))
+        if (scores(hi).nonEmpty && scores(lo).nonEmpty)
+          assert(scores(hi).min >= scores(lo).max, s"$lang $hi/$lo out of order")
+    }
+  }
+
   test("clustersFromPairs hub salting spreads a star hub over tasks without changing labels") {
     // star graph: one template "hub" (doc 0) near-duplicating 400 leaves
     // that are NOT near-dups of each other — the pathological shape where

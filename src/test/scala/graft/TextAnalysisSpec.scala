@@ -70,4 +70,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(real.forall(x => x._3 <= x._2))
     assert(real.forall(_._4.forall(v => v >= 0.0 && v <= 1.0)))
   }
+
+  test("entropy: zero for constant docs, log2(n) for uniform, ranks skew below uniform") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),          // constant: H = 0
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),    // 8 uniform: H = 3
+      (3L, "word word word word word word word other"),         // skewed mass
+      (4L, "")                                                  // no tokens: absent
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.entropy(d)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(!r.contains(4L), "empty doc must be absent")
+    assert(r(1L)._4 === 0.0 && r(1L)._5 === 0.0)
+    assert(r(2L)._4 === 3.0 && r(2L)._5 === 1.0)
+    // doc 3 has the same n_distinct as a 2-token uniform doc would, but
+    // its mass is skewed: normalized entropy strictly below 1
+    assert(r(3L)._5 > 0.0 && r(3L)._5 < 1.0, s"skewed norm was ${r(3L)._5}")
+    // corpus invariants: 0 ≤ H ≤ log2(n_distinct), norm ∈ [0, 1]
+    val real = TextAnalysis.entropy(Tables.documents(spark, sfDir))
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(real.nonEmpty)
+    assert(real.forall(x => x._4 >= 0.0 &&
+      x._4 <= math.log(x._3.toDouble) / math.log(2.0) + 1e-4))
+    assert(real.forall(x => x._5 >= 0.0 && x._5 <= 1.0))
+  }
 }

@@ -108,6 +108,7 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
+    "gopher_quality" -> ((s, d) => TextAnalysis.gopherQuality(Tables.documents(s, d))),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "text_normalize" -> ((s, d) => Corpus.normalize(Tables.documents(s, d))),
     "split_assign" -> ((s, d) => Corpus.splitAssign(Tables.documents(s, d))),
@@ -120,6 +121,7 @@ object SparkEntry {
     "perplexity_buckets" -> ((s, d) => Corpus.perplexityBuckets(Tables.documents(s, d))),
     "doc_entropy" -> ((s, d) => TextAnalysis.entropy(Tables.documents(s, d))),
     "contamination_check" -> ((s, d) => Corpus.contamination(Tables.documents(s, d))),
+    "split_leakage" -> ((s, d) => Corpus.splitLeakage(Tables.documents(s, d))),
     "dedup_clusters" -> ((s, d) => Corpus.nearDupClusters(Tables.documents(s, d))),
     "doc_overlap" -> ((s, d) => Corpus.docOverlap(Tables.documents(s, d))),
     "doc_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
@@ -129,6 +131,7 @@ object SparkEntry {
     "data_mix" -> ((s, d) => TrainingPrep.mixWeights(Tables.documents(s, d))),
     "shard_assign" -> ((s, d) => TrainingPrep.shardAssign(Tables.documents(s, d))),
     "badword_filter" -> ((s, d) => TrainingPrep.badwordFilter(Tables.documents(s, d))),
+    "doc_chunk" -> ((s, d) => TrainingPrep.chunk(Tables.documents(s, d))),
     "multimodal_meta" -> ((s, d) => Multimodal.metadata(Tables.documents(s, d))),
     "multimodal_features" -> ((s, d) => Multimodal.features(s, Tables.documents(s, d))),
     "multimodal_frame_sample" -> ((s, d) => Multimodal.frameSample(s, Tables.documents(s, d))),
@@ -618,6 +621,30 @@ object SparkEntry {
          |   AS DOUBLE) AS quality_score
          | FROM ($statsSubSql) st) q
          |WHERE quality_score >= 0.75 ORDER BY doc_id""".stripMargin,
+    // required-word list rendered from TextAnalysis.RequiredWords so the
+    // engines can never drift on the Gopher stopword rule
+    "gopher_quality" -> {
+      val req = graft.ops.TextAnalysis.RequiredWords.map(w => s"'$w'").mkString("(", ",", ")")
+      s"""SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio, n_required_hits,
+         | n_words BETWEEN 50 AND 100000 AS flag_word_count,
+         | mean_word_len BETWEEN 3.0 AND 10.0 AS flag_mean_word_len,
+         | symbol_ratio <= 0.1 AS flag_symbol_ratio,
+         | alpha_ratio >= 0.8 AS flag_alpha_ratio,
+         | n_required_hits >= 2 AS flag_stopwords,
+         | (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+         |  AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8 AND n_required_hits >= 2)
+         |  AS gopher_pass
+         |FROM (SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  round(length(replace(norm, ' ', '')) * 1.0 / len(ws), 4) AS mean_word_len,
+         |  round(len(list_filter(ws, x -> regexp_matches(x, '#|\\.\\.\\.'))) * 1.0 / len(ws), 4)
+         |    AS symbol_ratio,
+         |  round(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(ws), 4)
+         |    AS alpha_ratio,
+         |  CAST(len(list_filter(ws, x -> x IN $req)) AS BIGINT) AS n_required_hits
+         | FROM (SELECT doc_id, $normSql AS norm, $wsSql AS ws FROM documents) raw) t
+         |ORDER BY doc_id""".stripMargin
+    },
     "source_quality" ->
       s"""WITH st AS ($statsSubSql),
          | q AS (SELECT doc_id FROM (
@@ -827,6 +854,32 @@ object SparkEntry {
          | coalesce(h.n_contaminated, 0) * 1.0 / t.n_shingles >= 0.5 AS is_contaminated
          |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+    // split buckets reuse the split_assign md5 arithmetic verbatim; the
+    // shingle join runs on strings here vs 8-byte hashes in Spark (same
+    // accepted equivalence as contamination_check / doc_overlap)
+    "split_leakage" ->
+      s"""WITH sh AS ($shingleSubSql),
+         | asg AS (SELECT doc_id,
+         |   CASE WHEN bucket < 205 THEN 'train'
+         |        WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |   CAST((strpos('0123456789abcdef',
+         |      substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split-v1'), 1, 1)) - 1) * 16
+         |    + (strpos('0123456789abcdef',
+         |      substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split-v1'), 2, 1)) - 1)
+         |    AS BIGINT) AS bucket FROM documents) b),
+         | j AS (SELECT sh.doc_id, asg.split, sh.s FROM sh JOIN asg USING (doc_id)),
+         | tr AS (SELECT DISTINCT s FROM j WHERE split = 'train'),
+         | held AS (SELECT * FROM j WHERE split != 'train'),
+         | tot AS (SELECT doc_id, split, count(*) AS n_shingles FROM held GROUP BY 1, 2),
+         | hit AS (SELECT held.doc_id, count(*) AS n_leaked
+         |   FROM held JOIN tr USING (s) GROUP BY 1)
+         |SELECT t.doc_id, t.split, CAST(t.n_shingles AS BIGINT) AS n_shingles,
+         | CAST(coalesce(h.n_leaked, 0) AS BIGINT) AS n_leaked,
+         | round(coalesce(h.n_leaked, 0) * 1.0 / t.n_shingles, 4) AS leak_fraction,
+         | coalesce(h.n_leaked, 0) * 1.0 / t.n_shingles >= 0.5 AS is_leaked
+         |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     // Cluster assignment inherits the minhash oracle soundness argument
     // (banded candidates exact-verified ⊆ exact pairs; set equality
     // spec-proven and re-asserted at every gate SF by the tri-SF local
@@ -977,6 +1030,19 @@ object SparkEntry {
          |  CAST(len(list_filter($wsSql, x -> x != '')) AS BIGINT) AS n_tokens,
          |  CAST(len(list_filter($wsSql, x -> x IN ('slow','dup','error','bad'))) AS BIGINT) AS n_bad
          | FROM documents) t ORDER BY doc_id""".stripMargin,
+    // chunk geometry (size 32 / stride 24) mirrored as integer literals;
+    // DuckDB list slicing is 1-based inclusive, matching Spark's slice()
+    "doc_chunk" ->
+      s"""WITH w AS (SELECT doc_id, list_filter($wsSql, x -> x != '') AS ws FROM documents),
+         | nz AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+         | c AS (SELECT doc_id, ws, n,
+         |   unnest(range(0, (n - 1) // 24 + 1)) AS chunk_id FROM nz)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         | CAST(len(ws[chunk_id * 24 + 1 : least(chunk_id * 24 + 32, n)]) AS BIGINT)
+         |   AS n_chunk_tokens,
+         | array_to_string(ws[chunk_id * 24 + 1 : least(chunk_id * 24 + 32, n)], ' ')
+         |   AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "token_count" ->
       """SELECT doc_id, n_ws_tokens, n_bpe_tokens,
         | CASE WHEN n_ws_tokens = 0 THEN NULL

@@ -205,6 +205,42 @@ object Corpus {
         col("contamination_rate"), col("is_contaminated"))
   }
 
+  /** Train→eval split-leakage audit: for every doc assigned to the
+    * val/test splits by [[splitAssign]], the fraction of its distinct
+    * 3-word shingles that also occur in ANY train-split doc — the check
+    * every pipeline must run AFTER splitting, because near-duplicate
+    * pairs that straddle the split boundary silently inflate eval
+    * scores even when the corpus itself was deduped (dedup thresholds
+    * pass plenty of 40%-overlap pairs). Same shape as [[contamination]]
+    * with the roles inverted: here the REFERENCE side (train) is the
+    * big one, so it is not broadcast — both sides reduce to 8-byte
+    * hashed shingles and meet in one hash-partitioned semi-join; text
+    * never shuffles, and the held-out side is the small probe stream.
+    */
+  def splitLeakage(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val assigned = splitAssign(documents).select(col("doc_id"), col("split"))
+    val sh = documents
+      .withColumn("__sh", Hashes.shingleHashes(split(normText, " "), 3))
+      .filter(size(col("__sh")) > 0)
+      .select(col("doc_id"), size(col("__sh")).cast("long").as("n_shingles"),
+        explode(col("__sh")).as("s"))
+      .join(assigned, Seq("doc_id"))
+    val trainSh = sh.filter(col("split") === "train").select(col("s")).distinct()
+    val heldOut = sh.filter(col("split") =!= "train")
+    val hits = heldOut.join(trainSh, Seq("s"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_leaked"))
+    heldOut
+      .select(col("doc_id"), col("split"), col("n_shingles")).distinct()
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_leaked", coalesce(col("n_leaked"), lit(0L)))
+      .withColumn("leak_fraction",
+        round(col("n_leaked") / col("n_shingles"), 4))
+      .withColumn("is_leaked",
+        (col("n_leaked") / col("n_shingles") >= threshold).cast("boolean"))
+      .select(col("doc_id"), col("split"), col("n_shingles"), col("n_leaked"),
+        col("leak_fraction"), col("is_leaked"))
+  }
+
   /** Per-source curation dashboard — the domain-level view large-scale
     * pipelines filter on (drop/downweight whole sources by measured
     * quality, the RefinedWeb/C4 pattern): doc volume, quality-gate pass

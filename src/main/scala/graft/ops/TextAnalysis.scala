@@ -180,6 +180,65 @@ object TextAnalysis {
         col("avg_token_len"), col("quality_score"))
   }
 
+  /** The "required word" list of the Gopher quality rules (Rae et al.
+    * 2021, §A1.1): a doc must contain at least two of these to pass the
+    * stopword check. Shared with the DuckDB oracle via
+    * [[RequiredWords]]' literal rendering in SparkEntry.
+    */
+  val RequiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style rule-based quality report (Rae et al. 2021, the
+    * standard pre-training document gate; reference anchor: the
+    * reference validates per-record field bounds the same way,
+    * consumer/main.py's range checks — this is the text-corpus
+    * analog). Emits one row per document with each rule's measured
+    * ratio, its pass flag, and the conjunction `gopher_pass` — a REPORT
+    * rather than a filter so downstream can audit which rule fired.
+    *
+    * Rules (token-level subset; the line-shape rules are vacuous on
+    * single-line corpora): word count within [minWords, maxWords],
+    * mean word length in [3, 10], symbol-word ratio ≤ 0.1, fraction of
+    * words containing a letter ≥ 0.8, and ≥ 2 occurrences of the
+    * required-stopword list. Flags are computed from the ROUNDED
+    * ratios so both engines decide boundaries on identical values.
+    * Per-row, codegen'd, zero shuffle at any scale.
+    */
+  def gopherQuality(documents: DataFrame,
+                    minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val nWords = size(col("__t")).cast("long")
+    val meanLen = round(
+      length(regexp_replace(norm, " ", "")).cast("double") / nWords, 4)
+    val symbolRatio = round(
+      size(filter(col("__t"), x => x.rlike("#|\\.\\.\\.")))
+        .cast("double") / nWords, 4)
+    val alphaRatio = round(
+      size(filter(col("__t"), x => x.rlike("[a-z]")))
+        .cast("double") / nWords, 4)
+    val reqHits = size(filter(col("__t"), x => x.isin(RequiredWords: _*))).cast("long")
+    documents
+      .withColumn("__t", toks)
+      .select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"),
+        alphaRatio.as("alpha_ratio"),
+        reqHits.as("n_required_hits"))
+      .withColumn("flag_word_count",
+        col("n_words").between(minWords, maxWords).cast("boolean"))
+      .withColumn("flag_mean_word_len",
+        col("mean_word_len").between(3.0, 10.0).cast("boolean"))
+      .withColumn("flag_symbol_ratio", (col("symbol_ratio") <= 0.1).cast("boolean"))
+      .withColumn("flag_alpha_ratio", (col("alpha_ratio") >= 0.8).cast("boolean"))
+      .withColumn("flag_stopwords", (col("n_required_hits") >= 2).cast("boolean"))
+      .withColumn("gopher_pass",
+        (col("flag_word_count") && col("flag_mean_word_len") &&
+          col("flag_symbol_ratio") && col("flag_alpha_ratio") &&
+          col("flag_stopwords")).cast("boolean"))
+      .orderBy(col("doc_id"))
+  }
+
   // PII patterns, in application order (more-specific first so an SSN is
   // not half-eaten by the phone pattern). Written in the regex subset
   // that Java and RE2 interpret identically (no backrefs, no lookaround)

@@ -159,4 +159,33 @@ object TrainingPrep {
       .withColumn("is_flagged",
         coalesce(col("bad_ratio") > threshold, lit(false)).cast("boolean"))
   }
+
+  /** Fixed-token-window document chunking with overlap — the context-
+    * window prep step for both training (long docs split to the model's
+    * sequence budget) and retrieval (RAG passage windows). Chunk c of a
+    * doc covers tokens [c·stride, c·stride + chunkSize); chunks start
+    * every `stride` tokens while the start is inside the doc, so
+    * consecutive chunks share `chunkSize − stride` tokens and the tail
+    * chunk may be short (kept — dropping it would lose text).
+    *
+    * Per-row fan-out (explode over a per-doc `sequence`), no shuffle:
+    * chunk count and content are pure functions of the token array, so
+    * the op is embarrassingly parallel at any scale and deterministic
+    * under repartition. Empty docs produce no chunks.
+    */
+  def chunk(documents: DataFrame, chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    require(stride > 0 && chunkSize >= stride, "need 0 < stride <= chunkSize")
+    val chunkToks = slice(col("__w"), col("chunk_id") * stride + 1, lit(chunkSize))
+    documents
+      .withColumn("__w", words)
+      .filter(size(col("__w")) > 0)
+      .withColumn("chunk_id",
+        explode(sequence(lit(0), floor((size(col("__w")) - 1) / stride).cast("int"))))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        size(chunkToks).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", chunkToks).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
 }

@@ -227,6 +227,42 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("splitLeakage: a held-out copy of a train doc leaks fully, unique docs don't") {
+    // split assignment is hash(doc_id)-determined — recover which side
+    // each id lands on first, then plant texts accordingly
+    val ids = (0L until 200L).map(i => (i, s"placeholder $i")).toDF("doc_id", "text")
+    val sides = Corpus.splitAssign(ids)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val trainId = sides.collectFirst { case (id, "train") => id }.get
+    val testId = sides.collectFirst { case (id, s) if s != "train" => id }.get
+    val uniqueId = sides.collectFirst { case (id, s) if s != "train" && id != testId => id }.get
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = Seq(
+      (trainId, shared),
+      (testId, shared),                                      // full leak
+      (uniqueId, (1 to 10).map(i => s"only$i").mkString(" ")) // no leak
+    ).toDF("doc_id", "text")
+    val r = Corpus.splitLeakage(d)
+      .as[(Long, String, Long, Long, Double, Boolean)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(!r.contains(trainId), "train docs must not be audited rows")
+    assert(r(testId)._5 === 1.0 && r(testId)._6)
+    assert(r(uniqueId)._5 === 0.0 && !r(uniqueId)._6)
+    // corpus invariants at the gate SF: every row is held-out, counts
+    // are consistent, and the fraction recomputes
+    val real = Corpus.splitLeakage(docs)
+      .as[(Long, String, Long, Long, Double, Boolean)].collect()
+    assert(real.nonEmpty)
+    assert(real.forall(x => x._2 == "val" || x._2 == "test"))
+    assert(real.forall(x => x._4 >= 0 && x._4 <= x._3))
+    // Spark's round() is HALF_UP — recompute with the same mode (rint's
+    // half-even disagrees on exact .5 ties, which DO occur here)
+    assert(real.forall(x =>
+      math.abs(x._5 - BigDecimal(x._4.toDouble / x._3)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9))
+    assert(real.forall(x => x._6 === (x._4.toDouble / x._3 >= 0.5)))
+  }
+
   test("clustersFromPairs hub salting spreads a star hub over tasks without changing labels") {
     // star graph: one template "hub" (doc 0) near-duplicating 400 leaves
     // that are NOT near-dups of each other — the pathological shape where

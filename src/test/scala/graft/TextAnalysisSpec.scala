@@ -95,4 +95,37 @@ class TextAnalysisSpec extends SparkSpec {
       x._4 <= math.log(x._3.toDouble) / math.log(2.0) + 1e-4))
     assert(real.forall(x => x._5 >= 0.0 && x._5 <= 1.0))
   }
+
+  test("gopherQuality: each rule fires on its planted violator, pass is the conjunction") {
+    val good = (1 to 60).map(i => s"word$i").mkString("the and ", " ", "")
+    val d = Seq(
+      (1L, good),                                    // passes every rule
+      (2L, "the and tiny doc"),                      // fails word count
+      (3L, ("12345 " * 60) + "the and"),             // fails alpha ratio
+      (4L, ("a... b... c... " * 20) + "the and")     // fails symbol ratio
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherQuality(d)
+      .select("doc_id", "flag_word_count", "flag_alpha_ratio", "flag_symbol_ratio",
+        "flag_stopwords", "gopher_pass")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(x => x._1 -> x).toMap
+    assert(r(1L) === ((1L, true, true, true, true, true)))
+    assert(!r(2L)._2 && !r(2L)._6)
+    assert(!r(3L)._3 && !r(3L)._6)
+    assert(!r(4L)._4 && !r(4L)._6)
+    // corpus invariants: flags recompute from the emitted ratios, and
+    // gopher_pass is exactly the conjunction of the five flags
+    val real = TextAnalysis.gopherQuality(Tables.documents(spark, sfDir))
+      .as[(Long, Long, Double, Double, Double, Long,
+           Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(real.nonEmpty)
+    real.foreach { x =>
+      assert(x._7 === (x._2 >= 50 && x._2 <= 100000))
+      assert(x._8 === (x._3 >= 3.0 && x._3 <= 10.0))
+      assert(x._9 === (x._4 <= 0.1))
+      assert(x._10 === (x._5 >= 0.8))
+      assert(x._11 === (x._6 >= 2))
+      assert(x._12 === (x._7 && x._8 && x._9 && x._10 && x._11))
+    }
+  }
 }

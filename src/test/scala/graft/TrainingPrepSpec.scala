@@ -124,4 +124,38 @@ class TrainingPrepSpec extends SparkSpec {
     assert(m(1L) && !m(2L))
     out.unpersist()
   }
+
+  test("chunk: windows tile with the declared overlap and reconstruct every doc") {
+    // planted: 5 tokens, size 4 / stride 2 → starts 0,2,4 with the tail
+    // chunk short but kept
+    val synth = Seq((1L, "t0 t1 t2 t3 t4")).toDF("doc_id", "text")
+    val s = TrainingPrep.chunk(synth, chunkSize = 4, stride = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._2)
+    assert(s.map(x => (x._2, x._4)).toSeq === Seq(
+      (0L, "t0 t1 t2 t3"), (1L, "t2 t3 t4"), (2L, "t4")))
+    // corpus: chunk counts match the geometry, consecutive full chunks
+    // share exactly chunkSize − stride tokens, and taking the first
+    // `stride` tokens of every chunk plus the tail of the last one
+    // reconstructs the doc's token stream
+    val toks = docs.select(col("doc_id"),
+      filter(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "),
+        w => w =!= "").as("ws"))
+      .as[(Long, Seq[String])].collect().toMap
+    val out = TrainingPrep.chunk(docs).as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).map { case (id, rows) => id -> rows.sortBy(_._2).map(_._4) }
+    assert(out.nonEmpty)
+    out.foreach { case (id, chunks) =>
+      val ws = toks(id)
+      assert(chunks.length === (ws.length - 1) / 24 + 1, s"doc $id chunk count")
+      val rebuilt = chunks.init.flatMap(_.split(" ").take(24)) ++
+        chunks.last.split(" ")
+      assert(rebuilt.toSeq === ws, s"doc $id reconstruction")
+      chunks.sliding(2).foreach {
+        case Array(a, b) if a.split(" ").length == 32 =>
+          assert(a.split(" ").drop(24).toSeq === b.split(" ").take(8).toSeq,
+            s"doc $id overlap")
+        case _ =>
+      }
+    }
+  }
 }

@@ -101,6 +101,8 @@ object SparkEntry {
     "knn_ivf" -> ((s, d) => AnnServing.knnIvf(s, d)),
     "knn_ivf_sq8" -> ((s, d) => AnnServing.knnIvfSq8(s, d)),
     "knn_ivf_pq" -> ((s, d) => AnnServing.knnIvfPq(s, d)),
+    "ann_recall_report" -> ((s, d) => AnnServing.recallReport(s, d)),
+    "ivf_cell_stats" -> ((s, d) => AnnServing.ivfCellStats(s, d)),
     "corpus_curation" -> ((s, d) => Curation.curate(Tables.documents(s, d))),
     "corpus_curation_cc" -> ((s, d) => Curation.curateClustered(Tables.documents(s, d))),
     "corpus_curation_best" -> ((s, d) => Curation.curateKeepBest(Tables.documents(s, d))),

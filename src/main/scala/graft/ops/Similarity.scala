@@ -647,4 +647,61 @@ object AnnServing {
     Similarity.queryIvfPq(centroids, pqm, codes, queriesOf(base, nQueries), base,
       k, nProbe, rerank, excludeSelf = true)
   }
+
+  /** Serving scoreboard: per-query recall@k of every ANN family against
+    * the exact brute-force top-k — the quality metric a vector-search
+    * deployment monitors continuously (recall regressions from index
+    * drift/staleness show up here before users notice). The exact set
+    * is computed once and each family's result semi-joins it on
+    * (query_id, neighbor_id); all frames are query-batch-sized, so the
+    * report costs one brute-force pass + the families' serving queries
+    * regardless of corpus size. Rows-only in the gate (rankings depend
+    * on the KMeans coarse quantizers); the per-family recall FLOORS are
+    * spec-gated.
+    */
+  def recallReport(spark: SparkSession, sfDir: String,
+                   nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val exact = Similarity.knnBruteForce(graft.Tables.embeddings(spark, sfDir), nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .cache()
+    val exactCounts = exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+    def scored(kind: String, ann: DataFrame): DataFrame = {
+      val hits = ann.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      exactCounts
+        .join(hits, Seq("query_id"), "left")
+        .select(lit(kind).as("index_kind"), col("query_id"), col("n_exact"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall_at_k",
+          round(col("n_hits").cast("double") / col("n_exact"), 4))
+    }
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    scored("lsh", Similarity.knnLsh(emb, nQueries, k))
+      .unionByName(scored("ivf", knnIvf(spark, sfDir, nQueries, k)))
+      .unionByName(scored("ivf_sq8", knnIvfSq8(spark, sfDir, nQueries, k)))
+      .unionByName(scored("ivf_pq", knnIvfPq(spark, sfDir, nQueries, k)))
+      .orderBy(col("index_kind"), col("query_id"))
+  }
+
+  /** IVF index-health report: per-cell vector counts and share of the
+    * corpus — the balance dashboard for a cell-partitioned ANN layout
+    * (a skewed quantizer concentrates probes on hot cells and defeats
+    * the nProbe/nCells pruning argument; this is the view that says
+    * "retrain the coarse quantizer"). One count-aggregation on the
+    * served index's assignment frame; output is nCells rows.
+    */
+  def ivfCellStats(spark: SparkSession, sfDir: String, nCells: Int = 16): DataFrame = {
+    val index = ivfCache.computeIfAbsent(sfDir, _ =>
+      Similarity.writeIvfPartitioned(
+        Similarity.buildIvf(graft.Tables.embeddings(spark, sfDir), nCells),
+        tmp("graft_ivf_serve")))
+    val total = index.assigned.agg(count(lit(1)).as("__n"))
+    index.assigned
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      .join(broadcast(total))
+      .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("__n"), 4).as("share"))
+      .orderBy(col("cell"))
+  }
 }

@@ -338,4 +338,35 @@ class SimilaritySpec extends SparkSpec {
       Similarity.prepared(e), excludeSelf = true).collect().map(_.toSeq).toSeq
     assert(stored === mem)
   }
+
+  test("recall report scores every served family with consistent counts and sane floors") {
+    import graft.ops.AnnServing
+    val r = AnnServing.recallReport(spark, sfDir)
+      .as[(String, Long, Long, Long, Double)].collect()
+    val kinds = r.map(_._1).toSet
+    assert(kinds === Set("lsh", "ivf", "ivf_sq8", "ivf_pq"))
+    assert(r.length === 40) // 4 families × 10 queries
+    r.foreach { case (_, _, nExact, nHits, recall) =>
+      assert(nExact === 5L)
+      assert(nHits >= 0 && nHits <= nExact)
+      assert(math.abs(recall - nHits.toDouble / nExact) < 1e-9)
+    }
+    // smoke floors only — the strict per-family gates live in the
+    // dedicated recall specs above (this report is the dashboard view)
+    kinds.foreach { kind =>
+      val rs = r.filter(_._1 == kind).map(_._5)
+      assert(rs.sum / rs.length > 0.2, s"$kind mean recall ${rs.sum / rs.length}")
+    }
+  }
+
+  test("IVF cell stats cover the whole corpus with nonnegative shares") {
+    import graft.ops.AnnServing
+    val e = Tables.embeddings(spark, sfDir)
+    val s = AnnServing.ivfCellStats(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    assert(s.length <= 16 && s.nonEmpty)
+    assert(s.map(_._2).sum === e.count())
+    assert(s.forall(x => x._2 > 0 && x._3 >= 0.0 && x._3 <= 1.0))
+    assert(math.abs(s.map(_._3).sum - 1.0) < 0.01)
+  }
 }

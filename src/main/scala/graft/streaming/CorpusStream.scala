@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.ops.{TextAnalysis, TextDedup}
+
+/** Continuous corpus ingest — the streaming twin of
+  * [[graft.ops.TextDedup.dedupIncremental]]: documents land as files,
+  * each micro-batch runs the quality gate and is deduplicated against
+  * the PERSISTED corpus index plus within itself, and only accepted
+  * docs append to the cleaned store. This is the crawl-to-corpus path a
+  * training pipeline runs continuously, built from the same operators
+  * the batch path uses (one semantics, two cadences — same rule as the
+  * events stream vs. batch queries; reference anchor: the consumer's
+  * validate→dedupe→persist loop, consumer/main.py:277-376, applied to
+  * text instead of sensor rows).
+  *
+  * Dedup contract (stated, not hidden): exact and near duplicates OF
+  * THE INDEXED CORPUS are dropped, and exact duplicates WITHIN a
+  * micro-batch collapse to their lowest doc_id. Near-dup pairs that
+  * both arrive as NEW docs in different micro-batches are admitted —
+  * the index is a snapshot, refreshed on the owner's cadence (rebuild
+  * or [[graft.ops.TextDedup.writeDedupIndex]] append job), exactly how
+  * production fuzzy-dedup services bound state: per-batch cost is
+  * batch × index-collisions, never batch × stream-history.
+  *
+  * Scale shape: every join inside the batch function is the
+  * spec-locked incremental-dedup plan (digest/band-key equi-joins with
+  * NO Exchange on the bucketed index side); the stream never holds
+  * engine state beyond file-source progress, so there are no state
+  * stores to size and checkpoint recovery is file-offset replay.
+  */
+object CorpusStream {
+
+  /** One accepted-vs-dropped pass over a staged micro-batch: quality
+    * gate → exact+near dedup vs `index` → within-batch exact collapse.
+    * Exposed for the spec and for batch backfills (the stream applies
+    * the same function per micro-batch).
+    */
+  def acceptBatch(index: TextDedup.DedupIndex, batch: DataFrame,
+                  threshold: Double = 0.5): DataFrame = {
+    val quality = batch.join(
+      TextAnalysis.qualityFilter(batch).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val vsCorpus = TextDedup.dedupIncremental(index, quality, threshold)
+    vsCorpus.join(
+      TextDedup.exact(vsCorpus).filter(!col("is_dup")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+  }
+
+  /** Drain all staged document files through the ingest pipeline into
+    * `destPath` (parquet append), exactly-once per file via the
+    * checkpoint. `Trigger.AvailableNow` processes the backlog and
+    * terminates — rerunning with the same checkpoint is a no-op; a
+    * live deployment swaps the trigger for a processing-time one and
+    * keeps the same DAG.
+    */
+  def ingestOnce(spark: SparkSession, srcDir: String,
+                 index: TextDedup.DedupIndex, destPath: String,
+                 checkpointDir: String, threshold: Double = 0.5): Unit = {
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(srcDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        acceptBatch(index, batch, threshold)
+          .write.mode("append").parquet(destPath)
+      }
+      .start()
+      .awaitTermination()
+  }
+}

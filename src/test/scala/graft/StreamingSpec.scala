@@ -325,4 +325,43 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() === 2)
     assert(out.groupBy("user_id", "ts").count().filter(col("count") > 1).count() === 0)
   }
+
+  test("corpus ingest stream drops corpus dups and junk, keeps clean docs, replays as no-op") {
+    import spark.implicits._
+    import graft.ops.{TextAnalysis, TextDedup}
+    import graft.streaming.CorpusStream
+    val corpus = Tables.documents(spark, sfDir)
+    val index = TextDedup.buildDedupIndex(corpus)
+    // pick a corpus doc that PASSES the quality gate, so its planted
+    // duplicates exercise the dedup path, not the quality path
+    val baseText = corpus
+      .join(TextAnalysis.qualityFilter(corpus).select("doc_id"), Seq("doc_id"), "left_semi")
+      .orderBy("doc_id").select("text").as[String].head()
+    val cleanNew = (1 to 30).map(i => s"fresh$i").mkString("the data and ", " ", " of it")
+    val batch = Seq(
+      (100001L, baseText),               // exact dup of corpus → dropped
+      (100002L, baseText + " extra"),    // near dup of corpus → dropped
+      (100003L, "a a a a a a a a a a a a"), // junk → quality gate drops
+      (100004L, cleanNew),               // clean + novel → kept
+      (100005L, cleanNew)                // within-batch exact dup → collapsed
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("crawl"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val src = java.nio.file.Files.createTempDirectory("graft_corpus_src").toString
+    val dest = java.nio.file.Files.createTempDirectory("graft_corpus_dest").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_corpus_ckpt").toString
+    batch.coalesce(1).write.mode("overwrite").parquet(src)
+
+    CorpusStream.ingestOnce(spark, src, index, dest, ckpt)
+    val got = spark.read.parquet(dest).select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(100004L), s"accepted $got")
+    // the stream applies acceptBatch per micro-batch — same function,
+    // same result
+    val direct = CorpusStream.acceptBatch(index, batch)
+      .select("doc_id").as[Long].collect().sorted
+    assert(direct.toSeq === got.toSeq)
+    // same checkpoint → file offsets committed → replay adds nothing
+    CorpusStream.ingestOnce(spark, src, index, dest, ckpt)
+    assert(spark.read.parquet(dest).count() === 1)
+  }
 }

@@ -59,6 +59,12 @@ object SparkEntry {
     "q5_local_supplier" -> ((s, d) => Analytics.q5LocalSupplier(
       Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
       Tables.orders(s, d), Tables.lineitem(s, d), Tables.supplier(s, d))),
+    "q7_volume" -> ((s, d) => Analytics.q7Volume(
+      Tables.nation(s, d), Tables.customer(s, d), Tables.orders(s, d),
+      Tables.lineitem(s, d), Tables.supplier(s, d))),
+    "q10_returns" -> ((s, d) => Analytics.q10Returns(
+      Tables.nation(s, d), Tables.customer(s, d), Tables.orders(s, d),
+      Tables.lineitem(s, d))),
     "top_k_per_group" -> ((s, d) => Analytics.topKPerGroup(Tables.part(s, d))),
     "top_k_per_group_fast" -> ((s, d) => Analytics.topKPerGroupFast(Tables.part(s, d))),
     "events_sessionize" -> ((s, d) => Analytics.sessionize(Tables.events(s, d))),
@@ -108,6 +114,7 @@ object SparkEntry {
     "corpus_curation_best" -> ((s, d) => Curation.curateKeepBest(Tables.documents(s, d))),
     "text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
     "gopher_quality" -> ((s, d) => TextAnalysis.gopherQuality(Tables.documents(s, d))),
@@ -330,6 +337,32 @@ object SparkEntry {
         | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         | AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q7_volume" ->
+      """WITH sn AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_1','NATION_2')),
+        | cn AS (SELECT c_custkey, n_name AS cust_nation FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_1','NATION_2'))
+        |SELECT supp_nation, cust_nation, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        | cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN sn ON l_suppkey = s_suppkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN cn ON o_custkey = c_custkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        | AND supp_nation != cust_nation
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        | cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        | AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "top_k_per_group" ->
       """SELECT p_brand, rnk, p_partkey, p_name, p_retailprice FROM (
         | SELECT p_brand, p_partkey, p_name, p_retailprice,
@@ -609,6 +642,24 @@ object SparkEntry {
          |  len(list_filter(ws, t -> t IN ('le','les','et','est','une'))) AS s_fr
          | FROM (SELECT doc_id, lang, $wsSql AS ws FROM documents) w) sc
          |ORDER BY doc_id""".stripMargin,
+    "lang_confusion" ->
+      s"""WITH sc AS (
+         | SELECT doc_id, lang,
+         |  len(list_filter(ws, t -> t IN ('the','and','of','is','to'))) AS s_en,
+         |  len(list_filter(ws, t -> t IN ('el','la','los','de','que'))) AS s_es,
+         |  len(list_filter(ws, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+         |  len(list_filter(ws, t -> t IN ('le','les','et','est','une'))) AS s_fr
+         | FROM (SELECT doc_id, lang, $wsSql AS ws FROM documents) w),
+         | g AS (SELECT lang AS lang_label,
+         |  CASE WHEN s_en + s_es + s_de + s_fr = 0 THEN 'und'
+         |       WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+         |       WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+         |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang_guess FROM sc),
+         | m AS (SELECT lang_label, lang_guess, count(*) AS n_docs FROM g GROUP BY 1, 2)
+         |SELECT lang_label, lang_guess, n_docs,
+         | CAST(sum(n_docs) OVER (PARTITION BY lang_label) AS BIGINT) AS label_total,
+         | round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY lang_label), 4) AS share
+         |FROM m ORDER BY lang_label, lang_guess""".stripMargin,
     "doc_fingerprint" ->
       s"""SELECT doc_id, md5(norm) AS fp_md5, length(norm) AS fp_len,
          | substr(norm, 1, 16) AS fp_head

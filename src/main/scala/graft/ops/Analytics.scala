@@ -92,6 +92,60 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q7 shape (volume shipping): revenue flowing between a nation
+    * PAIR by ship year. Both nation sides and supplier/customer are
+    * dims → broadcast, and the nation-name filter is pushed INTO the
+    * broadcast frames so the fact tables only fan out to the two
+    * relevant nations; lineitem⋈orders co-shuffles on orderkey — the
+    * single big-table shuffle in the plan.
+    */
+  def q7Volume(nation: DataFrame, customer: DataFrame, orders: DataFrame,
+               lineitem: DataFrame, supplier: DataFrame,
+               nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val pair = Seq(nationA, nationB)
+    val suppN = broadcast(supplier
+      .join(nation.filter(col("n_name").isin(pair: _*)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val custN = broadcast(customer
+      .join(nation.filter(col("n_name").isin(pair: _*)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation")))
+    lineitem
+      .filter(col("l_shipdate") >= tsLit("1996-01-01 00:00:00") &&
+        col("l_shipdate") < tsLit("1998-01-01 00:00:00"))
+      .join(suppN, col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(custN, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .withColumn("l_year", year(col("l_shipdate")).cast("long"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q10 shape (returned-item revenue): top-20 customers by
+    * revenue lost to returns in a quarter. Orders carries the date
+    * filter (partition-prunable at scale), lineitem the R-flag filter;
+    * customer/nation broadcast; the final top-k is a
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def q10Returns(nation: DataFrame, customer: DataFrame, orders: DataFrame,
+                 lineitem: DataFrame): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= tsLit("1996-01-01 00:00:00") &&
+        col("o_orderdate") < tsLit("1996-04-01 00:00:00"))
+      .join(lineitem.filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
   /** Top-k per group: 3 priciest parts per brand. Keyed window → one
     * shuffle; at scale, a pre-aggregation per partition (AQE) bounds the
     * sort. Deterministic tie-break on p_partkey.

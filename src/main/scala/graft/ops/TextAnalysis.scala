@@ -95,6 +95,28 @@ object TextAnalysis {
         col("s_en"), col("s_es"), col("s_de"), col("s_fr"))
   }
 
+  /** Language-ID confusion matrix — the dataset-card view of
+    * [[langId]]'s heuristic against the labeled corpus: per
+    * (label, guess) cell, the doc count and its share of the label's
+    * total (row-normalized recall diagonal). Two tiny aggregations over
+    * the per-row scores; the label-total reuse is a keyed window over
+    * the ≤ |labels|×|guesses| grouped frame, so nothing corpus-sized
+    * ever re-shuffles.
+    */
+  def langConfusion(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    langId(documents)
+      .groupBy(col("lang_label"), col("lang_guess"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("label_total",
+        sum(col("n_docs")).over(Window.partitionBy(col("lang_label"))))
+      .withColumn("share",
+        round(col("n_docs").cast("double") / col("label_total"), 4))
+      .select(col("lang_label"), col("lang_guess"), col("n_docs"),
+        col("label_total"), col("share"))
+      .orderBy(col("lang_label"), col("lang_guess"))
+  }
+
   /** Content fingerprints: md5 of the normalized text (exact-dup key)
     * plus basic shape stats. The 64-bit rolling-hash variant lives in
     * the rows-only simhash path (graft.functions.HashKernels).

@@ -65,6 +65,10 @@ object SparkEntry {
     "q10_returns" -> ((s, d) => Analytics.q10Returns(
       Tables.nation(s, d), Tables.customer(s, d), Tables.orders(s, d),
       Tables.lineitem(s, d))),
+    "q14_promo" -> ((s, d) => Analytics.q14Promo(
+      Tables.part(s, d), Tables.lineitem(s, d))),
+    "q18_big_orders" -> ((s, d) => Analytics.q18BigOrders(
+      Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "top_k_per_group" -> ((s, d) => Analytics.topKPerGroup(Tables.part(s, d))),
     "top_k_per_group_fast" -> ((s, d) => Analytics.topKPerGroupFast(Tables.part(s, d))),
     "events_sessionize" -> ((s, d) => Analytics.sessionize(Tables.events(s, d))),
@@ -363,6 +367,28 @@ object SparkEntry {
         | AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
         | AND l_returnflag = 'R'
         |GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q14_promo" ->
+      """SELECT round(promo_revenue * 100.0 / total_revenue, 4) AS promo_revenue_pct,
+        | promo_revenue, total_revenue
+        |FROM (SELECT
+        |  cast(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+        |  cast(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_revenue
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00') t""".stripMargin,
+    "q18_big_orders" ->
+      """WITH big AS (SELECT l_orderkey FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        | cast(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        | JOIN big ON big.l_orderkey = o_orderkey
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "top_k_per_group" ->
       """SELECT p_brand, rnk, p_partkey, p_name, p_retailprice FROM (
         | SELECT p_brand, p_partkey, p_name, p_retailprice,

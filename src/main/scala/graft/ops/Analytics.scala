@@ -146,6 +146,54 @@ object Analytics {
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
 
+  /** TPC-H Q14 shape (promotion effect): promo revenue share of one
+    * ship month. One broadcast dim join (part) over the date-pruned
+    * lineitem slice; both revenue sums are exact decimals cast to
+    * double at the boundary, and the percentage divides the DOUBLES so
+    * both engines run the same IEEE division.
+    */
+  def q14Promo(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(DecimalType(18, 4))
+    val zero = lit(0).cast(DecimalType(18, 4))
+    lineitem
+      .filter(col("l_shipdate") >= tsLit("1996-01-01 00:00:00") &&
+        col("l_shipdate") < tsLit("1996-02-01 00:00:00"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(zero))
+          .cast("double").as("promo_revenue"),
+        sum(rev).cast("double").as("total_revenue"))
+      .withColumn("promo_revenue_pct",
+        round(col("promo_revenue") * 100.0 / col("total_revenue"), 4))
+      .select(col("promo_revenue_pct"), col("promo_revenue"), col("total_revenue"))
+  }
+
+  /** TPC-H Q18 shape (large-volume customers): orders whose total
+    * quantity clears a threshold, with their customers. The `big`
+    * filter is an aggregate-then-semi-join on l_orderkey — it comes out
+    * of lineitem's own groupBy, so the join back to lineitem REUSES the
+    * same hash partitioning (no second fact shuffle); customer
+    * broadcasts; final top-k is a TakeOrderedAndProject.
+    */
+  def q18BigOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                   minQty: Double = 300.0): DataFrame = {
+    val big = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec("l_quantity")).as("__q"))
+      .filter(col("__q") > minQty)
+      .select(col("l_orderkey"))
+    lineitem
+      .join(big, Seq("l_orderkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(sum(dec("l_quantity")).cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Top-k per group: 3 priciest parts per brand. Keyed window → one
     * shuffle; at scale, a pre-aggregation per partition (AQE) bounds the
     * sort. Deterministic tie-break on p_partkey.

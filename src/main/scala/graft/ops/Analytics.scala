@@ -171,10 +171,14 @@ object Analytics {
 
   /** TPC-H Q18 shape (large-volume customers): orders whose total
     * quantity clears a threshold, with their customers. The `big`
-    * filter is an aggregate-then-semi-join on l_orderkey — it comes out
-    * of lineitem's own groupBy, so the join back to lineitem REUSES the
-    * same hash partitioning (no second fact shuffle); customer
-    * broadcasts; final top-k is a TakeOrderedAndProject.
+    * filter is an aggregate-then-join on l_orderkey: its shuffle moves
+    * only map-side partial (orderkey, qty) pairs, so raw lineitem rows
+    * cross the wire exactly once (for the join), and everything
+    * downstream — the orders join and even the 5-key final aggregate,
+    * whose grouping set contains o_orderkey — reuses that l_orderkey
+    * partitioning with no further fact shuffle (plan-locked in
+    * JoinPlanSpec). Customer broadcasts; final top-k is a
+    * TakeOrderedAndProject.
     */
   def q18BigOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
                    minQty: Double = 300.0): DataFrame = {

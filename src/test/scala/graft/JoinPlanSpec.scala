@@ -71,6 +71,50 @@ class JoinPlanSpec extends SparkSpec {
     }
   }
 
+  test("q7 broadcasts both nation-filtered dims; facts meet in one co-shuffle") {
+    // AQE off: count ShuffleExchangeExec nodes directly (see LSH test)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Analytics.q7Volume(Tables.nation(spark, sfDir),
+        Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
+        Tables.lineitem(spark, sfDir), Tables.supplier(spark, sfDir))
+      val plan = df.queryExecution.executedPlan
+      val s = plan.toString
+      assert(s.contains("BroadcastHashJoin"), s.take(800))
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+        s.take(800))
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // lineitem + orders for their co-shuffle, plus the tiny grouped
+      // frame's agg exchange — nothing else may shuffle
+      assert(shuffles.length <= 3, s"${shuffles.length} shuffles\n" + s.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("q18's only raw-fact shuffle is the big-order join; the final agg reuses it") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Analytics.q18BigOrders(Tables.customer(spark, sfDir),
+        Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir))
+      val plan = df.queryExecution.executedPlan
+      val s = plan.toString
+      assert(s.contains("BroadcastHashJoin"), s.take(800)) // customer dim
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+        s.take(800))
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // raw lineitem (join side), the partial-agg (orderkey, qty) pairs,
+      // and orders — the 5-key final aggregate must introduce NO fourth
+      // exchange (its grouping set contains o_orderkey, which the join
+      // output is already partitioned by)
+      assert(shuffles.length <= 3, s"${shuffles.length} shuffles\n" + s.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("tfidf keeps the rank-limit pushdown and broadcasts the doc count") {
     val plan = planOf(graft.ops.Corpus.tfidfTopTerms(Tables.documents(spark, sfDir)))
     // WindowGroupLimit = per-partition top-k BEFORE the window exchange;

@@ -59,6 +59,8 @@ object SparkEntry {
     "q5_local_supplier" -> ((s, d) => Analytics.q5LocalSupplier(
       Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
       Tables.orders(s, d), Tables.lineitem(s, d), Tables.supplier(s, d))),
+    "q4_priority" -> ((s, d) => Analytics.q4Priority(
+      Tables.orders(s, d), Tables.lineitem(s, d))),
     "q7_volume" -> ((s, d) => Analytics.q7Volume(
       Tables.nation(s, d), Tables.customer(s, d), Tables.orders(s, d),
       Tables.lineitem(s, d), Tables.supplier(s, d))),
@@ -341,6 +343,15 @@ object SparkEntry {
         | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         | AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        | AND EXISTS (SELECT 1 FROM lineitem
+        |   WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q7_volume" ->
       """WITH sn AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
         |  JOIN nation ON s_nationkey = n_nationkey

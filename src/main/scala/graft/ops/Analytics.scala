@@ -146,6 +146,26 @@ object Analytics {
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
 
+  /** TPC-H Q4 shape (order-priority checking): orders in a quarter with
+    * at least one late lineitem (shipped > 90 days after the order
+    * date), counted by priority. The EXISTS becomes a LEFT SEMI join
+    * whose condition spans both sides (equi on orderkey + the lateness
+    * inequality) — Spark plans the equi part as the join key and the
+    * inequality as a join filter, so the facts still meet in one hash
+    * co-shuffle, never a nested loop. Output is ≤ |priorities| rows.
+    */
+  def q4Priority(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= tsLit("1996-01-01 00:00:00") &&
+        col("o_orderdate") < tsLit("1996-04-01 00:00:00"))
+      .join(lineitem,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
   /** TPC-H Q14 shape (promotion effect): promo revenue share of one
     * ship month. One broadcast dim join (part) over the date-pruned
     * lineitem slice; both revenue sums are exact decimals cast to

@@ -364,4 +364,41 @@ class StreamingSpec extends SparkSpec {
     CorpusStream.ingestOnce(spark, src, index, dest, ckpt)
     assert(spark.read.parquet(dest).count() === 1)
   }
+
+  test("embedding ingest stream grows the persisted IVF index like the in-memory append") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    import graft.streaming.EmbeddingStream
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val base = emb.filter(col("vec_id") < n / 2)
+    val late = emb.filter(col("vec_id") >= n / 2)
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_ivf_stream").toString
+    Similarity.writeIvfPartitioned(Similarity.buildIvf(base), idxPath)
+    val src = java.nio.file.Files.createTempDirectory("graft_emb_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_emb_ckpt").toString
+    late.coalesce(1).write.mode("overwrite").parquet(src)
+
+    EmbeddingStream.ingestOnce(spark, src, idxPath, ckpt)
+    val grown = spark.read.parquet(s"$idxPath/assigned")
+    assert(grown.count() === n)
+    // stream-grown persisted assignment ≡ the in-memory append against
+    // the same stored centroids (cell-for-cell)
+    val mem = Similarity.appendToIvf(
+      Similarity.IvfIndex(
+        spark.read.parquet(s"$idxPath/centroids"),
+        spark.read.parquet(s"$idxPath/assigned").filter(col("vec_id") < n / 2)),
+      late)
+    val got = grown.select("vec_id", "cell").as[(Long, Int)].collect().toSet
+    val want = mem.assigned.select("vec_id", "cell").as[(Long, Int)].collect().toSet
+    assert(got === want)
+    // layer 1: same checkpoint → files already committed → no-op
+    EmbeddingStream.ingestOnce(spark, src, idxPath, ckpt)
+    assert(spark.read.parquet(s"$idxPath/assigned").count() === n)
+    // layer 2: LOST checkpoint (redelivery) → the vec_id anti-join
+    // guard drops the whole replayed batch before any file lands
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_emb_ckpt2").toString
+    EmbeddingStream.ingestOnce(spark, src, idxPath, ckpt2)
+    assert(spark.read.parquet(s"$idxPath/assigned").count() === n)
+  }
 }

@@ -591,6 +591,7 @@ object AnnServing {
   private val ivfCache = new ConcurrentHashMap[String, IvfIndex]()
   private val sq8Cache = new ConcurrentHashMap[String, IvfIndex]()
   private val pqCache  = new ConcurrentHashMap[String, (DataFrame, PqModel, DataFrame)]()
+  private val exactCache = new ConcurrentHashMap[String, DataFrame]()
 
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
@@ -661,9 +662,13 @@ object AnnServing {
     */
   def recallReport(spark: SparkSession, sfDir: String,
                    nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val exact = Similarity.knnBruteForce(graft.Tables.embeddings(spark, sfDir), nQueries, k)
-      .select(col("query_id"), col("neighbor_id"))
-      .cache()
+    // cached per sf-dir (like the index caches), NOT per call: a
+    // per-call cache() would pin one more nQueries×k frame on every
+    // invocation of a long-lived serving/bench loop
+    val exact = exactCache.computeIfAbsent(sfDir, _ =>
+      Similarity.knnBruteForce(graft.Tables.embeddings(spark, sfDir), nQueries, k)
+        .select(col("query_id"), col("neighbor_id"))
+        .cache())
     val exactCounts = exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
     def scored(kind: String, ann: DataFrame): DataFrame = {
       val hits = ann.select(col("query_id"), col("neighbor_id"))

@@ -68,8 +68,17 @@ object CorpusStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // dedupIncremental localCheckpoints two batch-sized frames per
+        // call (cross-branch reuse); in a CONTINUOUS stream those pins
+        // accumulate across micro-batches, so release every block this
+        // batch created once its write has consumed them — a snapshot
+        // diff so pre-existing pins (the index's own caches) survive
+        val sc = spark.sparkContext
+        val before = sc.getPersistentRDDs.keySet
         acceptBatch(index, batch, threshold)
           .write.mode("append").parquet(destPath)
+        sc.getPersistentRDDs.filterNot { case (id, _) => before.contains(id) }
+          .foreach { case (_, rdd) => rdd.unpersist(false) }
       }
       .start()
       .awaitTermination()

@@ -71,6 +71,28 @@ object SparkEntry {
       Tables.part(s, d), Tables.lineitem(s, d))),
     "q18_big_orders" -> ((s, d) => Analytics.q18BigOrders(
       Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q6_forecast_revenue" -> ((s, d) =>
+      Analytics.q6ForecastRevenue(Tables.lineitem(s, d))),
+    "q8_market_share" -> ((s, d) => Analytics.q8MarketShare(
+      Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
+      Tables.orders(s, d), Tables.lineitem(s, d), Tables.supplier(s, d),
+      Tables.part(s, d))),
+    "q9_profit_proxy" -> ((s, d) => Analytics.q9ProfitProxy(
+      Tables.nation(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+      Tables.supplier(s, d), Tables.part(s, d))),
+    "q13_order_distribution" -> ((s, d) => Analytics.q13OrderDistribution(
+      Tables.customer(s, d), Tables.orders(s, d))),
+    "q15_top_supplier" -> ((s, d) => Analytics.q15TopSupplier(
+      Tables.supplier(s, d), Tables.lineitem(s, d))),
+    "q17_small_qty_revenue" -> ((s, d) => Analytics.q17SmallQtyRevenue(
+      Tables.part(s, d), Tables.lineitem(s, d))),
+    "q19_disjunctive_revenue" -> ((s, d) => Analytics.q19DisjunctiveRevenue(
+      Tables.part(s, d), Tables.lineitem(s, d))),
+    "q20_part_promotion" -> ((s, d) => Analytics.q20PartPromotion(
+      Tables.nation(s, d), Tables.supplier(s, d), Tables.part(s, d),
+      Tables.lineitem(s, d))),
+    "q22_global_sales" -> ((s, d) => Analytics.q22GlobalSales(
+      Tables.customer(s, d), Tables.orders(s, d))),
     "top_k_per_group" -> ((s, d) => Analytics.topKPerGroup(Tables.part(s, d))),
     "top_k_per_group_fast" -> ((s, d) => Analytics.topKPerGroupFast(Tables.part(s, d))),
     "events_sessionize" -> ((s, d) => Analytics.sessionize(Tables.events(s, d))),
@@ -400,6 +422,112 @@ object SparkEntry {
         | JOIN big ON big.l_orderkey = o_orderkey
         |GROUP BY 1, 2, 3, 4, 5
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT cast(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+        |  AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0""".stripMargin,
+    "q8_market_share" ->
+      """SELECT o_year,
+        | round(cast(sum(CASE WHEN nation = 'NATION_3' THEN vol
+        |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |       / cast(sum(vol) AS DOUBLE), 4) AS mkt_share
+        |FROM (
+        | SELECT cast(year(o_orderdate) AS BIGINT) AS o_year,
+        |   CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS vol,
+        |   n2.n_name AS nation
+        | FROM part, lineitem, supplier, orders, customer, nation n1, nation n2, region
+        | WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND p_type = 'ECONOMY') t
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q9_profit_proxy" ->
+      """SELECT nation, o_year, cast(sum(amount) AS DOUBLE) AS sum_profit
+        |FROM (
+        | SELECT n_name AS nation, cast(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+        |   - CAST(0.6 * p_retailprice * l_quantity AS DECIMAL(18,4)) AS amount
+        | FROM part, supplier, lineitem, orders, nation
+        | WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        |  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        |  AND p_name LIKE '%gear%') t
+        |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin,
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        | SELECT c_custkey, count(o_orderkey) AS c_count
+        | FROM customer LEFT OUTER JOIN orders
+        |  ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+        | GROUP BY c_custkey) c_orders
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        | SELECT l_suppkey AS supplier_no,
+        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS total_rev
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        | GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, cast(total_rev AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """SELECT round(cast(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4)
+        |  AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23' AND p_type = 'SMALL'
+        |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = part.p_partkey)""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT cast(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |  AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1.0 AND 11.0)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10.0 AND 20.0)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin,
+    "q20_part_promotion" ->
+      """SELECT s_suppkey, s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_5' AND s_suppkey IN (
+        | SELECT ps.l_suppkey FROM
+        |  (SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |   FROM lineitem
+        |   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |   GROUP BY l_suppkey, l_partkey) ps
+        | JOIN
+        |  (SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS tq
+        |   FROM lineitem
+        |   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |   GROUP BY l_partkey) tot
+        | ON ps.l_partkey = tot.l_partkey
+        | WHERE ps.sq * 2 > tot.tq)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q22_global_sales" ->
+      """WITH pos AS (
+        | SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s, count(*) AS n
+        | FROM customer WHERE c_acctbal > 0.0 AND c_nationkey IN (1,3,5,7,9,11,13))
+        |SELECT cntrycode, count(*) AS numcust,
+        | cast(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM (
+        | SELECT cast(c_nationkey AS BIGINT) AS cntrycode, c_acctbal
+        | FROM customer, pos
+        | WHERE c_nationkey IN (1,3,5,7,9,11,13)
+        |  AND CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |) t GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
     "top_k_per_group" ->
       """SELECT p_brand, rnk, p_partkey, p_name, p_retailprice FROM (
         | SELECT p_brand, p_partkey, p_name, p_retailprice,

@@ -218,6 +218,246 @@ object Analytics {
       .limit(100)
   }
 
+  /** TPC-H Q6 shape (forecasting revenue change): the pure scan-
+    * aggregate — three pushable predicates, zero joins, zero grouping
+    * keys. All three filters reach the parquet scan as PushedFilters
+    * (shipdate min/max prune row groups; discount/quantity prune
+    * pages), so the whole query is one WholeStageCodegen span ending
+    * in a single-cell partial+final agg. The canonical "is pushdown
+    * working" probe at any scale.
+    */
+  def q6ForecastRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= tsLit("1996-01-01 00:00:00") &&
+        col("l_shipdate") < tsLit("1997-01-01 00:00:00") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24.0)
+      .agg(sum((col("l_extendedprice") * col("l_discount"))
+        .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+
+  /** TPC-H Q8 shape (national market share): one nation's share of a
+    * part-type's revenue inside one region, by order year. All five
+    * dims broadcast (part filtered to one type first — the most
+    * selective, so the fact stream shrinks at the earliest join);
+    * lineitem⋈orders is again the only big shuffle. The share division
+    * happens on exact decimal sums at the output boundary.
+    */
+  def q8MarketShare(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                    orders: DataFrame, lineitem: DataFrame, supplier: DataFrame,
+                    part: DataFrame, targetNation: String = "NATION_3",
+                    targetRegion: String = "EUROPE",
+                    partType: String = "ECONOMY"): DataFrame = {
+    val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(DecimalType(18, 4))
+    val zero = lit(0).cast(DecimalType(18, 4))
+    val custRegion = broadcast(customer
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region.filter(col("r_name") === targetRegion),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey")))
+    val suppNation = broadcast(supplier
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation")))
+    lineitem
+      .join(broadcast(part.filter(col("p_type") === partType)),
+        col("l_partkey") === col("p_partkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .join(orders.filter(col("o_orderdate") >= tsLit("1996-01-01 00:00:00") &&
+          col("o_orderdate") < tsLit("1998-01-01 00:00:00")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custRegion, col("o_custkey") === col("c_custkey"), "left_semi")
+      .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("nation") === targetNation, vol).otherwise(zero)).as("__n"),
+        sum(vol).as("__d"))
+      .select(col("o_year"),
+        round(col("__n").cast("double") / col("__d").cast("double"), 4).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9 shape (product-type profit), adapted: the testdata schema
+    * has no partsupp table, so supply cost is proxied as
+    * 0.6 × p_retailprice × quantity (documented adaptation; the plan
+    * shape — 4 broadcast dims, name-substring part filter, profit by
+    * supplier nation × order year — is Q9's). Profit summands are
+    * exact decimals; the year comes from orders, so lineitem⋈orders
+    * stays the one co-partitioned big shuffle.
+    */
+  def q9ProfitProxy(nation: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                    supplier: DataFrame, part: DataFrame,
+                    nameSubstr: String = "gear"): DataFrame = {
+    val amount = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(DecimalType(18, 4)) -
+      (lit(0.6) * col("p_retailprice") * col("l_quantity")).cast(DecimalType(18, 4))
+    val suppNation = broadcast(supplier
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation")))
+    lineitem
+      .join(broadcast(part.filter(col("p_name").contains(nameSubstr))
+        .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT join
+    * with the filter in the JOIN CONDITION (not a WHERE — customers
+    * with zero qualifying orders must survive as c_count=0), then a
+    * distribution over the per-customer counts. Two aggregations: the
+    * first shuffles (custkey, partial count) pairs, the second runs
+    * over ≤ max-orders-per-customer cells. The reference's priority
+    * filter replaces Q13's comment NOT LIKE (no comment column).
+    */
+  def q13OrderDistribution(customer: DataFrame, orders: DataFrame,
+                           excludePriority: String = "4-NOT SPECIFIED"): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderpriority") =!= excludePriority),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    * keep the max. The revenue frame is supplier-cardinality-sized, so
+    * its scalar max broadcasts back as a one-row crossJoin and the
+    * equality filter is exact decimal = decimal (no float ties). At
+    * scale the lineitem aggregation is the only real work; everything
+    * after is dim-sized.
+    */
+  def q15TopSupplier(supplier: DataFrame, lineitem: DataFrame): DataFrame = {
+    val revenue = lineitem
+      .filter(col("l_shipdate") >= tsLit("1996-01-01 00:00:00") &&
+        col("l_shipdate") < tsLit("1996-04-01 00:00:00"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))).as("__rev"))
+    val top = broadcast(revenue.agg(max(col("__rev")).as("__max")))
+    revenue
+      .crossJoin(top)
+      .filter(col("__rev") === col("__max"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("__rev").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue), container filter
+    * adapted to p_type (no p_container column): lineitems of one
+    * brand+type whose quantity is below 20% of that part's corpus-wide
+    * average. The correlated subquery becomes a per-part aggregate
+    * joined back — the per-part avg is exact (integer-valued
+    * quantities sum exactly in double), so the threshold compare is
+    * engine-portable. Both sides of the self-join aggregate before
+    * shuffling; the filtered part dim broadcasts into each.
+    */
+  def q17SmallQtyRevenue(part: DataFrame, lineitem: DataFrame,
+                         brand: String = "Brand#23",
+                         ptype: String = "SMALL"): DataFrame = {
+    val target = broadcast(part
+      .filter(col("p_brand") === brand && col("p_type") === ptype)
+      .select(col("p_partkey")))
+    val perPartAvg = lineitem
+      .join(target, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(avg(col("l_quantity")).as("__avg"))
+    lineitem
+      .join(target, col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(perPartAvg, Seq("l_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("__avg"))
+      .agg(round(sum(dec("l_extendedprice")).cast("double") / 7.0, 4).as("avg_yearly"))
+  }
+
+  /** TPC-H Q19 shape (disjunctive discounted revenue): three OR'd
+    * brand/size/quantity branches evaluated in one pass over
+    * lineitem⋈part (shipmode/container predicates adapted to the
+    * available columns). Catalyst pushes the common `p_partkey` join
+    * and evaluates the disjunction post-join in codegen; the part dim
+    * broadcasts, so the whole query is one fact scan with zero
+    * shuffles beyond the single-cell agg.
+    */
+  def q19DisjunctiveRevenue(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    def branch(brand: String, maxSize: Int, qLo: Double, qHi: Double) =
+      col("p_brand") === brand && col("p_size").between(1, maxSize) &&
+        col("l_quantity").between(qLo, qHi)
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(branch("Brand#12", 15, 1.0, 11.0) ||
+        branch("Brand#23", 25, 10.0, 20.0) ||
+        branch("Brand#34", 35, 20.0, 30.0))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q20 shape (part promotion), adapted for the missing
+    * partsupp table: suppliers in one nation who DOMINATED the 1996
+    * shipments of some small-named part (their shipped quantity more
+    * than half the part's total — `2·sq > tq` compares exact decimals,
+    * no float division). Same nested-aggregate + semi-join skeleton as
+    * Q20: both aggregates pre-shrink before the (partkey) equi-join,
+    * the qualifying-supplier set is dim-sized, and the nation filter
+    * broadcasts.
+    */
+  def q20PartPromotion(nation: DataFrame, supplier: DataFrame, part: DataFrame,
+                       lineitem: DataFrame, targetNation: String = "NATION_5",
+                       namePrefix: String = "small"): DataFrame = {
+    val smallParts = broadcast(part.filter(col("p_name").startsWith(namePrefix))
+      .select(col("p_partkey")))
+    val shipped = lineitem
+      .filter(col("l_shipdate") >= tsLit("1996-01-01 00:00:00") &&
+        col("l_shipdate") < tsLit("1997-01-01 00:00:00"))
+      .join(smallParts, col("l_partkey") === col("p_partkey"), "left_semi")
+    val bySupp = shipped.groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(dec("l_quantity")).as("__sq"))
+    val byPart = shipped.groupBy(col("l_partkey"))
+      .agg(sum(dec("l_quantity")).as("__tq"))
+    val dominant = bySupp
+      .join(byPart, Seq("l_partkey"))
+      .filter(col("__sq") * 2 > col("__tq"))
+      .select(col("l_suppkey")).distinct()
+    supplier
+      .join(broadcast(nation.filter(col("n_name") === targetNation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity), phone prefix adapted
+    * to a nation-key set and "never ordered" to "no order since 1999"
+    * (every customer has some order at this density): above-average-
+    * balance customers in target nations with no recent orders. The
+    * positive-balance average arrives as an exact (sum, count) pair
+    * via a one-row broadcast crossJoin, and the threshold is the
+    * cross-multiplied `bal·n > s` — decimal-exact, no division, no
+    * float ties. The recent-orders anti-join ships only o_custkey.
+    */
+  def q22GlobalSales(customer: DataFrame, orders: DataFrame,
+                     nationKeys: Seq[Int] = Seq(1, 3, 5, 7, 9, 11, 13),
+                     sinceTs: String = "1999-01-01 00:00:00"): DataFrame = {
+    val inScope = customer.filter(col("c_nationkey").isin(nationKeys: _*))
+    val posAvg = broadcast(inScope
+      .filter(col("c_acctbal") > 0.0)
+      .agg(sum(dec("c_acctbal")).as("__s"), count(lit(1)).as("__n")))
+    val recent = orders
+      .filter(col("o_orderdate") >= tsLit(sinceTs))
+      .select(col("o_custkey"))
+    inScope
+      .crossJoin(posAvg)
+      .filter(dec("c_acctbal") * col("__n") > col("__s"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("long").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec("c_acctbal")).cast("double").as("totacctbal"))
+      .orderBy(col("cntrycode"))
+  }
+
   /** Top-k per group: 3 priciest parts per brand. Keyed window → one
     * shuffle; at scale, a pre-aggregation per partition (AQE) bounds the
     * sort. Deterministic tie-break on p_partkey.

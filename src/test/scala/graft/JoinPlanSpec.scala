@@ -115,6 +115,72 @@ class JoinPlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("q6 pushes all three predicates into the parquet scan — no joins, no grouping shuffle") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Analytics.q6ForecastRevenue(Tables.lineitem(spark, sfDir))
+      val plan = df.queryExecution.executedPlan
+      // the scan must carry the date window, the discount band, and the
+      // quantity cap — a scan reading unfiltered lineitem is the bug
+      // this query exists to catch. Read the scan node's metadata (the
+      // plan's toString truncates long PushedFilters lists).
+      val pushed = plan.collectFirst {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.metadata("PushedFilters")
+      }.getOrElse(fail("no FileSourceScanExec in plan\n" + plan.toString.take(1200)))
+      assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+        pushed.contains("LessThan(l_quantity,24.0)") &&
+        pushed.contains("GreaterThanOrEqual(l_discount,0.05)"), pushed)
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // only the single-cell final-agg exchange, and it carries partials
+      assert(shuffles.length <= 1, s"${shuffles.length} shuffles\n" + plan.toString.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("q19 broadcasts part and evaluates the disjunction post-join — one agg exchange only") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Analytics.q19DisjunctiveRevenue(
+        Tables.part(spark, sfDir), Tables.lineitem(spark, sfDir))
+      val plan = df.queryExecution.executedPlan
+      val s = plan.toString
+      assert(s.contains("BroadcastHashJoin"), s.take(800))
+      assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct") &&
+        !s.contains("BroadcastNestedLoopJoin"), s.take(800))
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.length <= 1, s"${shuffles.length} shuffles\n" + s.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("q8 broadcasts all five dims; lineitem⋈orders is the only fact co-shuffle") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Analytics.q8MarketShare(Tables.region(spark, sfDir),
+        Tables.nation(spark, sfDir), Tables.customer(spark, sfDir),
+        Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir),
+        Tables.supplier(spark, sfDir), Tables.part(spark, sfDir))
+      val plan = df.queryExecution.executedPlan
+      val s = plan.toString
+      assert(s.contains("BroadcastHashJoin"), s.take(800))
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+        s.take(800))
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // lineitem + orders co-shuffle, the o_year group-by, and the tiny
+      // sorted output — the part/supplier/customer-region sides must not
+      // add fact-sized exchanges
+      assert(shuffles.length <= 4, s"${shuffles.length} shuffles\n" + s.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("tfidf keeps the rank-limit pushdown and broadcasts the doc count") {
     val plan = planOf(graft.ops.Corpus.tfidfTopTerms(Tables.documents(spark, sfDir)))
     // WindowGroupLimit = per-partition top-k BEFORE the window exchange;

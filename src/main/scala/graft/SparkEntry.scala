@@ -140,6 +140,7 @@ object SparkEntry {
     "corpus_curation" -> ((s, d) => Curation.curate(Tables.documents(s, d))),
     "corpus_curation_cc" -> ((s, d) => Curation.curateClustered(Tables.documents(s, d))),
     "corpus_curation_best" -> ((s, d) => Curation.curateKeepBest(Tables.documents(s, d))),
+    "curation_report" -> ((s, d) => Curation.curationReport(Tables.documents(s, d))),
     "text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(Tables.documents(s, d))),
@@ -922,6 +923,41 @@ object SparkEntry {
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM nd)
          |  AND d.doc_id NOT IN (SELECT doc_id FROM ed)
          |ORDER BY d.doc_id""".stripMargin,
+    // same stage CTEs as corpus_curation, counted per source with
+    // sequential attribution (quality fail ⊻ exact dup ⊻ near dup ⊻
+    // survive) — the five counts sum to n_docs
+    "curation_report" ->
+      s"""WITH st AS ($statsSubSql),
+         | q AS (SELECT doc_id FROM (
+         |  SELECT doc_id,
+         |   (CASE WHEN n_tokens BETWEEN 10 AND 2000 THEN 0.25 ELSE 0.0 END +
+         |    CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END +
+         |    CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END +
+         |    CASE WHEN n_distinct_tokens * 1.0 / n_tokens >= 0.3 THEN 0.25 ELSE 0.0 END) AS s
+         |  FROM st) t WHERE s >= 0.75),
+         | sh AS ($shingleSubSql),
+         | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         | pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+         |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         | nd AS (SELECT DISTINCT b_id AS doc_id FROM pairs
+         |   JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+         |   WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.5),
+         | ed AS (SELECT doc_id FROM (
+         |   SELECT doc_id, min(doc_id) OVER (PARTITION BY $normSql) AS cn
+         |   FROM documents) x WHERE doc_id != cn)
+         |SELECT d.source, count(*) AS n_docs,
+         | count(CASE WHEN q.doc_id IS NULL THEN 1 END) AS n_quality_fail,
+         | count(CASE WHEN q.doc_id IS NOT NULL AND ed.doc_id IS NOT NULL THEN 1 END)
+         |   AS n_exact_dup,
+         | count(CASE WHEN q.doc_id IS NOT NULL AND ed.doc_id IS NULL
+         |            AND nd.doc_id IS NOT NULL THEN 1 END) AS n_near_dup,
+         | count(CASE WHEN q.doc_id IS NOT NULL AND ed.doc_id IS NULL
+         |            AND nd.doc_id IS NULL THEN 1 END) AS n_surviving
+         |FROM documents d
+         |LEFT JOIN q ON q.doc_id = d.doc_id
+         |LEFT JOIN ed ON ed.doc_id = d.doc_id
+         |LEFT JOIN nd ON nd.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // CCNet bucket oracle: recompute the bigram-LM score (the
     // doc_lm_score CTE), then per-lang NTILE(3) on the ROUNDED score
     // with a doc_id tie-break — a total order, so both engines tile

@@ -89,4 +89,40 @@ object Curation {
       .join(best, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
+
+  /** Curation funnel report: per source, how many docs each stage of
+    * [[curate]] removes (quality gate → exact dedup → near-dup) and how
+    * many survive — the observability view a production ingest runs
+    * after every batch, and the first thing to look at when one crawl
+    * source starts polluting the corpus. Stages attribute
+    * SEQUENTIALLY (a doc failing quality is not also counted as a dup),
+    * so the five counts sum to n_docs per source and n_surviving
+    * matches [[curate]]'s cardinality exactly. Each stage contributes a
+    * doc_id-only flag frame; the report is one left-join chain over
+    * ids + a source-keyed count — no text moves, and the output is
+    * source-cardinality-sized.
+    */
+  def curationReport(documents: DataFrame): DataFrame = {
+    val quality = TextAnalysis.qualityFilter(documents)
+      .select(col("doc_id"), lit(1).as("__q"))
+    val exactDups = TextDedup.exact(documents).filter(col("is_dup"))
+      .select(col("doc_id"), lit(1).as("__e"))
+    val nearDups = TextDedup.minhashLsh(documents)
+      .select(col("b_id").as("doc_id")).distinct()
+      .withColumn("__n", lit(1))
+    documents.select(col("doc_id"), col("source"))
+      .join(quality, Seq("doc_id"), "left")
+      .join(exactDups, Seq("doc_id"), "left")
+      .join(nearDups, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("__q").isNull, 1)).as("n_quality_fail"),
+        count(when(col("__q").isNotNull && col("__e").isNotNull, 1)).as("n_exact_dup"),
+        count(when(col("__q").isNotNull && col("__e").isNull && col("__n").isNotNull, 1))
+          .as("n_near_dup"),
+        count(when(col("__q").isNotNull && col("__e").isNull && col("__n").isNull, 1))
+          .as("n_surviving"))
+      .orderBy(col("source"))
+  }
 }

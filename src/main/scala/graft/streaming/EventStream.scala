@@ -425,6 +425,55 @@ object EventStream {
       .toDF("user_id", "gap_start", "gap_end", "gap_sec")
   }
 
+  /** Streaming anomaly detection — the stateful twin of
+    * [[graft.ops.Analytics.anomalyZScore]]: per event_type, keyed state
+    * carries Welford running moments (n, mean, M2), each micro-batch
+    * first absorbs its rows (in event_id order, so the fold is
+    * deterministic) and then scores THAT batch's rows against the
+    * updated prefix statistics — monitoring that flags outliers on
+    * arrival, with thresholds that sharpen as history accumulates.
+    * State is three numbers per event type (bounded by type
+    * cardinality, never stream length). When everything arrives in one
+    * batch the prefix IS the full group, so the emitted set equals the
+    * batch operator's (AnomalyStreamSpec proves it); across batches the
+    * early rows are scored against less history — the honest streaming
+    * semantics. sd=0 and n<2 prefixes emit nothing, mirroring the
+    * batch operator's zero-variance exclusion. z is rounded HALF_UP to
+    * 4 decimals BEFORE thresholding, exactly like the batch form.
+    */
+  def anomalyStream(spark: SparkSession, events: DataFrame,
+                    threshold: Double = 2.5): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val typed = events
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .as[(Long, Long, String, Double)]
+    typed
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (etype: String, rows: Iterator[(Long, Long, String, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Double, Double)]) =>
+          val batch = rows.toArray.sortBy(_._1)
+          var (n, mean, m2) = state.getOption.getOrElse((0L, 0.0, 0.0))
+          batch.foreach { r =>
+            n += 1
+            val d = r._4 - mean
+            mean += d / n
+            m2 += d * (r._4 - mean)
+          }
+          state.update((n, mean, m2))
+          val std = if (n < 2) 0.0 else math.sqrt(m2 / (n - 1))
+          if (std <= 0.0) Iterator.empty
+          else batch.iterator.flatMap { case (id, uid, _, v) =>
+            val z = BigDecimal((v - mean) / std)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (math.abs(z) >= threshold) Some((id, uid, etype, v, z)) else None
+          }
+      }
+      .toDF("event_id", "user_id", "event_type", "value", "z")
+  }
+
   /** Driver-facing entry (rows-only check): stage the converted events
     * as a file-stream source, run the full streaming pipeline, return
     * the emitted windows. Append mode withholds windows newer than the

@@ -238,6 +238,48 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch gap divergence: missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
   }
 
+  test("streaming anomaly detection equals the batch z-score when one batch holds all history") {
+    // all staged files in one AvailableNow batch → the Welford prefix is
+    // the full group, so the emitted set must equal the batch operator's
+    val got = {
+      val q = EventStream.anomalyStream(spark, EventStream.source(spark, stagedDir))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("anom_out").start()
+      q.processAllAvailable(); q.stop()
+      val out = spark.table("anom_out").collect()
+        .map(r => (r.getLong(0), r.getDouble(4))).toMap
+      spark.catalog.dropTempView("anom_out")
+      out
+    }
+    val expect = graft.ops.Analytics.anomalyZScore(Tables.events(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getDouble(4))).toMap
+    assert(got.nonEmpty)
+    assert(got.keySet === expect.keySet,
+      s"id divergence: missing=${(expect.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- expect.keySet).take(5)}")
+    // Welford vs two-pass moments may differ in the last ulps; after
+    // 4-decimal rounding any residual divergence is at most one step
+    got.foreach { case (id, z) =>
+      assert(math.abs(z - expect(id)) <= 1e-4 + 1e-9, s"z mismatch for $id: $z vs ${expect(id)}")
+    }
+  }
+
+  test("streaming anomaly detection across multiple batches respects the prefix threshold") {
+    val dir = stagedDir // two parquet files → two micro-batches
+    val src = spark.readStream
+      .schema(Tables.events(spark, sfDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = EventStream.anomalyStream(spark, src)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("anom_mb").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("anom_mb").collect()
+    spark.catalog.dropTempView("anom_mb")
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getDouble(4)) >= 2.5, r.toString))
+  }
+
   test("incrementally-maintained aggregate table converges to the batch aggregate") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_aggtbl_src").toString

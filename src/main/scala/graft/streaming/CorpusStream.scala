@@ -39,14 +39,39 @@ object CorpusStream {
     * the same function per micro-batch).
     */
   def acceptBatch(index: TextDedup.DedupIndex, batch: DataFrame,
-                  threshold: Double = 0.5): DataFrame = {
+                  threshold: Double = 0.5): DataFrame =
+    acceptBatchWithReport(index, batch, threshold)._1
+
+  /** [[acceptBatch]] plus its per-batch funnel report, computed from
+    * the SAME stage frames (dedupIncremental localCheckpoints its
+    * survivor frame, so the accepted write and the report counts share
+    * the materialized dedup work instead of re-running it). The report
+    * is one row — n_in → quality fail → corpus dup → in-batch dup →
+    * accepted, sequentially attributed so the stages sum to n_in — the
+    * streaming twin of [[graft.ops.Curation.curationReport]] and of the
+    * reference consumer's running stats (consumer/main.py:297-321),
+    * emitted per micro-batch instead of polled.
+    */
+  def acceptBatchWithReport(index: TextDedup.DedupIndex, batch: DataFrame,
+                            threshold: Double = 0.5): (DataFrame, DataFrame) = {
     val quality = batch.join(
       TextAnalysis.qualityFilter(batch).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
     val vsCorpus = TextDedup.dedupIncremental(index, quality, threshold)
-    vsCorpus.join(
+    val accepted = vsCorpus.join(
       TextDedup.exact(vsCorpus).filter(!col("is_dup")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
+    val report = batch.select(col("doc_id"))
+      .join(quality.select(col("doc_id"), lit(1).as("__q")), Seq("doc_id"), "left")
+      .join(vsCorpus.select(col("doc_id"), lit(1).as("__c")), Seq("doc_id"), "left")
+      .join(accepted.select(col("doc_id"), lit(1).as("__a")), Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n_in"),
+        count(when(col("__q").isNull, 1)).as("n_quality_fail"),
+        count(when(col("__q").isNotNull && col("__c").isNull, 1)).as("n_corpus_dup"),
+        count(when(col("__c").isNotNull && col("__a").isNull, 1)).as("n_batch_dup"),
+        count(when(col("__a").isNotNull, 1)).as("n_accepted"))
+    (accepted, report)
   }
 
   /** Drain all staged document files through the ingest pipeline into
@@ -54,11 +79,15 @@ object CorpusStream {
     * checkpoint. `Trigger.AvailableNow` processes the backlog and
     * terminates — rerunning with the same checkpoint is a no-op; a
     * live deployment swaps the trigger for a processing-time one and
-    * keeps the same DAG.
+    * keeps the same DAG. If `statsPath` is set, each micro-batch also
+    * appends its one-row funnel report ([[acceptBatchWithReport]])
+    * tagged with the batch id — the ingest-health history a crawl
+    * operator dashboards.
     */
   def ingestOnce(spark: SparkSession, srcDir: String,
                  index: TextDedup.DedupIndex, destPath: String,
-                 checkpointDir: String, threshold: Double = 0.5): Unit = {
+                 checkpointDir: String, threshold: Double = 0.5,
+                 statsPath: String = ""): Unit = {
     val schema = spark.read.parquet(srcDir).schema
     spark.readStream
       .schema(schema)
@@ -67,7 +96,7 @@ object CorpusStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // dedupIncremental localCheckpoints two batch-sized frames per
         // call (cross-branch reuse); in a CONTINUOUS stream those pins
         // accumulate across micro-batches, so release every block this
@@ -75,8 +104,15 @@ object CorpusStream {
         // diff so pre-existing pins (the index's own caches) survive
         val sc = spark.sparkContext
         val before = sc.getPersistentRDDs.keySet
-        acceptBatch(index, batch, threshold)
-          .write.mode("append").parquet(destPath)
+        if (statsPath.isEmpty) {
+          acceptBatch(index, batch, threshold)
+            .write.mode("append").parquet(destPath)
+        } else {
+          val (accepted, report) = acceptBatchWithReport(index, batch, threshold)
+          accepted.write.mode("append").parquet(destPath)
+          report.withColumn("batch_id", lit(batchId))
+            .coalesce(1).write.mode("append").parquet(statsPath)
+        }
         sc.getPersistentRDDs.filterNot { case (id, _) => before.contains(id) }
           .foreach { case (_, rdd) => rdd.unpersist(false) }
       }

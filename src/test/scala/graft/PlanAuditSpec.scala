@@ -1,0 +1,47 @@
+package graft
+
+import graft.ops.Analytics
+import graft.plans.PlanAudit
+
+/** The audit utility must report the same plan facts JoinPlanSpec
+  * asserts by hand — including through AQE's adaptive wrapper, which is
+  * exactly the case where naive plan.collect silently sees nothing.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  test("q6 audits as a pruned, pushed-down, join-free scan") {
+    val a = PlanAudit.audit(Analytics.q6ForecastRevenue(Tables.lineitem(spark, sfDir)))
+    assert(a.scans === 1, a.toString)
+    // shipdate, discount, quantity, extendedprice — and nothing else of
+    // lineitem's 11 columns
+    assert(a.scannedColumns === 4, a.toString)
+    assert(a.pushedFilters >= 3, a.toString)
+    assert(a.shuffles <= 1, a.toString)
+    assert(!a.cartesianOrBnlj, a.toString)
+    assert(a.codegenSpans >= 1, a.toString)
+  }
+
+  test("q5 audits its dimension broadcasts through the adaptive plan") {
+    val a = PlanAudit.audit(Analytics.q5LocalSupplier(
+      Tables.region(spark, sfDir), Tables.nation(spark, sfDir),
+      Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.lineitem(spark, sfDir), Tables.supplier(spark, sfDir)))
+    assert(a.broadcasts >= 4, a.toString)
+    assert(!a.cartesianOrBnlj, a.toString)
+  }
+
+  test("badword filter audits shuffle-free") {
+    val a = PlanAudit.audit(
+      graft.ops.TrainingPrep.badwordFilter(Tables.documents(spark, sfDir)))
+    assert(a.shuffleFree, a.toString)
+    assert(!a.cartesianOrBnlj, a.toString)
+  }
+
+  test("auditRow emits the monitoring-table shape") {
+    val row = PlanAudit.auditRow("q6",
+      Analytics.q6ForecastRevenue(Tables.lineitem(spark, sfDir))).collect()
+    assert(row.length === 1)
+    assert(row.head.getAs[String]("query") === "q6")
+    assert(row.head.getAs[Int]("scans") === 1)
+  }
+}

@@ -405,6 +405,24 @@ class StreamingSpec extends SparkSpec {
     // same checkpoint → file offsets committed → replay adds nothing
     CorpusStream.ingestOnce(spark, src, index, dest, ckpt)
     assert(spark.read.parquet(dest).count() === 1)
+
+    // with a stats path, each micro-batch appends its one-row funnel
+    // report; the planted batch attributes 5 = 1 junk + 2 corpus dups +
+    // 1 in-batch dup + 1 accepted, and a checkpoint replay adds no row
+    val dest2 = java.nio.file.Files.createTempDirectory("graft_corpus_d2").toString + "/out"
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_corpus_ck2").toString
+    val stats = java.nio.file.Files.createTempDirectory("graft_corpus_st").toString + "/stats"
+    CorpusStream.ingestOnce(spark, src, index, dest2, ckpt2, statsPath = stats)
+    val rep = spark.read.parquet(stats).collect()
+    assert(rep.length === 1, rep.mkString(";"))
+    val r = rep.head
+    assert(r.getAs[Long]("n_in") === 5L &&
+      r.getAs[Long]("n_quality_fail") === 1L &&
+      r.getAs[Long]("n_corpus_dup") === 2L &&
+      r.getAs[Long]("n_batch_dup") === 1L &&
+      r.getAs[Long]("n_accepted") === 1L, r.toString)
+    CorpusStream.ingestOnce(spark, src, index, dest2, ckpt2, statsPath = stats)
+    assert(spark.read.parquet(stats).count() === 1)
   }
 
   test("embedding ingest stream grows the persisted IVF index like the in-memory append") {

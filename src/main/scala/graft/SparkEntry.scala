@@ -113,6 +113,7 @@ object SparkEntry {
     "retention_cohorts" -> ((s, d) => Analytics.retentionCohorts(Tables.events(s, d))),
     // ── D. LLM-training-data pipeline (SURVEY §2D) ─────────────────────
     "dedup_exact" -> ((s, d) => TextDedup.exact(Tables.documents(s, d))),
+    "span_dedup" -> ((s, d) => TextDedup.spanDedup(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => TextDedup.ngramJaccard(Tables.documents(s, d))),
     "dedup_minhash" -> ((s, d) => TextDedup.minhashLsh(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => TextDedup.simhashNearDups(Tables.documents(s, d))),
@@ -141,6 +142,17 @@ object SparkEntry {
     "corpus_curation_cc" -> ((s, d) => Curation.curateClustered(Tables.documents(s, d))),
     "corpus_curation_best" -> ((s, d) => Curation.curateKeepBest(Tables.documents(s, d))),
     "curation_report" -> ((s, d) => Curation.curationReport(Tables.documents(s, d))),
+    // Plan-governance table over the flagship scale probes: audits each
+    // named query's PHYSICAL plan (pushdown/pruning/shuffles/broadcasts/
+    // codegen/degenerate joins) without executing any of them — `queries`
+    // is a def, so the lookup happens lazily per call and never recurses.
+    "plan_audit_report" -> ((s, d) => {
+      val names = Seq("q1_agg", "q5_local_supplier", "q6_forecast_revenue",
+        "q18_big_orders", "timeseries_station", "dedup_minhash",
+        "dedup_embedding_lsh", "span_dedup", "contamination_check",
+        "badword_filter", "seq_pack", "range_join", "top_k_per_group_fast")
+      graft.plans.PlanAudit.reportFor(names.map(n => n -> queries(n)(s, d)))
+    }),
     "text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(Tables.documents(s, d))),
@@ -677,6 +689,32 @@ object SparkEntry {
       s"""SELECT doc_id, canonical_id, doc_id != canonical_id AS is_dup FROM (
          | SELECT doc_id, min(doc_id) OVER (PARTITION BY $normSql) AS canonical_id
          | FROM documents) t ORDER BY doc_id""".stripMargin,
+    "span_dedup" ->
+      """WITH docs AS (
+        | SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |segs AS (
+        | SELECT d.doc_id, i.i AS seg_idx,
+        |        array_to_string(list_slice(d.words, i.i*10+1, i.i*10+10), ' ') AS seg
+        | FROM docs d, LATERAL (
+        |  SELECT unnest(range(0, cast(ceil(len(d.words)/10.0) AS BIGINT)))) AS i(i)),
+        |hashed AS (
+        | SELECT doc_id, seg_idx, seg, md5(seg) AS h,
+        |        doc_id*1000000 + seg_idx AS k FROM segs),
+        |winners AS (SELECT h, min(k) AS wk FROM hashed GROUP BY h),
+        |kept AS (
+        | SELECT hashed.doc_id, hashed.seg_idx, hashed.seg
+        | FROM hashed JOIN winners ON hashed.h = winners.h AND hashed.k = winners.wk),
+        |reassembled AS (
+        | SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup,
+        |        count(*) AS segs_kept
+        | FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       coalesce(r.text_dedup, '') AS text_dedup,
+        |       cast(ceil(len(string_split(d.text, ' '))/10.0) AS BIGINT) AS segs_total,
+        |       cast(ceil(len(string_split(d.text, ' '))/10.0) AS BIGINT)
+        |         - coalesce(r.segs_kept, 0) AS segs_removed
+        |FROM documents d LEFT JOIN reassembled r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS ($shingleSubSql),
          | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),

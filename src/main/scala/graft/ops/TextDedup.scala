@@ -275,4 +275,54 @@ object TextDedup {
       .select(col("a_id"), col("b_id"), col("hamming"))
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** Repeated-SPAN removal (the C4/RefinedWeb intra-corpus rewrite, cf.
+    * reference consumer's duplicate drop at the record level —
+    * consumer/main.py:198-209 — taken down to sub-document granularity):
+    * segment every document into fixed `spanWords`-word windows, keep
+    * only the globally FIRST occurrence of each distinct span
+    * ((doc_id, seg_idx)-lexicographic minimum), and reassemble the
+    * surviving spans into the cleaned text. An exact duplicate document
+    * loses every span; boilerplate shared across documents survives only
+    * where it first appeared.
+    *
+    * Scale: two shuffles, both necessary — spans hash-partitioned by
+    * content digest for the global first-occurrence window (the
+    * grouping key is md5(seg), so skew is bounded by true span
+    * multiplicity), then kept spans by doc_id for reassembly. Segment
+    * construction is one narrow codegen projection (`transform` over
+    * the word array — the array is never duplicated per span), and the
+    * winner key is integer arithmetic (doc_id·10⁶ + seg_idx), portable
+    * to the SQL oracle bit-for-bit.
+    */
+  def spanDedup(documents: DataFrame, spanWords: Int = 10): DataFrame = {
+    val segs = documents
+      .select(col("doc_id"), split(col("text"), " ").as("__words"))
+      .withColumn("__segs",
+        transform(
+          sequence(lit(0), floor((size(col("__words")) - 1) / spanWords).cast("int")),
+          i => concat_ws(" ", slice(col("__words"), i * spanWords + 1, lit(spanWords)))))
+      .select(col("doc_id"), posexplode(col("__segs")).as(Seq("seg_idx", "seg")))
+      .withColumn("__k", col("doc_id") * 1000000L + col("seg_idx"))
+    val w = Window.partitionBy(md5(col("seg")))
+    val kept = segs
+      .withColumn("__wk", min(col("__k")).over(w))
+      .filter(col("__k") === col("__wk"))
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            s => s.getField("seg"))).as("text_dedup"),
+        count(lit(1)).as("segs_kept"))
+    documents
+      .select(col("doc_id"),
+        (floor((size(split(col("text"), " ")) - 1) / spanWords) + 1).cast("long")
+          .as("segs_total"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        col("segs_total"),
+        (col("segs_total") - coalesce(col("segs_kept"), lit(0L))).as("segs_removed"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -84,4 +84,15 @@ object PlanAudit {
         "partition_filters", "shuffles", "broadcasts", "codegen_spans",
         "sorts", "cartesian_or_bnlj")
   }
+
+  /** The governance table for a set of named queries — one audited row
+    * each. Costs plan compilation only (nothing executes), so a fleet
+    * of representative queries audits in seconds regardless of data
+    * size: the pre-deploy gate a 100 TB operator runs before letting a
+    * changed query near the cluster.
+    */
+  def reportFor(frames: Seq[(String, DataFrame)]): DataFrame =
+    frames.map { case (n, f) => auditRow(n, f) }
+      .reduce(_.unionAll(_))
+      .orderBy(org.apache.spark.sql.functions.col("query"))
 }

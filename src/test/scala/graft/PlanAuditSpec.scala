@@ -37,6 +37,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!a.cartesianOrBnlj, a.toString)
   }
 
+  test("reportFor unions one audited row per named query") {
+    val rows = PlanAudit.reportFor(Seq(
+      "q6" -> Analytics.q6ForecastRevenue(Tables.lineitem(spark, sfDir)),
+      "badword" -> graft.ops.TrainingPrep.badwordFilter(Tables.documents(spark, sfDir))))
+      .collect()
+    assert(rows.map(_.getAs[String]("query")).toSeq === Seq("badword", "q6"))
+    assert(rows.forall(!_.getAs[Boolean]("cartesian_or_bnlj")))
+  }
+
   test("auditRow emits the monitoring-table shape") {
     val row = PlanAudit.auditRow("q6",
       Analytics.q6ForecastRevenue(Tables.lineitem(spark, sfDir))).collect()

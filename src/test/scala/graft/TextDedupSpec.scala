@@ -129,4 +129,33 @@ class TextDedupSpec extends SparkSpec {
         spark.sql(s"DROP TABLE IF EXISTS dedup_idx_spec_$t"))
     }
   }
+
+  test("span dedup: reassembly is the identity for untouched docs, total loss for exact dups") {
+    val all = Tables.documents(spark, sfDir)
+    val out = TextDedup.spanDedup(all)
+    val joined = out.join(all.select(col("doc_id"), col("text")), "doc_id")
+    // something in this corpus repeats (the planted near-dups share
+    // aligned spans), and every removal is accounted for
+    val removed = joined.agg(sum(col("segs_removed"))).as[Long].head()
+    assert(removed > 0)
+    // docs that lost nothing reassemble BIT-IDENTICAL to the original —
+    // catches any segment-ordering or slicing bug
+    assert(joined.filter(col("segs_removed") === 0 &&
+      col("text_dedup") =!= col("text")).count() === 0)
+    // an exact-duplicate doc (non-canonical copy) loses every span to
+    // its earlier twin
+    val dupIds = TextDedup.exact(all).filter(col("is_dup")).select("doc_id")
+    assert(joined.join(dupIds, "doc_id")
+      .filter(col("segs_removed") =!= col("segs_total")).count() === 0)
+    // kept spans of a cleaned doc are a prefix-ordered subsequence:
+    // word count conservation
+    val words = joined
+      .select((size(split(col("text"), " "))).as("n_orig"),
+        when(col("text_dedup") === "", 0)
+          .otherwise(size(split(col("text_dedup"), " "))).as("n_kept"),
+        col("segs_removed"))
+    assert(words.filter(col("n_kept") > col("n_orig")).count() === 0)
+    assert(words.filter(col("segs_removed") === 0 &&
+      col("n_kept") =!= col("n_orig")).count() === 0)
+  }
 }

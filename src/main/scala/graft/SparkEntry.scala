@@ -114,6 +114,12 @@ object SparkEntry {
     // ── D. LLM-training-data pipeline (SURVEY §2D) ─────────────────────
     "dedup_exact" -> ((s, d) => TextDedup.exact(Tables.documents(s, d))),
     "span_dedup" -> ((s, d) => TextDedup.spanDedup(Tables.documents(s, d))),
+    "span_dedup_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      val index = TextDedup.buildSpanIndex(docs.filter(col("doc_id") % 5 =!= 4))
+      TextDedup.spanDedupIncremental(index, docs.filter(col("doc_id") % 5 === 4))
+    }),
     "dedup_ngram_jaccard" -> ((s, d) => TextDedup.ngramJaccard(Tables.documents(s, d))),
     "dedup_minhash" -> ((s, d) => TextDedup.minhashLsh(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => TextDedup.simhashNearDups(Tables.documents(s, d))),
@@ -172,6 +178,7 @@ object SparkEntry {
     "doc_entropy" -> ((s, d) => TextAnalysis.entropy(Tables.documents(s, d))),
     "contamination_check" -> ((s, d) => Corpus.contamination(Tables.documents(s, d))),
     "split_leakage" -> ((s, d) => Corpus.splitLeakage(Tables.documents(s, d))),
+    "split_leakage_bloom" -> ((s, d) => Corpus.splitLeakageBloom(Tables.documents(s, d))),
     "dedup_clusters" -> ((s, d) => Corpus.nearDupClusters(Tables.documents(s, d))),
     "doc_overlap" -> ((s, d) => Corpus.docOverlap(Tables.documents(s, d))),
     "doc_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
@@ -180,6 +187,7 @@ object SparkEntry {
     "seq_pack" -> ((s, d) => TrainingPrep.seqPack(Tables.documents(s, d))),
     "data_mix" -> ((s, d) => TrainingPrep.mixWeights(Tables.documents(s, d))),
     "shard_assign" -> ((s, d) => TrainingPrep.shardAssign(Tables.documents(s, d))),
+    "epoch_shuffle" -> ((s, d) => TrainingPrep.epochShuffle(Tables.documents(s, d))),
     "badword_filter" -> ((s, d) => TrainingPrep.badwordFilter(Tables.documents(s, d))),
     "doc_chunk" -> ((s, d) => TrainingPrep.chunk(Tables.documents(s, d))),
     "multimodal_meta" -> ((s, d) => Multimodal.metadata(Tables.documents(s, d))),
@@ -210,6 +218,34 @@ object SparkEntry {
     s"""SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(ws) - 1, 1)),
        |  i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS s
        |FROM (SELECT doc_id, $wsSql AS ws FROM documents) w""".stripMargin
+
+  // Shared by split_leakage and its bloom-prefiltered twin — the bloom
+  // pre-filter provably cannot change the result (no false negatives;
+  // false positives are re-verified by the exact join), so both gate
+  // against the SAME exact SQL.
+  private lazy val splitLeakageSql =
+    s"""WITH sh AS ($shingleSubSql),
+       | asg AS (SELECT doc_id,
+       |   CASE WHEN bucket < 205 THEN 'train'
+       |        WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |   CAST((strpos('0123456789abcdef',
+       |      substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split-v1'), 1, 1)) - 1) * 16
+       |    + (strpos('0123456789abcdef',
+       |      substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split-v1'), 2, 1)) - 1)
+       |    AS BIGINT) AS bucket FROM documents) b),
+       | j AS (SELECT sh.doc_id, asg.split, sh.s FROM sh JOIN asg USING (doc_id)),
+       | tr AS (SELECT DISTINCT s FROM j WHERE split = 'train'),
+       | held AS (SELECT * FROM j WHERE split != 'train'),
+       | tot AS (SELECT doc_id, split, count(*) AS n_shingles FROM held GROUP BY 1, 2),
+       | hit AS (SELECT held.doc_id, count(*) AS n_leaked
+       |   FROM held JOIN tr USING (s) GROUP BY 1)
+       |SELECT t.doc_id, t.split, CAST(t.n_shingles AS BIGINT) AS n_shingles,
+       | CAST(coalesce(h.n_leaked, 0) AS BIGINT) AS n_leaked,
+       | round(coalesce(h.n_leaked, 0) * 1.0 / t.n_shingles, 4) AS leak_fraction,
+       | coalesce(h.n_leaked, 0) * 1.0 / t.n_shingles >= 0.5 AS is_leaked
+       |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+       |ORDER BY t.doc_id""".stripMargin
 
   // Validation predicate fragments reused across the A-section oracles —
   // MUST stay in sync with graft.ops.Ingest.
@@ -715,6 +751,42 @@ object SparkEntry {
         |         - coalesce(r.segs_kept, 0) AS segs_removed
         |FROM documents d LEFT JOIN reassembled r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // Incremental form: corpus = doc_id % 5 != 4 (already accepted — its
+    // spans' first occurrences stand), batch = doc_id % 5 = 4. A batch
+    // span in the corpus digest set is removed outright; the rest
+    // compete within the batch by the same first-occurrence rule.
+    "span_dedup_incremental" ->
+      """WITH docs AS (
+        | SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |segs AS (
+        | SELECT d.doc_id, i.i AS seg_idx,
+        |        array_to_string(list_slice(d.words, i.i*10+1, i.i*10+10), ' ') AS seg
+        | FROM docs d, LATERAL (
+        |  SELECT unnest(range(0, cast(ceil(len(d.words)/10.0) AS BIGINT)))) AS i(i)),
+        |hashed AS (
+        | SELECT doc_id, seg_idx, seg, md5(seg) AS h,
+        |        doc_id*1000000 + seg_idx AS k FROM segs),
+        |idx AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 5 != 4),
+        |batch AS (SELECT * FROM hashed WHERE doc_id % 5 = 4),
+        |fresh AS (
+        | SELECT b.* FROM batch b
+        | WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.h = b.h)),
+        |winners AS (SELECT h, min(k) AS wk FROM fresh GROUP BY h),
+        |kept AS (
+        | SELECT f.doc_id, f.seg_idx, f.seg
+        | FROM fresh f JOIN winners w ON f.h = w.h AND f.k = w.wk),
+        |reassembled AS (
+        | SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup,
+        |        count(*) AS segs_kept
+        | FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       coalesce(r.text_dedup, '') AS text_dedup,
+        |       cast(ceil(len(string_split(d.text, ' '))/10.0) AS BIGINT) AS segs_total,
+        |       cast(ceil(len(string_split(d.text, ' '))/10.0) AS BIGINT)
+        |         - coalesce(r.segs_kept, 0) AS segs_removed
+        |FROM documents d LEFT JOIN reassembled r ON r.doc_id = d.doc_id
+        |WHERE d.doc_id % 5 = 4
+        |ORDER BY d.doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS ($shingleSubSql),
          | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -1149,29 +1221,8 @@ object SparkEntry {
     // split buckets reuse the split_assign md5 arithmetic verbatim; the
     // shingle join runs on strings here vs 8-byte hashes in Spark (same
     // accepted equivalence as contamination_check / doc_overlap)
-    "split_leakage" ->
-      s"""WITH sh AS ($shingleSubSql),
-         | asg AS (SELECT doc_id,
-         |   CASE WHEN bucket < 205 THEN 'train'
-         |        WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
-         |  FROM (SELECT doc_id,
-         |   CAST((strpos('0123456789abcdef',
-         |      substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split-v1'), 1, 1)) - 1) * 16
-         |    + (strpos('0123456789abcdef',
-         |      substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split-v1'), 2, 1)) - 1)
-         |    AS BIGINT) AS bucket FROM documents) b),
-         | j AS (SELECT sh.doc_id, asg.split, sh.s FROM sh JOIN asg USING (doc_id)),
-         | tr AS (SELECT DISTINCT s FROM j WHERE split = 'train'),
-         | held AS (SELECT * FROM j WHERE split != 'train'),
-         | tot AS (SELECT doc_id, split, count(*) AS n_shingles FROM held GROUP BY 1, 2),
-         | hit AS (SELECT held.doc_id, count(*) AS n_leaked
-         |   FROM held JOIN tr USING (s) GROUP BY 1)
-         |SELECT t.doc_id, t.split, CAST(t.n_shingles AS BIGINT) AS n_shingles,
-         | CAST(coalesce(h.n_leaked, 0) AS BIGINT) AS n_leaked,
-         | round(coalesce(h.n_leaked, 0) * 1.0 / t.n_shingles, 4) AS leak_fraction,
-         | coalesce(h.n_leaked, 0) * 1.0 / t.n_shingles >= 0.5 AS is_leaked
-         |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
-         |ORDER BY t.doc_id""".stripMargin,
+    "split_leakage" -> splitLeakageSql,
+    "split_leakage_bloom" -> splitLeakageSql,
     // Cluster assignment inherits the minhash oracle soundness argument
     // (banded candidates exact-verified ⊆ exact pairs; set equality
     // spec-proven and re-asserted at every gate SF by the tri-SF local
@@ -1369,6 +1420,32 @@ object SparkEntry {
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS size_bytes,
         | substr(hex(CAST(text AS BLOB)), 1, 8) AS magic_hex,
         | md5(text) AS content_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // The decode STUB is deterministic (features are pure byte
+    // arithmetic over the blob), so the oracle recomputes it exactly —
+    // the corpus is ASCII (gate-asserted: octet_length == len for every
+    // doc), so per-char ascii() IS the byte value and the byte-mean
+    // matches bit-for-bit. A real codec replaces both sides together.
+    "multimodal_features" ->
+      """WITH f AS (
+        | SELECT doc_id,
+        |  octet_length(CAST(text AS BLOB)) AS size_bytes,
+        |  64 + (ascii(substr(text, 1, 1)) % 64) AS width,
+        |  64 + (ascii(substr(text, 2, 1)) % 64) AS height,
+        |  3 AS channels,
+        |  octet_length(CAST(text AS BLOB)) // 1024 + 1 AS n_frames,
+        |  round(list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
+        |    / CAST(octet_length(CAST(text AS BLOB)) AS DOUBLE), 4) AS mean_byte
+        | FROM documents)
+        |SELECT doc_id, size_bytes, width, height, channels, n_frames, mean_byte,
+        | round(CAST(width AS DOUBLE) / height, 4) AS aspect_ratio,
+        | greatest(1, n_frames // 8) AS sample_stride
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // Position = dense rank of a seeded md5 over doc_id — pure hash
+    // arithmetic, so the permutation is engine-identical.
+    "epoch_shuffle" ->
+      """SELECT doc_id,
+        | row_number() OVER (ORDER BY md5('epoch0:' || doc_id), doc_id) AS position
+        |FROM documents ORDER BY position""".stripMargin
   )
 }

@@ -241,6 +241,58 @@ object Corpus {
         col("leak_fraction"), col("is_leaked"))
   }
 
+  /** [[splitLeakage]] with a bloom-filter pre-filter on the probe side —
+    * same output bit-for-bit, built the way the check runs when TRAIN is
+    * 100 TB: the train shingle set no longer fits a broadcast, so the
+    * held-out probe stream would shuffle ALL its shingles into the exact
+    * semi-join just to discover most of them match nothing. Instead the
+    * train side is folded into a bloom sketch (distributed aggregate —
+    * [[graft.functions.Blooms.bloomAgg]], Spark's own runtime-filter
+    * expression pair; only the finished sketch bytes touch the driver,
+    * like approxQuantile), the probe stream drops every shingle the
+    * sketch rejects INSIDE whole-stage codegen before any exchange, and
+    * only the surviving ~hits (plus fpp false positives, re-verified by
+    * the unchanged exact semi-join) are shuffled. Sketch sizing comes
+    * from table stats (`n_chars`-derived shingle estimate), not an extra
+    * counting pass — the same stats-not-scan choice Spark's
+    * InjectRuntimeFilter makes.
+    */
+  def splitLeakageBloom(documents: DataFrame, threshold: Double = 0.5,
+                        fpp: Double = 0.03): DataFrame = {
+    val assigned = splitAssign(documents).select(col("doc_id"), col("split"))
+    val sh = documents
+      .withColumn("__sh", Hashes.shingleHashes(split(normText, " "), 3))
+      .filter(size(col("__sh")) > 0)
+      .select(col("doc_id"), size(col("__sh")).cast("long").as("n_shingles"),
+        explode(col("__sh")).as("s"))
+      .join(assigned, Seq("doc_id"))
+    val trainSh = sh.filter(col("split") === "train").select(col("s")).distinct()
+    // shingles ≈ words ≈ chars/5; an over-estimate only lowers the fpp
+    val estItems = documents
+      .join(assigned, Seq("doc_id"))
+      .filter(col("split") === "train")
+      .agg(coalesce(sum(col("n_chars")), lit(0L)).cast("long"))
+      .head().getLong(0) / 5
+    val sketch = trainSh
+      .agg(graft.functions.Blooms.bloomAgg(col("s"), estItems, fpp))
+      .head().getAs[Array[Byte]](0)
+    val heldOut = sh.filter(col("split") =!= "train")
+    val hits = heldOut
+      .filter(graft.functions.Blooms.mightContain(sketch, col("s")))
+      .join(trainSh, Seq("s"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_leaked"))
+    heldOut
+      .select(col("doc_id"), col("split"), col("n_shingles")).distinct()
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_leaked", coalesce(col("n_leaked"), lit(0L)))
+      .withColumn("leak_fraction",
+        round(col("n_leaked") / col("n_shingles"), 4))
+      .withColumn("is_leaked",
+        (col("n_leaked") / col("n_shingles") >= threshold).cast("boolean"))
+      .select(col("doc_id"), col("split"), col("n_shingles"), col("n_leaked"),
+        col("leak_fraction"), col("is_leaked"))
+  }
+
   /** Per-source curation dashboard — the domain-level view large-scale
     * pipelines filter on (drop/downweight whole sources by measured
     * quality, the RefinedWeb/C4 pattern): doc volume, quality-gate pass

@@ -296,7 +296,20 @@ object TextDedup {
     * to the SQL oracle bit-for-bit.
     */
   def spanDedup(documents: DataFrame, spanWords: Int = 10): DataFrame = {
-    val segs = documents
+    val segs = spanSegments(documents, spanWords)
+    val w = Window.partitionBy(md5(col("seg")))
+    val kept = segs
+      .withColumn("__wk", min(col("__k")).over(w))
+      .filter(col("__k") === col("__wk"))
+    spanReassemble(documents, kept, spanWords)
+  }
+
+  /** Fixed-window segmentation shared by [[spanDedup]] and
+    * [[spanDedupIncremental]]: (doc_id, seg_idx, seg, __k) with the
+    * integer winner key. One narrow codegen projection + posexplode.
+    */
+  private def spanSegments(documents: DataFrame, spanWords: Int): DataFrame =
+    documents
       .select(col("doc_id"), split(col("text"), " ").as("__words"))
       .withColumn("__segs",
         transform(
@@ -304,10 +317,15 @@ object TextDedup {
           i => concat_ws(" ", slice(col("__words"), i * spanWords + 1, lit(spanWords)))))
       .select(col("doc_id"), posexplode(col("__segs")).as(Seq("seg_idx", "seg")))
       .withColumn("__k", col("doc_id") * 1000000L + col("seg_idx"))
-    val w = Window.partitionBy(md5(col("seg")))
-    val kept = segs
-      .withColumn("__wk", min(col("__k")).over(w))
-      .filter(col("__k") === col("__wk"))
+
+  /** Reassembly + accounting tail shared by the span-dedup family:
+    * kept spans group back to one row per doc (doc_id-partitioned
+    * shuffle), every input doc appears (left join), and removals are
+    * conserved against the arithmetic segment total.
+    */
+  private def spanReassemble(documents: DataFrame, keptSegs: DataFrame,
+                             spanWords: Int): DataFrame = {
+    val kept = keptSegs
       .groupBy(col("doc_id"))
       .agg(
         concat_ws(" ",
@@ -324,5 +342,62 @@ object TextDedup {
         col("segs_total"),
         (col("segs_total") - coalesce(col("segs_kept"), lit(0L))).as("segs_removed"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Prebuilt span state over an accepted corpus — the sub-document twin
+    * of [[DedupIndex]]: the distinct span digests already present. A new
+    * batch needs ONLY this digest set (8+32 bytes per distinct span, not
+    * the corpus text) to know which of its spans are repeats.
+    */
+  case class SpanIndex(digests: DataFrame, spanWords: Int)
+
+  def buildSpanIndex(corpus: DataFrame, spanWords: Int = 10): SpanIndex =
+    SpanIndex(
+      spanSegments(corpus, spanWords).select(md5(col("seg")).as("h")).distinct(),
+      spanWords)
+
+  /** Persist a [[SpanIndex]] bucketed by digest — same continuous-ingest
+    * layout discipline as [[writeDedupIndex]]: batches equi-join the
+    * index with no Exchange on the index side, accepted batches append
+    * their new digests. Geometry (span width) rides in a meta table.
+    */
+  def writeSpanIndex(index: SpanIndex, tablePrefix: String, path: String,
+                     nBuckets: Int = 8): SpanIndex = {
+    val spark = index.digests.sparkSession
+    graft.sources.Sources.writeBucketed(
+      index.digests, s"${tablePrefix}_spans", s"$path/spans", "h", nBuckets)
+    import spark.implicits._
+    Seq(index.spanWords).toDF("span_words")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    loadSpanIndex(spark, tablePrefix, path)
+  }
+
+  def loadSpanIndex(spark: org.apache.spark.sql.SparkSession,
+                    tablePrefix: String, path: String): SpanIndex =
+    SpanIndex(
+      spark.table(s"${tablePrefix}_spans"),
+      spark.read.parquet(s"$path/meta").head().getAs[Int]("span_words"))
+
+  /** Incremental [[spanDedup]] of a new batch AGAINST the accepted
+    * corpus — the continuous-crawl form of the C4/RefinedWeb rewrite:
+    * batch spans whose digest already exists in the index are removed
+    * outright (their first occurrence is in the accepted corpus), and
+    * the remaining spans compete within the batch by the same
+    * first-occurrence rule. Cost ∝ batch: one anti-join of batch span
+    * digests against the bucketed index, one batch-sized window, one
+    * doc_id regroup. When every accepted doc_id precedes every batch
+    * doc_id, output is IDENTICAL to [[spanDedup]] of the union
+    * restricted to the batch (spec-proven) — the incremental path is
+    * the batch path, factored by arrival.
+    */
+  def spanDedupIncremental(index: SpanIndex, batch: DataFrame): DataFrame = {
+    val fresh = spanSegments(batch, index.spanWords)
+      .withColumn("h", md5(col("seg")))
+      .join(index.digests, Seq("h"), "left_anti")
+    val w = Window.partitionBy(col("h"))
+    val kept = fresh
+      .withColumn("__wk", min(col("__k")).over(w))
+      .filter(col("__k") === col("__wk"))
+    spanReassemble(batch, kept, index.spanWords)
   }
 }

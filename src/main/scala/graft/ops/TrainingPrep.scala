@@ -173,6 +173,40 @@ object TrainingPrep {
     * the op is embarrassingly parallel at any scale and deterministic
     * under repartition. Empty docs produce no chunks.
     */
+  /** Deterministic global training-order shuffle for one epoch: every
+    * doc gets a dense position 1..N in the order of a seeded content
+    * hash — the reproducible permutation a trainer replays to resume
+    * mid-epoch on any cluster size (no RNG state, no `rand()`:
+    * md5(seed, doc_id) IS the order, so epoch k is the same permutation
+    * on every engine and every retry).
+    *
+    * The dense rank uses the [[seqPack]] two-level scan: positions are
+    * per-bucket row_numbers (bucket = first hash byte, so bucket order
+    * IS hash-prefix order) plus a broadcast cumulative offset over the
+    * 256-row bucket-count table — never a single-partition global
+    * window. At 100 TB this is one ids-only shuffle on the hash.
+    */
+  def epochShuffle(documents: DataFrame, seed: Int = 0): DataFrame = {
+    val keyed = documents
+      .select(col("doc_id"))
+      .withColumn("__key",
+        md5(concat(lit(s"epoch$seed:"), col("doc_id").cast("string"))))
+      .withColumn("__b", conv(substring(col("__key"), 1, 2), 16, 10).cast("int"))
+    val ranked = keyed.withColumn("__rn",
+      row_number().over(
+        Window.partitionBy(col("__b")).orderBy(col("__key"), col("doc_id"))).cast("long"))
+    val offsets = keyed
+      .groupBy(col("__b")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(
+        Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__b"), col("__off"))
+    ranked
+      .join(broadcast(offsets), Seq("__b"))
+      .select(col("doc_id"), (col("__off") + col("__rn")).as("position"))
+      .orderBy(col("position"))
+  }
+
   def chunk(documents: DataFrame, chunkSize: Int = 32, stride: Int = 24): DataFrame = {
     require(stride > 0 && chunkSize >= stride, "need 0 < stride <= chunkSize")
     val chunkToks = slice(col("__w"), col("chunk_id") * stride + 1, lit(chunkSize))

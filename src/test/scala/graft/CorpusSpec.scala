@@ -304,4 +304,15 @@ class CorpusSpec extends SparkSpec {
     assert((0L to nLeaves.toLong).forall(byDoc(_) === 0L), "star collapses to hub's label")
     assert(Seq(1000L, 1001L, 1002L).forall(byDoc(_) === 1000L), "side chain keeps its own label")
   }
+
+  test("bloom-prefiltered split leakage is bit-identical to the exact form") {
+    // no false negatives in the sketch + exact re-verification of
+    // survivors ⇒ the pre-filter may only shrink join INPUT, never
+    // change join OUTPUT — asserted as exact frame equality both ways
+    val exact = Corpus.splitLeakage(docs)
+    val bloom = Corpus.splitLeakageBloom(docs)
+    assert(exact.except(bloom).count() === 0)
+    assert(bloom.except(exact).count() === 0)
+    assert(bloom.count() === exact.count())
+  }
 }

@@ -158,4 +158,30 @@ class TextDedupSpec extends SparkSpec {
     assert(words.filter(col("segs_removed") === 0 &&
       col("n_kept") =!= col("n_orig")).count() === 0)
   }
+
+  test("incremental span dedup ≡ batch span dedup when the corpus precedes the batch") {
+    val all = Tables.documents(spark, sfDir)
+    val cut = 250L
+    val corpus = all.filter(col("doc_id") < cut)
+    val batch = all.filter(col("doc_id") >= cut)
+    // corpus keys all precede batch keys, so a span present in BOTH has
+    // its global first occurrence in the corpus — incremental removal
+    // (digest in index) and batch-global removal (winner key < batch)
+    // agree exactly, and within-batch competition is the same rule
+    val inc = TextDedup.spanDedupIncremental(TextDedup.buildSpanIndex(corpus), batch)
+    val full = TextDedup.spanDedup(all).filter(col("doc_id") >= cut)
+    assert(inc.except(full).count() === 0)
+    assert(full.except(inc).count() === 0)
+    assert(inc.count() === batch.count())
+
+    // persisted index round-trip serves the identical result
+    val dir = java.nio.file.Files.createTempDirectory("graft_span_idx").toString
+    try {
+      val loaded = TextDedup.writeSpanIndex(
+        TextDedup.buildSpanIndex(corpus), "span_idx_spec", dir)
+      val viaDisk = TextDedup.spanDedupIncremental(loaded, batch)
+      assert(viaDisk.except(full).count() === 0)
+      assert(full.except(viaDisk).count() === 0)
+    } finally spark.sql("DROP TABLE IF EXISTS span_idx_spec_spans")
+  }
 }

@@ -158,4 +158,27 @@ class TrainingPrepSpec extends SparkSpec {
       }
     }
   }
+
+  test("epochShuffle is a dense deterministic permutation; two-level scan = global rank") {
+    val n = docs.count()
+    val out = TrainingPrep.epochShuffle(docs).cache()
+    // dense permutation: positions are exactly 1..N, one per doc
+    assert(out.count() === n)
+    assert(out.select("position").distinct().count() === n)
+    assert(out.agg(min(col("position")), max(col("position")))
+      .as[(Long, Long)].head() === ((1L, n)))
+    // bucketed two-level rank equals the naive single-window global rank
+    val naive = docs
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(
+          md5(concat(lit("epoch0:"), col("doc_id").cast("string"))),
+          col("doc_id"))).cast("long").as("ref_pos"))
+    assert(out.join(naive, Seq("doc_id"))
+      .filter(col("position") =!= col("ref_pos")).count() === 0)
+    // deterministic across invocations; a different seed reorders
+    assert(out.except(TrainingPrep.epochShuffle(docs)).count() === 0)
+    assert(TrainingPrep.epochShuffle(docs, seed = 1)
+      .except(out).count() > 0)
+    out.unpersist()
+  }
 }

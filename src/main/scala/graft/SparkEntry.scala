@@ -173,6 +173,7 @@ object SparkEntry {
     "ngram_topk" -> ((s, d) => Corpus.ngramTopK(Tables.documents(s, d))),
     "tfidf_topterms" -> ((s, d) => Corpus.tfidfTopTerms(Tables.documents(s, d))),
     "source_quality" -> ((s, d) => Corpus.sourceQuality(Tables.documents(s, d))),
+    "length_percentiles" -> ((s, d) => Corpus.lengthPercentiles(Tables.documents(s, d))),
     "doc_lm_score" -> ((s, d) => Corpus.lmScore(Tables.documents(s, d))),
     "perplexity_buckets" -> ((s, d) => Corpus.perplexityBuckets(Tables.documents(s, d))),
     "doc_entropy" -> ((s, d) => TextAnalysis.entropy(Tables.documents(s, d))),
@@ -996,6 +997,19 @@ object SparkEntry {
          | LEFT JOIN q ON doc.doc_id = q.doc_id
          | LEFT JOIN d ON doc.doc_id = d.doc_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Exact rank-selection percentiles: percentile k = smallest length
+    // whose cumulative count reaches ceil(n*k/100), all-integer.
+    "length_percentiles" ->
+      """WITH c AS (SELECT source, n_chars, count(*) AS cnt FROM documents GROUP BY 1, 2),
+        |t AS (SELECT source, sum(cnt) AS n FROM c GROUP BY 1),
+        |cum AS (SELECT c.source, c.n_chars, c.cnt,
+        |        sum(c.cnt) OVER (PARTITION BY c.source ORDER BY c.n_chars) AS cc, t.n
+        |        FROM c JOIN t USING (source))
+        |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+        | CAST(min(CASE WHEN cc >= (n*50 + 99) // 100 THEN n_chars END) AS BIGINT) AS p50_chars,
+        | CAST(min(CASE WHEN cc >= (n*90 + 99) // 100 THEN n_chars END) AS BIGINT) AS p90_chars,
+        | CAST(min(CASE WHEN cc >= (n*99 + 99) // 100 THEN n_chars END) AS BIGINT) AS p99_chars
+        |FROM cum GROUP BY source ORDER BY source""".stripMargin,
     "doc_lm_score" ->
       s"""WITH t AS (SELECT doc_id, list_filter($wsSql, x -> x != '') AS ws FROM documents),
          | b AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),

@@ -293,6 +293,38 @@ object Corpus {
         col("leak_fraction"), col("is_leaked"))
   }
 
+  /** EXACT per-source length percentiles (p50/p90/p99 of `n_chars`) —
+    * the length-distribution dashboard behind truncation budgets and
+    * packing-efficiency decisions, computed WITHOUT a global sort and
+    * WITHOUT approximation: lengths first collapse to a
+    * (source, length, count) histogram (one shuffle; output bounded by
+    * distinct lengths per source, not docs), the cumulative count runs
+    * over that bounded histogram, and percentile k is the smallest
+    * length whose cumulative count reaches ceil(n·k/100) — pure integer
+    * arithmetic (`(n·k+99) div 100`), so DuckDB reproduces the rank
+    * selection bit-for-bit (cross-checked against its quantile_disc).
+    * The approximate twin at scale is approx_percentile
+    * (events_profile_approx); this is the exact form whose cost stays
+    * sane because it sorts value-count histograms, never rows.
+    */
+  def lengthPercentiles(documents: DataFrame): DataFrame = {
+    val c = documents
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("__cnt"))
+    val t = c.groupBy(col("source")).agg(sum(col("__cnt")).as("__n"))
+    val cum = c.join(t, Seq("source"))
+      .withColumn("__cc", sum(col("__cnt")).over(
+        Window.partitionBy(col("source")).orderBy(col("n_chars"))))
+    def pct(p: Int) =
+      min(when(col("__cc") >= expr(s"(__n * $p + 99) div 100"), col("n_chars")))
+    cum.groupBy(col("source")).agg(
+      max(col("__n")).cast("long").as("n_docs"),
+      pct(50).cast("long").as("p50_chars"),
+      pct(90).cast("long").as("p90_chars"),
+      pct(99).cast("long").as("p99_chars"))
+      .orderBy(col("source"))
+  }
+
   /** Per-source curation dashboard — the domain-level view large-scale
     * pipelines filter on (drop/downweight whole sources by measured
     * quality, the RefinedWeb/C4 pattern): doc volume, quality-gate pass

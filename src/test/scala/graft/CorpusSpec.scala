@@ -305,6 +305,24 @@ class CorpusSpec extends SparkSpec {
     assert(Seq(1000L, 1001L, 1002L).forall(byDoc(_) === 1000L), "side chain keeps its own label")
   }
 
+  test("lengthPercentiles: histogram rank selection = naive sorted-list percentiles") {
+    val out = Corpus.lengthPercentiles(docs)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val bySource = docs.select(col("source"), col("n_chars"))
+      .as[(String, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    assert(out.map(_._1).toSet === bySource.keySet)
+    out.foreach { case (src, n, p50, p90, p99) =>
+      val xs = bySource(src)
+      assert(n === xs.length.toLong, src)
+      // ceil(n*k/100)-th smallest (1-indexed) — the disc percentile
+      def ref(k: Int) = xs(((xs.length * k + 99) / 100) - 1)
+      assert(p50 === ref(50), s"$src p50")
+      assert(p90 === ref(90), s"$src p90")
+      assert(p99 === ref(99), s"$src p99")
+    }
+  }
+
   test("bloom-prefiltered split leakage is bit-identical to the exact form") {
     // no false negatives in the sketch + exact re-verification of
     // survivors ⇒ the pre-filter may only shrink join INPUT, never

@@ -156,7 +156,8 @@ object SparkEntry {
       val names = Seq("q1_agg", "q5_local_supplier", "q6_forecast_revenue",
         "q18_big_orders", "timeseries_station", "dedup_minhash",
         "dedup_embedding_lsh", "span_dedup", "contamination_check",
-        "badword_filter", "seq_pack", "range_join", "top_k_per_group_fast")
+        "badword_filter", "seq_pack", "range_join", "top_k_per_group_fast",
+        "epoch_shuffle", "length_percentiles", "span_dedup_incremental")
       graft.plans.PlanAudit.reportFor(names.map(n => n -> queries(n)(s, d)))
     }),
     "text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),

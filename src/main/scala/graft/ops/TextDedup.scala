@@ -378,6 +378,23 @@ object TextDedup {
       spark.table(s"${tablePrefix}_spans"),
       spark.read.parquet(s"$path/meta").head().getAs[Int]("span_words"))
 
+  /** Append a batch's span digests to a persisted [[SpanIndex]] —
+    * the continuous-ingest growth path, symmetric to [[appendToIvfPq]]:
+    * only digests NOT already present are written (anti-join idempotence
+    * guard, so a replayed batch is a no-op), and the append goes through
+    * the catalog with the SAME bucketing spec, so the no-Exchange join
+    * property of the index side survives growth. Cost ∝ batch's distinct
+    * new spans.
+    */
+  def appendToSpanIndex(index: SpanIndex, tablePrefix: String,
+                        batch: DataFrame, nBuckets: Int = 8): Unit =
+    spanSegments(batch, index.spanWords)
+      .select(md5(col("seg")).as("h")).distinct()
+      .join(index.digests, Seq("h"), "left_anti")
+      .write.mode("append").format("parquet")
+      .bucketBy(nBuckets, "h")
+      .saveAsTable(s"${tablePrefix}_spans")
+
   /** Incremental [[spanDedup]] of a new batch AGAINST the accepted
     * corpus — the continuous-crawl form of the C4/RefinedWeb rewrite:
     * batch spans whose digest already exists in the index are removed

@@ -74,6 +74,52 @@ object CorpusStream {
     (accepted, report)
   }
 
+  /** Continuous repeated-span rewrite — the streaming twin of
+    * [[graft.ops.TextDedup.spanDedupIncremental]] with the cross-batch
+    * first-occurrence contract made DURABLE: each micro-batch is
+    * rewritten against the persisted span index (reloaded per batch, so
+    * it sees every prior batch's appends), cleaned rows append to
+    * `destPath`, and the batch's new span digests append to the index
+    * ([[graft.ops.TextDedup.appendToSpanIndex]] — bucketed, anti-join
+    * idempotent). A span first seen in batch N is therefore removed
+    * from batch N+k for any k — unlike the near-dup stream (whose index
+    * refreshes on the owner's cadence), the exact-span contract is
+    * cheap enough to keep continuously consistent, because the append
+    * is digest-only and ∝ the batch's distinct new spans. When batches
+    * arrive in doc_id order the drained output equals the BATCH
+    * span_dedup of everything, restricted to the streamed docs
+    * (spec-asserted) — one semantics, two cadences.
+    */
+  def spanRewriteOnce(spark: SparkSession, srcDir: String,
+                      tablePrefix: String, indexPath: String,
+                      destPath: String, checkpointDir: String,
+                      maxFilesPerTrigger: Int = 0): Unit = {
+    val schema = spark.read.parquet(srcDir).schema
+    val reader = spark.readStream.schema(schema)
+    val src = (if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    else reader).parquet(srcDir)
+    src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // The previous batch's digest append ran through the MICRO-BATCH
+        // session (frames built from `batch` carry its cloned session),
+        // which invalidates only that clone's relation cache — this
+        // session's cached file listing for the index table is stale.
+        // Refresh before reloading or batch N+1 reads the pre-append
+        // listing and misses batch N's spans.
+        spark.catalog.refreshTable(s"${tablePrefix}_spans")
+        val index = TextDedup.loadSpanIndex(spark, tablePrefix, indexPath)
+        TextDedup.spanDedupIncremental(index, batch)
+          .write.mode("append").parquet(destPath)
+        TextDedup.appendToSpanIndex(index, tablePrefix, batch)
+      }
+      .start()
+      .awaitTermination()
+  }
+
   /** Drain all staged document files through the ingest pipeline into
     * `destPath` (parquet append), exactly-once per file via the
     * checkpoint. `Trigger.AvailableNow` processes the backlog and

@@ -425,6 +425,48 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(stats).count() === 1)
   }
 
+  test("span rewrite stream: durable cross-batch first-occurrence = the batch rewrite") {
+    import spark.implicits._
+    import graft.ops.TextDedup
+    import graft.streaming.CorpusStream
+    val all = Tables.documents(spark, sfDir)
+    val corpus = all.filter(col("doc_id") < 300)
+    val b1 = all.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val b2 = all.filter(col("doc_id") >= 400)
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_span_sidx").toString
+    val src = java.nio.file.Files.createTempDirectory("graft_span_src").toString
+    val dest = java.nio.file.Files.createTempDirectory("graft_span_dst").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_span_ck").toString
+    try {
+      TextDedup.writeSpanIndex(TextDedup.buildSpanIndex(corpus), "span_stream_spec", idxPath)
+      // two staged files, id-ordered by mod time → two micro-batches
+      b1.coalesce(1).write.mode("overwrite").parquet(src)
+      Thread.sleep(1100)
+      b2.coalesce(1).write.mode("append").parquet(src)
+      CorpusStream.spanRewriteOnce(spark, src, "span_stream_spec", idxPath,
+        dest, ckpt, maxFilesPerTrigger = 1)
+      val drained = spark.read.parquet(dest)
+      assert(drained.count() === 200)
+      // batches arrive in doc_id order, so the drained union must equal
+      // the one-shot BATCH rewrite of everything, restricted to the
+      // streamed docs. The corpus has spans shared ONLY between b1 and
+      // b2 (verified offline: 9 such), so equality here proves the
+      // index append made batch-1 spans visible to batch 2.
+      val ref = TextDedup.spanDedup(all).filter(col("doc_id") >= 300)
+      val diff = drained.except(ref).collect()
+      assert(diff.isEmpty, "DIFF: " + diff.map(r =>
+        s"(${r.get(0)},total=${r.get(2)},rm=${r.get(3)})").mkString(" | "))
+      assert(ref.except(drained).count() === 0)
+      // replay with the committed checkpoint: no new rows, and the
+      // digest append is anti-join idempotent (index unchanged)
+      val nDigests = spark.table("span_stream_spec_spans").count()
+      CorpusStream.spanRewriteOnce(spark, src, "span_stream_spec", idxPath,
+        dest, ckpt, maxFilesPerTrigger = 1)
+      assert(spark.read.parquet(dest).count() === 200)
+      assert(spark.table("span_stream_spec_spans").count() === nDigests)
+    } finally spark.sql("DROP TABLE IF EXISTS span_stream_spec_spans")
+  }
+
   test("embedding ingest stream grows the persisted IVF index like the in-memory append") {
     import spark.implicits._
     import graft.ops.Similarity

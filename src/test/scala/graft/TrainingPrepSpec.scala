@@ -179,6 +179,10 @@ class TrainingPrepSpec extends SparkSpec {
     assert(out.except(TrainingPrep.epochShuffle(docs)).count() === 0)
     assert(TrainingPrep.epochShuffle(docs, seed = 1)
       .except(out).count() > 0)
+    // layout-independent: the permutation is a pure function of doc_id,
+    // so input partitioning must not leak into positions
+    assert(TrainingPrep.epochShuffle(docs.repartition(7))
+      .except(out).count() === 0)
     out.unpersist()
   }
 }

@@ -106,6 +106,7 @@ object SparkEntry {
     "range_join" -> ((s, d) => Analytics.rangeJoinActivity(Tables.events(s, d))),
     "events_profile" -> ((s, d) => Analytics.eventsProfile(Tables.events(s, d))),
     "events_profile_approx" -> ((s, d) => Analytics.eventsProfileApprox(Tables.events(s, d))),
+    "events_hll_rollup" -> ((s, d) => Analytics.hllRollup(Tables.events(s, d))),
     "events_anomaly" -> ((s, d) => Analytics.anomalyZScore(Tables.events(s, d))),
     "events_funnel" -> ((s, d) => Analytics.funnel(Tables.events(s, d))),
     "events_histogram" -> ((s, d) => Analytics.valueHistogram(Tables.events(s, d))),

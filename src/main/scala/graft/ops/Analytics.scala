@@ -559,6 +559,36 @@ object Analytics {
       approx_percentile(col("value"), lit(0.95), lit(1000)).as("approx_p95"))
       .orderBy(col("event_type"))
 
+  /** Pre-aggregated MERGEABLE distinct-count rollup — the pattern that
+    * makes "distinct users over any horizon" an O(sketches) question
+    * instead of an O(events) rescan: per (event_type, day), users fold
+    * into a DataSketches HLL sketch ONCE (the stored daily rollup row a
+    * 100 TB deployment materializes continuously); any coarser horizon
+    * (here ISO weeks) then merges the stored sketches register-wise —
+    * never touching events again — and estimates. Same-lgK HLL union is
+    * register-lossless, so the merged estimate EQUALS the estimate of a
+    * direct sketch over the union (spec-asserted as exact equality),
+    * and sketch building has no RNG — the rollup is deterministic under
+    * repartition. Rows-only in the gate (sketch internals are
+    * engine-specific); accuracy floor (±5% of exact) is spec-gated.
+    */
+  def hllRollup(events: DataFrame, lgK: Int = 12): DataFrame = {
+    val daily = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr(s"hll_sketch_agg(user_id, $lgK)").as("sketch"),
+        count(lit(1)).as("n_events"))
+    daily
+      .groupBy(col("event_type"),
+        date_trunc("week", col("day")).cast("date").as("week_start"))
+      .agg(
+        expr("hll_sketch_estimate(hll_union_agg(sketch, false))")
+          .as("approx_users"),
+        sum(col("n_events")).as("n_events"),
+        count(lit(1)).as("n_days"))
+      .orderBy(col("event_type"), col("week_start"))
+  }
+
   /** Range (interval) join, bucketized: aggregate events falling inside
     * the top-20 "hot" activity windows ([hour−30 min, hour+90 min),
     * overlapping and unaligned). A naive interval join is a

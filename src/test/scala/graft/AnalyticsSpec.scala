@@ -4,6 +4,28 @@ import graft.ops.{Analytics, StationQueries}
 import org.apache.spark.sql.functions._
 
 class AnalyticsSpec extends SparkSpec {
+
+  test("hllRollup: merged daily sketches = direct weekly sketch, ±5% of exact, layout-stable") {
+    val ev = Tables.events(spark, sfDir)
+    val out = Analytics.hllRollup(ev).cache()
+    // register-lossless union: merging the stored DAILY sketches must
+    // give the IDENTICAL estimate as sketching the week's users directly
+    val direct = ev
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(col("event_type"),
+        date_trunc("week", to_date(col("ts"))).cast("date").as("week_start"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("direct_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+    val j = out.join(direct, Seq("event_type", "week_start")).cache()
+    assert(j.filter(col("approx_users") =!= col("direct_users")).count() === 0)
+    // accuracy floor: every weekly estimate within 5% of exact
+    assert(j.filter(
+      abs(col("approx_users") - col("exact_users")) >
+        col("exact_users") * 0.05).count() === 0)
+    // no RNG anywhere: the rollup is a pure function of the data
+    assert(Analytics.hllRollup(ev.repartition(13)).except(out).count() === 0)
+    j.unpersist(); out.unpersist()
+  }
   import spark.implicits._
 
   test("sessionize splits on >30min gaps per user") {

@@ -176,6 +176,8 @@ object SparkEntry {
     "tfidf_topterms" -> ((s, d) => Corpus.tfidfTopTerms(Tables.documents(s, d))),
     "source_quality" -> ((s, d) => Corpus.sourceQuality(Tables.documents(s, d))),
     "length_percentiles" -> ((s, d) => Corpus.lengthPercentiles(Tables.documents(s, d))),
+    // V=16 on the 31-word synthetic vocabulary so OOV rates are nonzero
+    "vocab_coverage" -> ((s, d) => Corpus.vocabCoverage(Tables.documents(s, d), 16)),
     "doc_lm_score" -> ((s, d) => Corpus.lmScore(Tables.documents(s, d))),
     "perplexity_buckets" -> ((s, d) => Corpus.perplexityBuckets(Tables.documents(s, d))),
     "doc_entropy" -> ((s, d) => TextAnalysis.entropy(Tables.documents(s, d))),
@@ -999,6 +1001,20 @@ object SparkEntry {
          | LEFT JOIN q ON doc.doc_id = q.doc_id
          | LEFT JOIN d ON doc.doc_id = d.doc_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "vocab_coverage" ->
+      s"""WITH t AS (SELECT doc_id, unnest(list_filter($wsSql, x -> x != '')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT w, count(*) AS c FROM t GROUP BY w),
+        |vocab AS (SELECT w FROM (
+        |  SELECT w, row_number() OVER (ORDER BY c DESC, w) AS r FROM cnt) WHERE r <= 16),
+        |perdoc AS (
+        | SELECT t.doc_id, count(*) AS n_tokens,
+        |  sum(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS n_in_vocab
+        | FROM t LEFT JOIN vocab v ON t.w = v.w GROUP BY t.doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(n_in_vocab AS BIGINT) AS n_in_vocab,
+        | round((n_tokens - n_in_vocab) * 1.0 / n_tokens, 4) AS oov_rate
+        |FROM perdoc ORDER BY doc_id""".stripMargin,
     // Exact rank-selection percentiles: percentile k = smallest length
     // whose cumulative count reaches ceil(n*k/100), all-integer.
     "length_percentiles" ->

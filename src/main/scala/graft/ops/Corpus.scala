@@ -293,6 +293,38 @@ object Corpus {
         col("leak_fraction"), col("is_leaked"))
   }
 
+  /** Tokenizer-coverage audit: build the top-`vocabSize` vocabulary by
+    * corpus frequency (deterministic tie-break on the term), then score
+    * every document's out-of-vocabulary token rate — the check run
+    * before committing to a tokenizer/vocab budget (high-OOV docs
+    * degrade into byte-fallback soup at training time). Scale shape:
+    * token counts reduce map-side; the vocabulary selection is a
+    * distributed top-V (sort+limit → per-partition top-V merged on the
+    * driver, V-bounded — NOT a single-partition global window); the
+    * scoring pass broadcasts the V-row vocabulary past the token
+    * stream. Two passes over tokens, no token ever shuffles for the
+    * scoring join.
+    */
+  def vocabCoverage(documents: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"),
+        explode(filter(split(normText, " "), w => w =!= "")).as("w"))
+    val vocab = toks
+      .groupBy(col("w")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("w"))
+      .limit(vocabSize)
+      .select(col("w"), lit(1L).as("__in"))
+    toks
+      .join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__in"), lit(0L))).as("n_in_vocab"))
+      .select(col("doc_id"), col("n_tokens"), col("n_in_vocab"),
+        round((col("n_tokens") - col("n_in_vocab")) / col("n_tokens"), 4)
+          .as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** EXACT per-source length percentiles (p50/p90/p99 of `n_chars`) —
     * the length-distribution dashboard behind truncation budgets and
     * packing-efficiency decisions, computed WITHOUT a global sort and

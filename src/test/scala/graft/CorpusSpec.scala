@@ -332,5 +332,34 @@ class CorpusSpec extends SparkSpec {
     assert(exact.except(bloom).count() === 0)
     assert(bloom.except(exact).count() === 0)
     assert(bloom.count() === exact.count())
+    // plan lock: the sketch test survives into the physical plan (a
+    // regression that folds it away would silently revert to shuffling
+    // every probe shingle)
+    assert(bloom.queryExecution.executedPlan.toString
+      .contains("might_contain"), "bloom prefilter missing from plan")
+  }
+
+  test("vocabCoverage: OOV rate is exact against a hand-built vocabulary") {
+    val out = Corpus.vocabCoverage(docs, vocabSize = 16).cache()
+    // reference: count tokens per doc against the top-16 vocab built
+    // naively on the driver
+    val toks = docs.select(col("doc_id"),
+        explode(split(TextDedup.normText, " ")).as("w"))
+      .filter(col("w") =!= "")
+      .as[(Long, String)].collect()
+    val vocab = toks.groupBy(_._2).view.mapValues(_.size).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(16).map(_._1).toSet
+    val ref = toks.groupBy(_._1).map { case (id, ts) =>
+      id -> ((ts.size.toLong, ts.count(t => vocab(t._2)).toLong))
+    }
+    out.as[(Long, Long, Long, Double)].collect().foreach {
+      case (id, n, inV, oov) =>
+        val (rn, rin) = ref(id)
+        assert(n === rn, s"doc $id n_tokens")
+        assert(inV === rin, s"doc $id n_in_vocab")
+        assert(math.abs(oov - (BigDecimal(n - inV) / BigDecimal(n))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"doc $id oov")
+    }
+    out.unpersist()
   }
 }

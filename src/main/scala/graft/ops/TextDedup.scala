@@ -295,14 +295,28 @@ object TextDedup {
     * winner key is integer arithmetic (doc_id·10⁶ + seg_idx), portable
     * to the SQL oracle bit-for-bit.
     */
-  def spanDedup(documents: DataFrame, spanWords: Int = 10): DataFrame = {
-    val segs = spanSegments(documents, spanWords)
-    val w = Window.partitionBy(md5(col("seg")))
-    val kept = segs
-      .withColumn("__wk", min(col("__k")).over(w))
-      .filter(col("__k") === col("__wk"))
-    spanReassemble(documents, kept, spanWords)
-  }
+  def spanDedup(documents: DataFrame, spanWords: Int = 10): DataFrame =
+    spanReassemble(documents,
+      firstOccurrences(spanSegments(documents, spanWords)), spanWords)
+
+  /** Winner selection shared by the span-dedup family: the globally
+    * first (minimum-key) occurrence of each distinct span, as a
+    * `min_by` HASH AGGREGATE on the content digest — not a
+    * digest-partitioned window and not a winners-rejoin. The aggregate
+    * gets map-side partial combining, so a pathological span repeated
+    * 10⁹ times (boilerplate) reduces to one partial PER TASK before the
+    * shuffle — the hot digest never concentrates its rows on one
+    * reducer, which both alternatives would do. Ties are impossible
+    * (`__k` encodes (doc_id, seg_idx) uniquely), so `min_by` is
+    * deterministic.
+    */
+  private def firstOccurrences(segs: DataFrame): DataFrame =
+    segs
+      .groupBy(md5(col("seg")).as("__h"))
+      .agg(min_by(
+        struct(col("doc_id"), col("seg_idx"), col("seg")), col("__k")).as("__w"))
+      .select(col("__w.doc_id").as("doc_id"),
+        col("__w.seg_idx").as("seg_idx"), col("__w.seg").as("seg"))
 
   /** Fixed-window segmentation shared by [[spanDedup]] and
     * [[spanDedupIncremental]]: (doc_id, seg_idx, seg, __k) with the
@@ -411,10 +425,6 @@ object TextDedup {
     val fresh = spanSegments(batch, index.spanWords)
       .withColumn("h", md5(col("seg")))
       .join(index.digests, Seq("h"), "left_anti")
-    val w = Window.partitionBy(col("h"))
-    val kept = fresh
-      .withColumn("__wk", min(col("__k")).over(w))
-      .filter(col("__k") === col("__wk"))
-    spanReassemble(batch, kept, index.spanWords)
+    spanReassemble(batch, firstOccurrences(fresh), index.spanWords)
   }
 }

@@ -341,6 +341,13 @@ class CorpusSpec extends SparkSpec {
 
   test("vocabCoverage: OOV rate is exact against a hand-built vocabulary") {
     val out = Corpus.vocabCoverage(docs, vocabSize = 16).cache()
+    // plan lock: vocabulary selection is a distributed top-V
+    // (TakeOrderedAndProject) broadcast to the scoring join — never a
+    // single-partition global window, never a shuffled scoring join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    assert(!plan.contains("Window"), plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
     // reference: count tokens per doc against the top-16 vocab built
     // naively on the driver
     val toks = docs.select(col("doc_id"),

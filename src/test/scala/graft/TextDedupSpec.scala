@@ -159,6 +159,16 @@ class TextDedupSpec extends SparkSpec {
       col("n_kept") =!= col("n_orig")).count() === 0)
   }
 
+  test("span dedup plan lock: winner selection is a combining aggregate, not a window") {
+    val plan = TextDedup.spanDedup(Tables.documents(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    // a digest-partitioned Window (or a winners-rejoin) would stream a
+    // hot span's every copy through one task; partial_min_by before the
+    // exchange is the property that makes boilerplate spans safe
+    assert(plan.contains("partial_min_by"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
+
   test("incremental span dedup ≡ batch span dedup when the corpus precedes the batch") {
     val all = Tables.documents(spark, sfDir)
     val cut = 250L

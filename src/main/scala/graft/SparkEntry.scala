@@ -148,6 +148,7 @@ object SparkEntry {
     "corpus_curation" -> ((s, d) => Curation.curate(Tables.documents(s, d))),
     "corpus_curation_cc" -> ((s, d) => Curation.curateClustered(Tables.documents(s, d))),
     "corpus_curation_best" -> ((s, d) => Curation.curateKeepBest(Tables.documents(s, d))),
+    "corpus_curation_rewrite" -> ((s, d) => Curation.curateRewrite(Tables.documents(s, d))),
     "curation_report" -> ((s, d) => Curation.curationReport(Tables.documents(s, d))),
     // Plan-governance table over the flagship scale probes: audits each
     // named query's PHYSICAL plan (pushdown/pruning/shuffles/broadcasts/
@@ -251,6 +252,29 @@ object SparkEntry {
        | coalesce(h.n_leaked, 0) * 1.0 / t.n_shingles >= 0.5 AS is_leaked
        |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
        |ORDER BY t.doc_id""".stripMargin
+
+  // The curation stage CTE chain (quality gate q, near-dup set nd,
+  // exact-dup set ed) — shared with corpus_curation_rewrite, which
+  // composes the span rewrite on top of the surviving set.
+  private lazy val curationCtesSql =
+    s"""WITH st AS ($statsSubSql),
+       | q AS (SELECT doc_id FROM (
+       |  SELECT doc_id,
+       |   (CASE WHEN n_tokens BETWEEN 10 AND 2000 THEN 0.25 ELSE 0.0 END +
+       |    CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END +
+       |    CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END +
+       |    CASE WHEN n_distinct_tokens * 1.0 / n_tokens >= 0.3 THEN 0.25 ELSE 0.0 END) AS s
+       |  FROM st) t WHERE s >= 0.75),
+       | sh AS ($shingleSubSql),
+       | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       | pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+       |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       | nd AS (SELECT DISTINCT b_id AS doc_id FROM pairs
+       |   JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+       |   WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.5),
+       | ed AS (SELECT doc_id FROM (
+       |   SELECT doc_id, min(doc_id) OVER (PARTITION BY $normSql) AS cn
+       |   FROM documents) x WHERE doc_id != cn)""".stripMargin
 
   // Validation predicate fragments reused across the A-section oracles —
   // MUST stay in sync with graft.ops.Ingest.
@@ -1065,6 +1089,33 @@ object SparkEntry {
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM nd)
          |  AND d.doc_id NOT IN (SELECT doc_id FROM ed)
          |ORDER BY d.doc_id""".stripMargin,
+    // The full rewrite pipeline: curation survivors + the span rewrite
+    // applied over the surviving set only.
+    "corpus_curation_rewrite" ->
+      s"""$curationCtesSql,
+         |surv AS (SELECT d.doc_id, d.text, d.lang, d.source FROM documents d
+         | JOIN q ON q.doc_id = d.doc_id
+         | WHERE d.doc_id NOT IN (SELECT doc_id FROM nd)
+         |   AND d.doc_id NOT IN (SELECT doc_id FROM ed)),
+         |sdocs AS (SELECT doc_id, string_split(text, ' ') AS words FROM surv),
+         |segs2 AS (SELECT d.doc_id, i.i AS seg_idx,
+         |   array_to_string(list_slice(d.words, i.i*10+1, i.i*10+10), ' ') AS seg
+         | FROM sdocs d, LATERAL (
+         |  SELECT unnest(range(0, cast(ceil(len(d.words)/10.0) AS BIGINT)))) AS i(i)),
+         |hashed AS (SELECT doc_id, seg_idx, seg, md5(seg) AS h,
+         |   doc_id*1000000 + seg_idx AS k FROM segs2),
+         |winners AS (SELECT h, min(k) AS wk FROM hashed GROUP BY h),
+         |kept AS (SELECT f.doc_id, f.seg_idx, f.seg
+         |  FROM hashed f JOIN winners w ON f.h = w.h AND f.k = w.wk),
+         |reasm AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup,
+         |   count(*) AS segs_kept FROM kept GROUP BY doc_id)
+         |SELECT s.doc_id, s.lang, s.source,
+         | coalesce(r.text_dedup, '') AS text_dedup,
+         | cast(ceil(len(string_split(s.text, ' '))/10.0) AS BIGINT) AS segs_total,
+         | cast(ceil(len(string_split(s.text, ' '))/10.0) AS BIGINT)
+         |   - coalesce(r.segs_kept, 0) AS segs_removed
+         |FROM surv s LEFT JOIN reasm r ON r.doc_id = s.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
     // same stage CTEs as corpus_curation, counted per source with
     // sequential attribution (quality fail ⊻ exact dup ⊻ near dup ⊻
     // survive) — the five counts sum to n_docs

@@ -57,6 +57,28 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** The COMPLETE C4/RefinedWeb-style rewrite pipeline in one call:
+    * [[curate]]'s survivor set (quality gate → exact dedup → banded
+    * near-dup removal) fed through [[TextDedup.spanDedup]], so
+    * boilerplate repeated ACROSS surviving documents is also cut and
+    * the output carries the cleaned text itself — the frame a training
+    * job actually tokenizes. Doc-level stages stay id-only joins; text
+    * is touched exactly twice (survivor semi-join, span segmentation),
+    * and the span winner is the combining min_by aggregate (hot-digest
+    * safe). Span semantics are over SURVIVORS only — a span whose first
+    * occurrence was in a removed near-dup does not poison its kept
+    * twin.
+    */
+  def curateRewrite(documents: DataFrame): DataFrame = {
+    val survivors = documents
+      .join(curate(documents).select("doc_id"), Seq("doc_id"), "left_semi")
+    TextDedup.spanDedup(survivors)
+      .join(documents.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("text_dedup"),
+        col("segs_total"), col("segs_removed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Keep-BEST curation: like [[curateClustered]], one survivor per
     * near-dup connected component — but the survivor is the HIGHEST
     * QUALITY member (tie → lowest doc_id), not the lowest id. This is

@@ -91,4 +91,25 @@ class CurationSpec extends SparkSpec {
     }
     assert(recalls.sum / recalls.size > 0.3, s"IVF mean recall ${recalls.sum / recalls.size}")
   }
+
+  test("curateRewrite: curation survivors, span-rewritten over the surviving set only") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Curation.curateRewrite(docs).cache()
+    // exactly the curation survivor set, no more, no fewer
+    val surv = Curation.curate(docs).select("doc_id")
+    assert(out.select("doc_id").except(surv).count() === 0)
+    assert(surv.except(out.select("doc_id")).count() === 0)
+    // rewrite matches the span pass over the survivor subset (NOT over
+    // the full corpus — spans of removed near-dups must not poison kept
+    // docs)
+    val ref = graft.ops.TextDedup.spanDedup(
+      docs.join(surv, Seq("doc_id"), "left_semi"))
+    assert(out.select("doc_id", "text_dedup", "segs_total", "segs_removed")
+      .except(ref).count() === 0)
+    // untouched docs carry their original text through the whole pipeline
+    assert(out.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .filter(col("segs_removed") === 0 && col("text_dedup") =!= col("text"))
+      .count() === 0)
+    out.unpersist()
+  }
 }

@@ -192,6 +192,7 @@ object SparkEntry {
     "embed_quantize" -> ((s, d) => Similarity.quantizeInt8Stats(Tables.embeddings(s, d))),
     "seq_pack" -> ((s, d) => TrainingPrep.seqPack(Tables.documents(s, d))),
     "data_mix" -> ((s, d) => TrainingPrep.mixWeights(Tables.documents(s, d))),
+    "mix_sample" -> ((s, d) => TrainingPrep.mixSample(Tables.documents(s, d))),
     "shard_assign" -> ((s, d) => TrainingPrep.shardAssign(Tables.documents(s, d))),
     "epoch_shuffle" -> ((s, d) => TrainingPrep.epochShuffle(Tables.documents(s, d))),
     "badword_filter" -> ((s, d) => TrainingPrep.badwordFilter(Tables.documents(s, d))),
@@ -1436,6 +1437,27 @@ object SparkEntry {
         | CAST(round(weight * 1000) AS BIGINT) AS target_n,
         | round(CAST(round(weight * 1000) AS BIGINT) * 1.0 / n_docs, 4) AS epochs
         |FROM w ORDER BY source""".stripMargin,
+    // data_mix budgets realized as exact per-doc copy counts: base =
+    // target_n div n_docs everywhere, +1 for the hash-rank-first
+    // (target_n mod n_docs) docs — copy sums hit target_n exactly.
+    "mix_sample" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        | t AS (SELECT sum(CAST(round(pow(n_docs, 0.5), 6) AS DECIMAL(28,6))) AS ptot FROM c),
+        | w AS (SELECT source, n_docs,
+        |   CAST(round(round(CAST(CAST(round(pow(n_docs, 0.5), 6) AS DECIMAL(28,6)) AS DOUBLE)
+        |     / CAST(ptot AS DOUBLE), 6) * 1000) AS BIGINT) AS target_n
+        |  FROM c CROSS JOIN t),
+        | r AS (SELECT doc_id, source,
+        |   row_number() OVER (PARTITION BY source
+        |     ORDER BY md5(doc_id || '|graft-mix-v1'), doc_id) AS sample_rank
+        |  FROM documents)
+        |SELECT r.doc_id, r.source, CAST(r.sample_rank AS BIGINT) AS sample_rank,
+        | CAST((w.target_n // w.n_docs)
+        |   + CASE WHEN r.sample_rank <= w.target_n % w.n_docs THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        |FROM r JOIN w USING (source)
+        |WHERE (w.target_n // w.n_docs)
+        |   + CASE WHEN r.sample_rank <= w.target_n % w.n_docs THEN 1 ELSE 0 END > 0
+        |ORDER BY r.doc_id""".stripMargin,
     "shard_assign" ->
       """SELECT doc_id, shard,
         | CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos

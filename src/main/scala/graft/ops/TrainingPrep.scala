@@ -106,6 +106,49 @@ object TrainingPrep {
         col("target_n"), col("epochs"))
   }
 
+  /** Materialize [[mixWeights]]'s tempered budgets into an actual
+    * training-corpus manifest: per doc, how many COPIES it contributes
+    * (multiple epochs of an up-weighted source are repetitions; a
+    * fractional epoch is realized by giving +1 copy to exactly
+    * `target_n mod n_docs` docs, chosen by deterministic per-source
+    * hash rank). Per-source copy sums hit `target_n` EXACTLY — all
+    * integer arithmetic, no sampling RNG, stable under repartition and
+    * engine. The per-source rank uses the [[epochShuffle]] two-level
+    * scan keyed by (source, hash-prefix bucket), so a 100 TB source is
+    * never one window partition; budgets join in as a broadcast.
+    */
+  def mixSample(documents: DataFrame, alpha: Double = 0.5,
+                budgetDocs: Long = 1000L): DataFrame = {
+    val weights = mixWeights(documents, alpha, budgetDocs)
+      .select(col("source"), col("n_docs"), col("target_n"))
+    val keyed = documents
+      .select(col("doc_id"), col("source"))
+      .withColumn("__h",
+        md5(concat_ws("|", col("doc_id").cast("string"), lit("graft-mix-v1"))))
+      .withColumn("__b", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+    val ranked = keyed.withColumn("__rn",
+      row_number().over(
+        Window.partitionBy(col("source"), col("__b"))
+          .orderBy(col("__h"), col("doc_id"))).cast("long"))
+    val offsets = keyed
+      .groupBy(col("source"), col("__b")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(
+        Window.partitionBy(col("source")).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("__b"), col("__off"))
+    ranked
+      .join(broadcast(offsets), Seq("source", "__b"))
+      .withColumn("sample_rank", col("__off") + col("__rn"))
+      .join(broadcast(weights), Seq("source"))
+      .withColumn("n_copies",
+        expr("target_n div n_docs") +
+          when(col("sample_rank") <= expr("target_n % n_docs"), lit(1L))
+            .otherwise(lit(0L)))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("sample_rank"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
   private val HexAlphabet = "0123456789abcdef"
 
   /** Deterministic global shuffle + shard assignment for training-data

@@ -159,6 +159,30 @@ class TrainingPrepSpec extends SparkSpec {
     }
   }
 
+  test("mixSample realizes data_mix budgets exactly, copies in {base, base+1}, layout-stable") {
+    val out = TrainingPrep.mixSample(docs).cache()
+    val budgets = TrainingPrep.mixWeights(docs)
+      .select(col("source"), col("n_docs"), col("target_n"))
+      .as[(String, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // per-source copy sums hit target_n EXACTLY — the property that
+    // makes the manifest a faithful realization of the mixture
+    val sums = out.groupBy(col("source")).agg(sum(col("n_copies")).as("s"))
+      .as[(String, Long)].collect().toMap
+    budgets.foreach { case (src, (_, target)) =>
+      assert(sums.getOrElse(src, 0L) === target, s"$src copy sum")
+    }
+    // every doc's copy count is base or base+1 for its source
+    val bad = out.as[(Long, String, Long, Long)].collect().count {
+      case (_, src, _, copies) =>
+        val (n, target) = budgets(src)
+        copies != target / n && copies != target / n + 1
+    }
+    assert(bad === 0)
+    // deterministic under input layout
+    assert(TrainingPrep.mixSample(docs.repartition(11)).except(out).count() === 0)
+    out.unpersist()
+  }
+
   test("epochShuffle is a dense deterministic permutation; two-level scan = global rank") {
     val n = docs.count()
     val out = TrainingPrep.epochShuffle(docs).cache()

@@ -150,6 +150,7 @@ object SparkEntry {
     "corpus_curation_best" -> ((s, d) => Curation.curateKeepBest(Tables.documents(s, d))),
     "corpus_curation_rewrite" -> ((s, d) => Curation.curateRewrite(Tables.documents(s, d))),
     "curation_report" -> ((s, d) => Curation.curationReport(Tables.documents(s, d))),
+    "corpus_datacard" -> ((s, d) => Corpus.datacard(Tables.documents(s, d))),
     // Plan-governance table over the flagship scale probes: audits each
     // named query's PHYSICAL plan (pushdown/pruning/shuffles/broadcasts/
     // codegen/degenerate joins) without executing any of them — `queries`
@@ -1026,6 +1027,36 @@ object SparkEntry {
          | LEFT JOIN q ON doc.doc_id = q.doc_id
          | LEFT JOIN d ON doc.doc_id = d.doc_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Dataset card: every metric reuses a gate-proven fragment; the
+    // median is the same all-integer histogram rank selection as
+    // length_percentiles, computed globally.
+    "corpus_datacard" ->
+      s"""WITH st AS ($statsSubSql),
+        |q AS (SELECT doc_id FROM (
+        |  SELECT doc_id,
+        |   (CASE WHEN n_tokens BETWEEN 10 AND 2000 THEN 0.25 ELSE 0.0 END +
+        |    CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END +
+        |    CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END +
+        |    CASE WHEN n_distinct_tokens * 1.0 / n_tokens >= 0.3 THEN 0.25 ELSE 0.0 END) AS s
+        |  FROM st) t WHERE s >= 0.75),
+        |ed AS (SELECT doc_id FROM (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY $normSql) AS cn
+        |  FROM documents) x WHERE doc_id != cn),
+        |hist AS (SELECT n_chars, count(*) AS cnt FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS n FROM hist),
+        |cum AS (SELECT h.n_chars, sum(h.cnt) OVER (ORDER BY h.n_chars) AS cc, t.n
+        |  FROM hist h CROSS JOIN tot t)
+        |SELECT 'n_docs' AS metric, CAST((SELECT count(*) FROM documents) AS DOUBLE) AS value
+        |UNION ALL SELECT 'n_sources', CAST((SELECT count(DISTINCT source) FROM documents) AS DOUBLE)
+        |UNION ALL SELECT 'n_langs', CAST((SELECT count(DISTINCT lang) FROM documents) AS DOUBLE)
+        |UNION ALL SELECT 'exact_dup_rate',
+        |  round((SELECT count(*) FROM ed) * 1.0 / (SELECT count(*) FROM documents), 4)
+        |UNION ALL SELECT 'quality_pass_rate',
+        |  round((SELECT count(*) FROM q) * 1.0 / (SELECT count(*) FROM documents), 4)
+        |UNION ALL SELECT 'avg_chars', (SELECT round(avg(n_chars), 4) FROM documents)
+        |UNION ALL SELECT 'p50_chars',
+        |  CAST((SELECT min(CASE WHEN cc >= (n*50 + 99) // 100 THEN n_chars END) FROM cum) AS DOUBLE)
+        |ORDER BY metric""".stripMargin,
     "vocab_coverage" ->
       s"""WITH t AS (SELECT doc_id, unnest(list_filter($wsSql, x -> x != '')) AS w
         |  FROM documents),

@@ -357,6 +357,56 @@ object Corpus {
       .orderBy(col("source"))
   }
 
+  /** Dataset-card summary — the one-table "data sheet" published with a
+    * training corpus (size, source/language diversity, duplication,
+    * quality, length distribution), as a tall (metric, value) frame so
+    * downstream tooling diffs cards across corpus versions. Every
+    * metric is a tiny aggregate over frames the row-level operators
+    * already compute; the global length median uses the
+    * [[lengthPercentiles]] histogram-rank technique with a bucketed
+    * cumulative (value-range buckets + broadcast offsets — the
+    * histogram, not the corpus, is what ranks).
+    */
+  def datacard(documents: DataFrame): DataFrame = {
+    val flagged = documents
+      .join(TextAnalysis.qualityFilter(documents)
+        .select(col("doc_id"), lit(1.0).as("__q")), Seq("doc_id"), "left")
+      .join(TextDedup.exact(documents)
+        .select(col("doc_id"), col("is_dup").cast("double").as("__d")), Seq("doc_id"))
+    val scalars = flagged.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      countDistinct(col("source")).cast("double").as("n_sources"),
+      countDistinct(col("lang")).cast("double").as("n_langs"),
+      round(avg(col("n_chars")), 4).as("avg_chars"),
+      round(avg(coalesce(col("__q"), lit(0.0))), 4).as("quality_pass_rate"),
+      round(avg(col("__d")), 4).as("exact_dup_rate"))
+      .selectExpr("""stack(6,
+        'n_docs', n_docs,
+        'n_sources', n_sources,
+        'n_langs', n_langs,
+        'avg_chars', avg_chars,
+        'quality_pass_rate', quality_pass_rate,
+        'exact_dup_rate', exact_dup_rate) AS (metric, value)""")
+    val hist = documents.groupBy(col("n_chars")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__b", (col("n_chars") / 1000).cast("int"))
+    val offsets = hist.groupBy(col("__b")).agg(sum(col("__cnt")).as("__bc"))
+      .withColumn("__off", coalesce(sum(col("__bc")).over(
+        Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__b"), col("__off"))
+    val total = hist.agg(sum(col("__cnt")).as("__n"))
+    val p50 = hist
+      .withColumn("__cc", sum(col("__cnt")).over(
+        Window.partitionBy(col("__b")).orderBy(col("n_chars"))))
+      .join(broadcast(offsets), Seq("__b"))
+      .join(broadcast(total))
+      .agg(min(when(col("__off") + col("__cc") >=
+        expr("(__n * 50 + 99) div 100"), col("n_chars")))
+        .cast("double").as("value"))
+      .select(lit("p50_chars").as("metric"), col("value"))
+    scalars.unionByName(p50).orderBy(col("metric"))
+  }
+
   /** Per-source curation dashboard — the domain-level view large-scale
     * pipelines filter on (drop/downweight whole sources by measured
     * quality, the RefinedWeb/C4 pattern): doc volume, quality-gate pass

@@ -323,6 +323,19 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("datacard metrics agree with their direct computations") {
+    val card = Corpus.datacard(docs).as[(String, Double)].collect().toMap
+    assert(card("n_docs") === docs.count().toDouble)
+    assert(card("n_sources") === docs.select("source").distinct().count().toDouble)
+    assert(card("n_langs") === docs.select("lang").distinct().count().toDouble)
+    val lens = docs.select(col("n_chars")).as[Long].collect().sorted
+    assert(card("p50_chars") === lens((lens.length * 50 + 99) / 100 - 1).toDouble)
+    val qRate = graft.ops.TextAnalysis.qualityFilter(docs).count().toDouble / lens.length
+    assert(math.abs(card("quality_pass_rate") - qRate) < 1e-3)
+    val dRate = TextDedup.exact(docs).filter(col("is_dup")).count().toDouble / lens.length
+    assert(math.abs(card("exact_dup_rate") - dRate) < 1e-3)
+  }
+
   test("bloom-prefiltered split leakage is bit-identical to the exact form") {
     // no false negatives in the sketch + exact re-verification of
     // survivors ⇒ the pre-filter may only shrink join INPUT, never

@@ -66,8 +66,25 @@ object PlanAudit {
       broadcasts = nodes.count(_.isInstanceOf[BroadcastExchangeExec]),
       codegenSpans = codegenNodes.count(_.isInstanceOf[WholeStageCodegenExec]),
       sorts = nodes.count(_.isInstanceOf[SortExec]),
-      cartesianOrBnlj = nodes.exists(n =>
-        n.isInstanceOf[CartesianProductExec] || n.isInstanceOf[BroadcastNestedLoopJoinExec]))
+      cartesianOrBnlj = nodes.exists {
+        case _: CartesianProductExec => true
+        // A BNLJ whose build side is a grouping-free aggregate joins
+        // against exactly ONE row (a broadcast scalar — totals, corpus
+        // size): that is the standard way to splice a global statistic
+        // into every row and is NOT a degenerate join. Only flag BNLJs
+        // whose build side can exceed one row.
+        case b: BroadcastNestedLoopJoinExec =>
+          import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          val build = b.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+            case _ => b.right
+          }
+          !walk(build).exists {
+            case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+            case _ => false
+          }
+        case _ => false
+      })
   }
 
   /** Audit as a one-row DataFrame — composable into a monitoring table

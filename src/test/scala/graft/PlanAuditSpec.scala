@@ -37,6 +37,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!a.cartesianOrBnlj, a.toString)
   }
 
+  test("fleet invariant: no lazily-built gated query degenerates to cartesian/BNLJ") {
+    // every driver-gated query whose frame CONSTRUCTION is lazy (the
+    // ANN/bloom/cluster families run driver actions at build time and
+    // are audited by their own specs). Audit cost = plan compilation.
+    val eager = Set(
+      "split_leakage_bloom", "dedup_clusters", "corpus_curation_cc",
+      "corpus_curation_best", "curation_report", "dedup_incremental",
+      "knn_ivf", "knn_ivf_sq8", "knn_ivf_pq", "knn_lsh", "knn_bruteforce",
+      "ann_recall_report", "ivf_cell_stats", "stream_hourly_by_type",
+      "plan_audit_report", "generate_events", "generate_events_status",
+      // declared by-design all-pairs oracle baseline (SURVEY §2D): its
+      // exact self-join is the one intentional non-scale plan; the
+      // banded twin (dedup_embedding_lsh) is what must stay clean
+      "dedup_embedding")
+    val names = SparkEntry.queries.keys.filterNot(eager).toSeq.sorted
+    val alarms = names.flatMap { n =>
+      val a = PlanAudit.audit(SparkEntry.queries(n)(spark, sfDir))
+      if (a.cartesianOrBnlj) Some(n) else None
+    }
+    assert(alarms.isEmpty, s"degenerate joins in: ${alarms.mkString(", ")}")
+    assert(names.size > 80, s"fleet shrank to ${names.size} — update the audit list")
+  }
+
   test("reportFor unions one audited row per named query") {
     val rows = PlanAudit.reportFor(Seq(
       "q6" -> Analytics.q6ForecastRevenue(Tables.lineitem(spark, sfDir)),

@@ -194,6 +194,7 @@ object SparkEntry {
     "seq_pack" -> ((s, d) => TrainingPrep.seqPack(Tables.documents(s, d))),
     "data_mix" -> ((s, d) => TrainingPrep.mixWeights(Tables.documents(s, d))),
     "mix_sample" -> ((s, d) => TrainingPrep.mixSample(Tables.documents(s, d))),
+    "mix_pack" -> ((s, d) => TrainingPrep.mixPack(Tables.documents(s, d))),
     "shard_assign" -> ((s, d) => TrainingPrep.shardAssign(Tables.documents(s, d))),
     "epoch_shuffle" -> ((s, d) => TrainingPrep.epochShuffle(Tables.documents(s, d))),
     "badword_filter" -> ((s, d) => TrainingPrep.badwordFilter(Tables.documents(s, d))),
@@ -1489,6 +1490,42 @@ object SparkEntry {
         |WHERE (w.target_n // w.n_docs)
         |   + CASE WHEN r.sample_rank <= w.target_n % w.n_docs THEN 1 ELSE 0 END > 0
         |ORDER BY r.doc_id""".stripMargin,
+    // mix_sample expanded to per-epoch units, epoch-major hash order,
+    // then the seq_pack offset/pack arithmetic over that order.
+    "mix_pack" ->
+      s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        | t AS (SELECT sum(CAST(round(pow(n_docs, 0.5), 6) AS DECIMAL(28,6))) AS ptot FROM c),
+        | w AS (SELECT source, n_docs,
+        |   CAST(round(round(CAST(CAST(round(pow(n_docs, 0.5), 6) AS DECIMAL(28,6)) AS DOUBLE)
+        |     / CAST(ptot AS DOUBLE), 6) * 1000) AS BIGINT) AS target_n
+        |  FROM c CROSS JOIN t),
+        | r AS (SELECT doc_id, source,
+        |   row_number() OVER (PARTITION BY source
+        |     ORDER BY md5(doc_id || '|graft-mix-v1'), doc_id) AS sample_rank
+        |  FROM documents),
+        | m AS (SELECT r.doc_id,
+        |   (w.target_n // w.n_docs)
+        |     + CASE WHEN r.sample_rank <= w.target_n % w.n_docs THEN 1 ELSE 0 END AS n_copies
+        |  FROM r JOIN w USING (source)
+        |  WHERE (w.target_n // w.n_docs)
+        |     + CASE WHEN r.sample_rank <= w.target_n % w.n_docs THEN 1 ELSE 0 END > 0),
+        | u AS (SELECT m.doc_id, gs.copy_idx FROM m, LATERAL (
+        |   SELECT unnest(range(1, n_copies + 1))) AS gs(copy_idx)),
+        | tk AS (SELECT doc_id, len(list_filter($wsSql, x -> x != '')) AS n_tokens
+        |  FROM documents),
+        | o AS (SELECT u.doc_id, u.copy_idx, tk.n_tokens,
+        |   md5(u.copy_idx || '|' || u.doc_id || '|graft-mixpack-v1') AS h
+        |  FROM u JOIN tk USING (doc_id)),
+        | cum AS (SELECT doc_id, copy_idx, n_tokens,
+        |   sum(n_tokens) OVER (ORDER BY copy_idx, h, doc_id) - n_tokens AS stream_offset
+        |  FROM o)
+        |SELECT doc_id, CAST(copy_idx AS BIGINT) AS copy_idx,
+        | CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(stream_offset AS BIGINT) AS stream_offset,
+        | CAST(stream_offset // 256 AS BIGINT) AS pack_id,
+        | CAST(stream_offset % 256 AS BIGINT) AS pack_offset,
+        | (stream_offset % 256) + n_tokens > 256 AS spans_boundary
+        |FROM cum ORDER BY stream_offset""".stripMargin,
     "shard_assign" ->
       """SELECT doc_id, shard,
         | CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos

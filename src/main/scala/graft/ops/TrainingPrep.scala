@@ -149,6 +149,55 @@ object TrainingPrep {
       .orderBy(col("doc_id"))
   }
 
+  /** The packed MIXED stream — [[mixSample]]'s manifest expanded into
+    * per-epoch copies, ordered epoch-major with a per-epoch
+    * deterministic reshuffle (each copy of a doc lands at an
+    * independent hash position, so epoch k is a fresh permutation),
+    * and run through the [[seqPack]] two-level prefix scan: the final
+    * (doc, copy) → (stream_offset, pack) frame is literally the read
+    * plan a trainer executes against the token stream. Everything
+    * upstream is ids + token counts — text is never expanded
+    * `n_copies` times. The scan partitions by (copy, hash-prefix
+    * bucket), so neither a big source nor a high epoch count ever
+    * converges to one task; the offsets frame is epochs×256 rows.
+    */
+  def mixPack(documents: DataFrame, alpha: Double = 0.5,
+              budgetDocs: Long = 1000L, budget: Int = 256): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), size(words).cast("long").as("n_tokens"))
+    val units = mixSample(documents, alpha, budgetDocs)
+      .select(col("doc_id"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+      .join(toks, Seq("doc_id"))
+      .withColumn("__h", md5(concat_ws("|",
+        col("copy_idx").cast("string"), col("doc_id").cast("string"),
+        lit("graft-mixpack-v1"))))
+      .withColumn("__b", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+    val localCum = sum(col("n_tokens")).over(
+      Window.partitionBy(col("copy_idx"), col("__b"))
+        .orderBy(col("__h"), col("doc_id")))
+    val offsets = units
+      .groupBy(col("copy_idx"), col("__b"))
+      .agg(sum(col("n_tokens")).as("__bt"))
+      .withColumn("__prev", coalesce(sum(col("__bt")).over(
+        Window.orderBy(col("copy_idx"), col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("copy_idx"), col("__b"), col("__prev"))
+    units
+      .withColumn("__cum", localCum)
+      .join(broadcast(offsets), Seq("copy_idx", "__b"))
+      .withColumn("stream_offset",
+        (col("__prev") + col("__cum") - col("n_tokens")).cast("long"))
+      .withColumn("pack_id", floor(col("stream_offset") / budget).cast("long"))
+      .withColumn("pack_offset", (col("stream_offset") % budget).cast("long"))
+      .withColumn("spans_boundary",
+        (col("pack_offset") + col("n_tokens") > budget).cast("boolean"))
+      .select(col("doc_id"), col("copy_idx"), col("n_tokens"),
+        col("stream_offset"), col("pack_id"), col("pack_offset"),
+        col("spans_boundary"))
+      .orderBy(col("stream_offset"))
+  }
+
   private val HexAlphabet = "0123456789abcdef"
 
   /** Deterministic global shuffle + shard assignment for training-data

@@ -183,6 +183,32 @@ class TrainingPrepSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("mixPack tiles the mixed stream exactly and reshuffles per epoch") {
+    val out = TrainingPrep.mixPack(docs).cache()
+    val rows = out.select("doc_id", "copy_idx", "n_tokens", "stream_offset")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4)
+    // one unit per manifest copy
+    val totalCopies = TrainingPrep.mixSample(docs)
+      .agg(sum(col("n_copies"))).as[Long].head()
+    assert(rows.length.toLong === totalCopies)
+    // offsets tile: each unit starts where the previous ended
+    assert(rows.head._4 === 0L)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b._4 === a._4 + a._3, s"gap after ${a._1}/${a._2}")
+      case _ =>
+    }
+    // epoch 2 is a DIFFERENT permutation of its docs than epoch 1
+    // (per-copy hash), yet both contain each doc at most once
+    val e1 = rows.filter(_._2 == 1L).map(_._1)
+    val e2 = rows.filter(_._2 == 2L).map(_._1)
+    assert(e1.distinct.length === e1.length)
+    assert(e2.distinct.length === e2.length)
+    if (e2.length > 2) assert(!e2.sameElements(e1.take(e2.length)))
+    // layout-stable
+    assert(TrainingPrep.mixPack(docs.repartition(9)).except(out).count() === 0)
+    out.unpersist()
+  }
+
   test("epochShuffle is a dense deterministic permutation; two-level scan = global rank") {
     val n = docs.count()
     val out = TrainingPrep.epochShuffle(docs).cache()

@@ -502,4 +502,69 @@ object EventStream {
     try runOnceToFiles(spark, dir)
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  /** Continuous distinct-count maintenance — the streaming
+    * materialization of [[graft.ops.Analytics.hllRollup]]'s daily
+    * layer: each micro-batch folds its events into per-(event_type,
+    * day) HLL sketch rows and register-merges them into the persisted
+    * sketch store (`hll_union_agg` over old ∪ new — same-lgK union is
+    * lossless, so the stream-maintained sketch is BIT-EQUAL to one
+    * built from all rows at once, which the spec asserts through the
+    * estimates). The store is rollup-sized (types × days), so the
+    * merge rewrite costs nothing at any event volume — this is the
+    * pre-aggregation that makes "distinct users this week" a
+    * sketch-merge instead of a 100 TB rescan, kept fresh per batch.
+    * The merged frame is localCheckpointed before the overwrite (the
+    * plan reads the store it is about to replace) and released after.
+    */
+  def hllIngestOnce(spark: SparkSession, srcDir: String, storePath: String,
+                    checkpointDir: String, lgK: Int = 12,
+                    maxFilesPerTrigger: Int = 0): Unit = {
+    val schema = spark.read.parquet(srcDir).schema
+    val reader = spark.readStream.schema(schema)
+    (if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    else reader)
+      .parquet(srcDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // release exactly the blocks this batch pins (the CorpusStream
+        // snapshot-diff pattern) — a continuous stream would otherwise
+        // accumulate one checkpointed store copy per micro-batch
+        val sc = spark.sparkContext
+        val before = sc.getPersistentRDDs.keySet
+        val daily = batch
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .groupBy(col("event_type"),
+            to_date(col("ts").cast("timestamp")).as("day"))
+          .agg(expr(s"hll_sketch_agg(user_id, $lgK)").as("sketch"),
+            count(lit(1)).as("n_events"))
+        val store = new java.io.File(storePath)
+        val merged = (if (store.exists && store.list().nonEmpty)
+          spark.read.parquet(storePath).unionByName(daily)
+        else daily)
+          .groupBy(col("event_type"), col("day"))
+          .agg(expr("hll_union_agg(sketch, false)").as("sketch"),
+            sum(col("n_events")).as("n_events"))
+          .localCheckpoint(true)
+        merged.write.mode("overwrite").parquet(storePath)
+        sc.getPersistentRDDs.filterNot { case (id, _) => before.contains(id) }
+          .foreach { case (_, rdd) => rdd.unpersist(false) }
+      }
+      .start()
+      .awaitTermination()
+  }
+
+  /** Serve the maintained store: per-key distinct estimate + volume —
+    * what a dashboard reads; cost ∝ store rows, never events.
+    */
+  def hllServe(spark: SparkSession, storePath: String): DataFrame =
+    spark.read.parquet(storePath)
+      .select(col("event_type"), col("day"),
+        expr("hll_sketch_estimate(sketch)").as("approx_users"),
+        col("n_events"))
+      .orderBy(col("event_type"), col("day"))
 }

@@ -467,6 +467,34 @@ class StreamingSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS span_stream_spec_spans")
   }
 
+  test("hll ingest stream: register-merged store = one-shot batch sketches, replay no-op") {
+    import spark.implicits._
+    import graft.streaming.EventStream
+    val ev = Tables.events(spark, sfDir)
+    val src = java.nio.file.Files.createTempDirectory("graft_hll_src").toString
+    val store = java.nio.file.Files.createTempDirectory("graft_hll_store").toString + "/store"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hll_ck").toString
+    // two staged files → two micro-batches; both halves touch the SAME
+    // (type, day) keys, so batch 2 must MERGE into batch 1's sketches
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("overwrite").parquet(src)
+    Thread.sleep(1100)
+    ev.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(src)
+    EventStream.hllIngestOnce(spark, src, store, ckpt, maxFilesPerTrigger = 1)
+    val served = EventStream.hllServe(spark, store)
+    // same-lgK register union is lossless: incremental = one-shot, exactly
+    val oneShot = ev
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts").cast("timestamp")).as("day"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("approx_users"),
+        count(lit(1)).as("n_events"))
+    assert(served.except(oneShot).count() === 0)
+    assert(oneShot.except(served).count() === 0)
+    // committed checkpoint → replay leaves the store unchanged
+    val snapshot = served.collect().toSeq
+    EventStream.hllIngestOnce(spark, src, store, ckpt, maxFilesPerTrigger = 1)
+    assert(EventStream.hllServe(spark, store).collect().toSeq === snapshot)
+  }
+
   test("embedding ingest stream grows the persisted IVF index like the in-memory append") {
     import spark.implicits._
     import graft.ops.Similarity

@@ -93,6 +93,17 @@ object SparkEntry {
       Tables.lineitem(s, d))),
     "q22_global_sales" -> ((s, d) => Analytics.q22GlobalSales(
       Tables.customer(s, d), Tables.orders(s, d))),
+    "q2_min_cost_supplier" -> ((s, d) => Analytics.q2MinCostSupplier(
+      Tables.region(s, d), Tables.nation(s, d), Tables.supplier(s, d),
+      Tables.part(s, d), Tables.lineitem(s, d))),
+    "q11_important_stock" -> ((s, d) => Analytics.q11ImportantStock(
+      Tables.nation(s, d), Tables.supplier(s, d), Tables.lineitem(s, d))),
+    "q12_ship_lag" -> ((s, d) => Analytics.q12ShipLag(
+      Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q16_supplier_cnt" -> ((s, d) => Analytics.q16SupplierCnt(
+      Tables.supplier(s, d), Tables.part(s, d), Tables.lineitem(s, d))),
+    "q21_waiting_orders" -> ((s, d) => Analytics.q21WaitingOrders(
+      Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "top_k_per_group" -> ((s, d) => Analytics.topKPerGroup(Tables.part(s, d))),
     "top_k_per_group_fast" -> ((s, d) => Analytics.topKPerGroupFast(Tables.part(s, d))),
     "events_sessionize" -> ((s, d) => Analytics.sessionize(Tables.events(s, d))),
@@ -181,6 +192,7 @@ object SparkEntry {
     // V=16 on the 31-word synthetic vocabulary so OOV rates are nonzero
     "vocab_coverage" -> ((s, d) => Corpus.vocabCoverage(Tables.documents(s, d), 16)),
     "doc_lm_score" -> ((s, d) => Corpus.lmScore(Tables.documents(s, d))),
+    "dsir_weights" -> ((s, d) => Corpus.dsirWeights(Tables.documents(s, d))),
     "perplexity_buckets" -> ((s, d) => Corpus.perplexityBuckets(Tables.documents(s, d))),
     "doc_entropy" -> ((s, d) => TextAnalysis.entropy(Tables.documents(s, d))),
     "contamination_check" -> ((s, d) => Corpus.contamination(Tables.documents(s, d))),
@@ -609,6 +621,77 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         |) t GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH offers AS (
+        | SELECT l_partkey, l_suppkey,
+        |        min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        | FROM lineitem
+        | WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                     WHERE p_type = 'SMALL' AND p_size <= 15)
+        |   AND l_suppkey IN (SELECT s_suppkey FROM supplier
+        |                     JOIN nation ON s_nationkey = n_nationkey
+        |                     JOIN region ON n_regionkey = r_regionkey
+        |                     WHERE r_name = 'EUROPE')
+        | GROUP BY l_partkey, l_suppkey)
+        |SELECT p_partkey, p_name, p_brand, s_suppkey, s_name, n_name,
+        |       s_acctbal, cast(cost AS DOUBLE) AS supply_cost
+        |FROM offers
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE cost = (SELECT min(cost) FROM offers o2
+        |              WHERE o2.l_partkey = offers.l_partkey)
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+    "q11_important_stock" ->
+      """WITH vals AS (
+        | SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+        | FROM lineitem
+        | WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |                     JOIN nation ON s_nationkey = n_nationkey
+        |                     WHERE n_name = 'NATION_3')
+        | GROUP BY l_partkey)
+        |SELECT l_partkey, cast(value AS DOUBLE) AS part_value
+        |FROM vals, (SELECT sum(value) AS total, count(*) AS n FROM vals) t
+        |WHERE value * n > total * 2
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    "q12_ship_lag" ->
+      """SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |            THEN 'DELAYED' ELSE 'PROMPT' END AS ship_class,
+        | sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |          THEN 1 ELSE 0 END) AS high_line_count,
+        | sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |          THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY ship_class""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        | count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q21_waiting_orders" ->
+      """WITH lo AS (
+        | SELECT l_orderkey, l_suppkey,
+        |        (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE o_orderstatus = 'F'),
+        |po AS (
+        | SELECT l_orderkey FROM lo
+        | GROUP BY l_orderkey
+        | HAVING count(DISTINCT l_suppkey) >= 2
+        |    AND count(DISTINCT CASE WHEN late THEN l_suppkey END) = 1)
+        |SELECT s_name, count(*) AS numwait FROM (
+        | SELECT DISTINCT lo.l_orderkey, lo.l_suppkey FROM lo
+        | WHERE late AND lo.l_orderkey IN (SELECT l_orderkey FROM po)) q
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "top_k_per_group" ->
       """SELECT p_brand, rnk, p_partkey, p_name, p_retailprice FROM (
         | SELECT p_brand, p_partkey, p_name, p_retailprice,
@@ -1085,6 +1168,27 @@ object SparkEntry {
         | CAST(min(CASE WHEN cc >= (n*90 + 99) // 100 THEN n_chars END) AS BIGINT) AS p90_chars,
         | CAST(min(CASE WHEN cc >= (n*99 + 99) // 100 THEN n_chars END) AS BIGINT) AS p99_chars
         |FROM cum GROUP BY source ORDER BY source""".stripMargin,
+    // DSIR oracle: identical md5 3-hex-digit bucket fold, add-one
+    // multinomials, 6-dp-quantized log-ratio model (decimal-exact doc
+    // sums — only the two ln() calls are IEEE).
+    "dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+         |   unnest(list_filter($wsSql, x -> x != '')) AS tok FROM documents),
+         | b AS (SELECT doc_id, tgt,
+         |   ((instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 256
+         |  + (instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) * 16
+         |  + (instr('0123456789abcdef', substring(md5(tok), 3, 1)) - 1)) % 1024 AS bkt
+         |   FROM t),
+         | cnt AS (SELECT bkt, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+         |         sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr FROM b GROUP BY 1),
+         | tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM cnt),
+         | lr AS (SELECT bkt, CAST(round(ln((ct + 1.0) / (tt + 1024))
+         |                            - ln((cr + 1.0) / (tr + 1024)), 6)
+         |                   AS DECIMAL(18,6)) AS lr FROM cnt, tot),
+         | dt AS (SELECT doc_id, bkt, count(*) AS n FROM b WHERE NOT tgt GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+         | CAST(sum(n * lr) AS DOUBLE) AS dsir_weight
+         |FROM dt JOIN lr USING (bkt) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "doc_lm_score" ->
       s"""WITH t AS (SELECT doc_id, list_filter($wsSql, x -> x != '') AS ws FROM documents),
          | b AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),

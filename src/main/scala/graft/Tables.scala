@@ -20,15 +20,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read natively — read it as a long (legacy conf) and convert to
-    * microsecond TIMESTAMP_NTZ (floor division, matching DuckDB's own
-    * ns→µs truncation), so oracle comparisons see identical values.
+  /** `events.ts` arrives as either parquet TIMESTAMP(NANOS) (older
+    * generator runs — Spark 4 refuses to read it natively, so the legacy
+    * conf surfaces it as a nanosecond long we floor-divide to µs,
+    * matching DuckDB's own ns→µs truncation) or plain TIMESTAMP(MICROS)
+    * (current generator). Branch on the READ schema, not the directory:
+    * both layouts normalize to the same microsecond TIMESTAMP_NTZ, so
+    * every downstream operator and oracle comparison is
+    * representation-agnostic.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = load(s, d, "events")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts")
+    }
+    raw.withColumn("ts", ts.cast("timestamp_ntz"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

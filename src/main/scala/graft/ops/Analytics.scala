@@ -458,6 +458,183 @@ object Analytics {
       .orderBy(col("cntrycode"))
   }
 
+  /** TPC-H Q2 shape (minimum-cost supplier): for each part of one type
+    * below a size cap, the region's suppliers offering it at the lowest
+    * observed price. The schema has no partsupp table, so the
+    * part-supplier offer relation is derived from lineitem — each
+    * (partkey, suppkey) pair's cost is its MIN extended price, an exact
+    * decimal, and the correlated `= (SELECT min …)` of the original
+    * becomes a min-per-part aggregate joined back on decimal equality.
+    *
+    * Scale: the filtered part list and the region's supplier list are
+    * both dims → broadcast semi-joins prune lineitem before its one
+    * (partkey, suppkey) shuffle; the min-per-part frame and the
+    * re-join both operate on the already-aggregated offers (≤ |part| ×
+    * suppliers-per-part rows), partitioned on l_partkey both sides.
+    */
+  def q2MinCostSupplier(region: DataFrame, nation: DataFrame,
+                        supplier: DataFrame, part: DataFrame,
+                        lineitem: DataFrame, regionName: String = "EUROPE",
+                        pType: String = "SMALL", sizeMax: Int = 15): DataFrame = {
+    val regionNations = nation
+      .join(region.filter(col("r_name") === regionName),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val regionSupp = broadcast(supplier
+      .join(broadcast(regionNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name")))
+    val partsF = broadcast(part
+      .filter(col("p_type") === pType && col("p_size") <= sizeMax)
+      .select(col("p_partkey"), col("p_name"), col("p_brand")))
+    val offers = lineitem
+      .join(partsF.select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(regionSupp.select(col("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(dec("l_extendedprice")).as("__cost"))
+    val minPerPart = offers.groupBy(col("l_partkey"))
+      .agg(min(col("__cost")).as("__min_cost"))
+    offers
+      .join(minPerPart, Seq("l_partkey"))
+      .filter(col("__cost") === col("__min_cost"))
+      .join(regionSupp, col("l_suppkey") === col("s_suppkey"))
+      .join(partsF, col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("s_suppkey"), col("s_name"), col("n_name"), col("s_acctbal"),
+        col("__cost").cast("double").as("supply_cost"))
+      .orderBy(col("p_partkey"), col("s_suppkey"))
+  }
+
+  /** TPC-H Q11 shape (important stock): parts whose shipped value from
+    * one nation's suppliers exceeds `meanMult`× the nation's mean
+    * per-part value. partsupp's supplycost×availqty becomes the exact
+    * decimal sum of extended prices. The original's fixed
+    * `FRACTION/SF` threshold is re-expressed scale-free: the (total,
+    * part-count) pair arrives as a one-row broadcast crossJoin and the
+    * HAVING threshold is cross-multiplied (`value·n > total·meanMult`)
+    * — decimal-exact, no division, and row yield tracks the value
+    * skew rather than collapsing to zero as |part| grows.
+    *
+    * Scale: the nation's supplier list is broadcast; lineitem is
+    * semi-pruned before its single l_partkey shuffle; everything after
+    * the aggregate is |part|-sized.
+    */
+  def q11ImportantStock(nation: DataFrame, supplier: DataFrame,
+                        lineitem: DataFrame, targetNation: String = "NATION_3",
+                        meanMult: Int = 2): DataFrame = {
+    val nationSupp = broadcast(supplier
+      .join(broadcast(nation.filter(col("n_name") === targetNation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey")))
+    val vals = lineitem
+      .join(nationSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec("l_extendedprice")).as("__value"))
+    val total = broadcast(vals.agg(sum(col("__value")).as("__total"),
+      count(lit(1)).as("__n")))
+    vals.crossJoin(total)
+      .filter(col("__value") * col("__n") > col("__total") * meanMult)
+      .select(col("l_partkey"), col("__value").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q12 shape (shipping modes & priority): the schema has no
+    * l_shipmode, so the mode classes become ship-lag classes — DELAYED
+    * (shipped > `lateDays` after the order date) vs PROMPT — and the
+    * CASE-sum splits each class's order lines into critical
+    * (1-URGENT/2-HIGH) vs other priorities, over one ship-year slice.
+    *
+    * Scale: date filter pushed to the lineitem scan; one orderkey
+    * shuffle for the orders join (orders projected to three columns);
+    * final aggregate has 2 groups.
+    */
+  def q12ShipLag(orders: DataFrame, lineitem: DataFrame,
+                 fromTs: String = "1996-01-01 00:00:00",
+                 toTs: String = "1997-01-01 00:00:00",
+                 lateDays: Int = 30): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= tsLit(fromTs) && col("l_shipdate") < tsLit(toTs))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("ship_class",
+        when(col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+          lit("DELAYED")).otherwise(lit("PROMPT")))
+      .groupBy(col("ship_class"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("ship_class"))
+
+  /** TPC-H Q16 shape (part/supplier relationship): distinct-supplier
+    * counts per (brand, type, size) for parts outside one brand and one
+    * type, sizes in a fixed set, excluding flagged suppliers — the
+    * original's "complaints" LIKE-subquery becomes the negative-balance
+    * suppliers. The part-supplier relation derives from lineitem.
+    *
+    * Scale: both exclusion lists are broadcast (anti/semi); lineitem
+    * projects to (partkey, suppkey) before its only shuffle, and the
+    * distinct + count-distinct share the (brand,type,size) clustering.
+    */
+  def q16SupplierCnt(supplier: DataFrame, part: DataFrame,
+                     lineitem: DataFrame, excludeBrand: String = "Brand#1",
+                     excludeType: String = "PROMO",
+                     sizes: Seq[Int] = Seq(3, 9, 14, 19, 23, 36, 45, 49)): DataFrame = {
+    val partsF = broadcast(part
+      .filter(col("p_brand") =!= excludeBrand && col("p_type") =!= excludeType &&
+        col("p_size").isin(sizes: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")))
+    val flagged = broadcast(supplier.filter(col("s_acctbal") < 0.0)
+      .select(col("s_suppkey")))
+    lineitem.select(col("l_partkey"), col("l_suppkey"))
+      .join(flagged, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(partsF, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): suppliers who
+    * were the ONLY late supplier on a finalized multi-supplier order.
+    * The schema has no commit/receipt dates, so "late" is shipping more
+    * than `lateDays` past the order date. The original's
+    * EXISTS/NOT-EXISTS pair is re-expressed as one per-order aggregate:
+    * when the distinct-late-supplier count is exactly 1, that sole
+    * supplier IS `max(late-supplier)`, so the blame assignment falls out
+    * of the same aggregate — one scan of the joined frame instead of
+    * three correlated passes.
+    *
+    * Scale: one orderkey co-shuffle (lineitem ⋈ filtered orders); the
+    * per-order aggregate reuses that clustering (no re-shuffle); the
+    * per-supplier count aggregates a ≤|orders| frame and the name join
+    * broadcasts supplier. The top-N ships as TakeOrderedAndProject.
+    */
+  def q21WaitingOrders(supplier: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, lateDays: Int = 90,
+                       topN: Int = 20): DataFrame =
+    lineitem
+      .join(orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("__late",
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("__n_supp"),
+        countDistinct(when(col("__late"), col("l_suppkey"))).as("__n_late"),
+        max(when(col("__late"), col("l_suppkey"))).as("__late_supp"))
+      .filter(col("__n_supp") >= 2 && col("__n_late") === 1)
+      .groupBy(col("__late_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("__late_supp") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(topN)
+
   /** Top-k per group: 3 priciest parts per brand. Keyed window → one
     * shuffle; at scale, a pre-aggregation per partition (AQE) bounds the
     * sort. Deterministic tie-break on p_partkey.

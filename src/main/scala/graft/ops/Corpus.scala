@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.functions.Hashes
 
 /** Corpus-management operators for LLM-training-data pipelines
@@ -623,5 +624,66 @@ object Corpus {
     labels
       .withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("boolean"))
       .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * non-target document by how much its hashed-token distribution
+    * resembles a target slice (here `lang = targetLang`) versus the raw
+    * pool. Each engine-side piece is the paper's hashed bag-of-ngrams
+    * model: tokens hash into `buckets` buckets (md5 hex arithmetic —
+    * the same engine-portable trick as [[splitAssign]], so DuckDB
+    * reproduces the bucketing bit-for-bit), both slices get add-one-
+    * smoothed multinomial estimates, and a document's weight is
+    * Σ n_b · log(p̂_target(b)/p̂_raw(b)) over its bucket counts.
+    *
+    * Determinism: the per-bucket log-ratio is ROUNDED to 6 dp and cast
+    * to DECIMAL(18,6) — quantizing the MODEL, not the result — so the
+    * per-doc sum is exact decimal arithmetic (order-independent in both
+    * engines) and only the two ln() calls ride IEEE doubles.
+    *
+    * The resampling draw itself reuses [[sampleWeighted]]'s machinery:
+    * feed `dsir_weight` (exp-normalized or rank-mapped) in place of
+    * n_chars and the keep set stays engine-deterministic.
+    *
+    * Scale: the token explode feeds a map-side-combined (is_target,
+    * bucket) aggregate — heavy hitters collapse before the shuffle,
+    * which carries only (bucket, count) pairs; the log-ratio table is
+    * `buckets` rows → broadcast; per-doc bucket counts shuffle
+    * (doc_id, bucket, n) ints keyed on doc_id. Text never shuffles; no
+    * global window anywhere.
+    */
+  def dsirWeights(documents: DataFrame, targetLang: String = "en",
+                  buckets: Int = 1024): DataFrame = {
+    require(4096 % buckets == 0, "buckets must divide 16^3 for uniform md5 folding")
+    val words = filter(split(normText, " "), w => w =!= "")
+    def hexVal(pos: Int) = expr(
+      s"instr('$HexAlphabet', substring(md5(tok), $pos, 1))")
+    val toks = documents
+      .select(col("doc_id"), (col("lang") === targetLang).as("__tgt"),
+        explode(words).as("tok"))
+      .withColumn("__b",
+        (((hexVal(1) - 1) * 256 + (hexVal(2) - 1) * 16 + (hexVal(3) - 1)) % buckets)
+          .cast("long"))
+      .select(col("doc_id"), col("__tgt"), col("__b"))
+    val cnt = toks.groupBy(col("__b"))
+      .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
+        sum(when(col("__tgt"), 0L).otherwise(1L)).as("__cr"))
+    val tot = broadcast(cnt.agg(sum(col("__ct")).as("__tt"),
+      sum(col("__cr")).as("__tr")))
+    val lr = broadcast(cnt.crossJoin(tot)
+      .withColumn("__lr",
+        round(log((col("__ct") + lit(1.0)) / (col("__tt") + lit(buckets))) -
+          log((col("__cr") + lit(1.0)) / (col("__tr") + lit(buckets))), 6)
+          .cast(DecimalType(18, 6)))
+      .select(col("__b"), col("__lr")))
+    toks.filter(!col("__tgt"))
+      .groupBy(col("doc_id"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .join(lr, Seq("__b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__n")).as("n_tokens"),
+        sum(col("__n") * col("__lr")).cast("double").as("dsir_weight"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -181,6 +181,64 @@ class JoinPlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("q2 prunes lineitem through broadcast semi-joins before its offer aggregate") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Analytics.q2MinCostSupplier(Tables.region(spark, sfDir),
+        Tables.nation(spark, sfDir), Tables.supplier(spark, sfDir),
+        Tables.part(spark, sfDir), Tables.lineitem(spark, sfDir))
+      val plan = df.queryExecution.executedPlan
+      val s = plan.toString
+      assert(s.contains("BroadcastHashJoin"), s.take(800))
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+        s.take(800))
+      // every shuffle after the (partkey, suppkey) offer aggregate moves
+      // already-aggregated offer rows, never raw lineitem: offer agg,
+      // min-per-part agg + its equality re-join, and the output sort
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.length <= 5, s"${shuffles.length} shuffles\n" + s.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("q16 joins only by broadcast — the count-distinct owns the sole fact shuffle chain") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Analytics.q16SupplierCnt(Tables.supplier(spark, sfDir),
+        Tables.part(spark, sfDir), Tables.lineitem(spark, sfDir))
+      val plan = df.queryExecution.executedPlan
+      val s = plan.toString
+      assert(s.contains("BroadcastHashJoin"), s.take(800))
+      assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct") &&
+        !s.contains("BroadcastNestedLoopJoin"), s.take(800))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("q21's per-order aggregate reuses the join clustering; top-N never sorts globally") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Analytics.q21WaitingOrders(Tables.supplier(spark, sfDir),
+        Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir))
+      val plan = df.queryExecution.executedPlan
+      val s = plan.toString
+      assert(s.contains("BroadcastHashJoin"), s.take(800)) // supplier names
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+        s.take(800))
+      // lineitem + orders co-shuffle (2) and the small per-supplier count
+      // (1) — the orderkey aggregate must NOT add a fourth exchange
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.length <= 3, s"${shuffles.length} shuffles\n" + s.take(1500))
+      // limit(topN) over the sorted count must ship as TakeOrderedAndProject
+      assert(s.contains("TakeOrderedAndProject"), s.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("tfidf keeps the rank-limit pushdown and broadcasts the doc count") {
     val plan = planOf(graft.ops.Corpus.tfidfTopTerms(Tables.documents(spark, sfDir)))
     // WindowGroupLimit = per-partition top-k BEFORE the window exchange;

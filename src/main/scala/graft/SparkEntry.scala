@@ -193,6 +193,7 @@ object SparkEntry {
     "vocab_coverage" -> ((s, d) => Corpus.vocabCoverage(Tables.documents(s, d), 16)),
     "doc_lm_score" -> ((s, d) => Corpus.lmScore(Tables.documents(s, d))),
     "dsir_weights" -> ((s, d) => Corpus.dsirWeights(Tables.documents(s, d))),
+    "dsir_sample" -> ((s, d) => Corpus.dsirSample(Tables.documents(s, d))),
     "perplexity_buckets" -> ((s, d) => Corpus.perplexityBuckets(Tables.documents(s, d))),
     "doc_entropy" -> ((s, d) => TextAnalysis.entropy(Tables.documents(s, d))),
     "contamination_check" -> ((s, d) => Corpus.contamination(Tables.documents(s, d))),
@@ -1189,6 +1190,36 @@ object SparkEntry {
          |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
          | CAST(sum(n * lr) AS DOUBLE) AS dsir_weight
          |FROM dt JOIN lr USING (bkt) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The resampling draw on top of the dsir_weights CTE: keep iff the
+    // doc's md5 u16 < 65536 · round(exp(w − max w), 6).
+    "dsir_sample" ->
+      s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+         |   unnest(list_filter($wsSql, x -> x != '')) AS tok FROM documents),
+         | b AS (SELECT doc_id, tgt,
+         |   ((instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 256
+         |  + (instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) * 16
+         |  + (instr('0123456789abcdef', substring(md5(tok), 3, 1)) - 1)) % 1024 AS bkt
+         |   FROM t),
+         | cnt AS (SELECT bkt, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+         |         sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr FROM b GROUP BY 1),
+         | tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM cnt),
+         | lr AS (SELECT bkt, CAST(round(ln((ct + 1.0) / (tt + 1024))
+         |                            - ln((cr + 1.0) / (tr + 1024)), 6)
+         |                   AS DECIMAL(18,6)) AS lr FROM cnt, tot),
+         | dt AS (SELECT doc_id, bkt, count(*) AS n FROM b WHERE NOT tgt GROUP BY 1, 2),
+         | w AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |       CAST(sum(n * lr) AS DOUBLE) AS dsir_weight
+         |       FROM dt JOIN lr USING (bkt) GROUP BY doc_id),
+         | mx AS (SELECT max(dsir_weight) AS max_w FROM w),
+         | u AS (SELECT doc_id, n_tokens, dsir_weight,
+         |   round(exp(dsir_weight - max_w), 6) AS keep_p,
+         |   CAST(((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR) || '|graft-dsir-v1'), 1, 1)) - 1) * 4096
+         |       + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR) || '|graft-dsir-v1'), 2, 1)) - 1) * 256
+         |       + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR) || '|graft-dsir-v1'), 3, 1)) - 1) * 16
+         |       + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR) || '|graft-dsir-v1'), 4, 1)) - 1)) AS BIGINT) AS u16
+         |   FROM w, mx)
+         |SELECT doc_id, n_tokens, dsir_weight, keep_p, u16 FROM u
+         |WHERE u16 < keep_p * 65536.0 ORDER BY doc_id""".stripMargin,
     "doc_lm_score" ->
       s"""WITH t AS (SELECT doc_id, list_filter($wsSql, x -> x != '') AS ws FROM documents),
          | b AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),

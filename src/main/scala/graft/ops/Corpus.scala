@@ -654,36 +654,110 @@ object Corpus {
     * global window anywhere.
     */
   def dsirWeights(documents: DataFrame, targetLang: String = "en",
-                  buckets: Int = 1024): DataFrame = {
-    require(4096 % buckets == 0, "buckets must divide 16^3 for uniform md5 folding")
-    val words = filter(split(normText, " "), w => w =!= "")
+                  buckets: Int = 1024): DataFrame =
+    dsirScore(documents.filter(col("lang") =!= targetLang),
+      dsirModel(documents, targetLang, buckets))
+      .orderBy(col("doc_id"))
+
+  private def dsirBucket(buckets: Int) = {
     def hexVal(pos: Int) = expr(
       s"instr('$HexAlphabet', substring(md5(tok), $pos, 1))")
-    val toks = documents
-      .select(col("doc_id"), (col("lang") === targetLang).as("__tgt"),
-        explode(words).as("tok"))
-      .withColumn("__b",
-        (((hexVal(1) - 1) * 256 + (hexVal(2) - 1) * 16 + (hexVal(3) - 1)) % buckets)
-          .cast("long"))
-      .select(col("doc_id"), col("__tgt"), col("__b"))
-    val cnt = toks.groupBy(col("__b"))
+    (((hexVal(1) - 1) * 256 + (hexVal(2) - 1) * 16 + (hexVal(3) - 1)) % buckets)
+      .cast("long")
+  }
+
+  private def dsirToks(documents: DataFrame, buckets: Int) = {
+    val words = filter(split(normText, " "), w => w =!= "")
+    documents
+      .select(col("doc_id"), col("lang"), explode(words).as("tok"))
+      .withColumn("__b", dsirBucket(buckets))
+  }
+
+  /** The trained DSIR model: one row per hash bucket with its
+    * DECIMAL(18,6)-quantized log-ratio (see [[dsirWeights]] for the
+    * estimator). `buckets` rows total — broadcast-sized by
+    * construction, and exactly what [[writeDsirModel]] persists: train
+    * offline on a corpus snapshot, serve every later batch/stream
+    * against the stored table (the same build-once/serve-many split as
+    * the dedup and IVF indexes).
+    */
+  def dsirModel(documents: DataFrame, targetLang: String = "en",
+                buckets: Int = 1024): DataFrame = {
+    require(4096 % buckets == 0, "buckets must divide 16^3 for uniform md5 folding")
+    val cnt = dsirToks(documents, buckets)
+      .withColumn("__tgt", col("lang") === targetLang)
+      .groupBy(col("__b"))
       .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
         sum(when(col("__tgt"), 0L).otherwise(1L)).as("__cr"))
     val tot = broadcast(cnt.agg(sum(col("__ct")).as("__tt"),
       sum(col("__cr")).as("__tr")))
-    val lr = broadcast(cnt.crossJoin(tot)
+    cnt.crossJoin(tot)
       .withColumn("__lr",
         round(log((col("__ct") + lit(1.0)) / (col("__tt") + lit(buckets))) -
           log((col("__cr") + lit(1.0)) / (col("__tr") + lit(buckets))), 6)
           .cast(DecimalType(18, 6)))
-      .select(col("__b"), col("__lr")))
-    toks.filter(!col("__tgt"))
+      .select(col("__b"), col("__lr"))
+  }
+
+  /** Persist / reload the [[dsirModel]] table. The model is static
+    * once trained (retrains are an owner-cadence job, like any index
+    * rebuild), so loaders cache nothing and serving reads one tiny
+    * parquet. Caller keeps the bucket count with the model path (it
+    * parameterizes the tokenizer-side fold, not the stored table).
+    */
+  def writeDsirModel(model: DataFrame, path: String): Unit =
+    model.coalesce(1).write.mode("overwrite").parquet(path)
+
+  def loadDsirModel(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Score a document batch against a (possibly loaded) model — the
+    * serving half of [[dsirWeights]]: per-doc bucket counts join the
+    * broadcast log-ratio table and sum exactly. Works identically on a
+    * live frame or a [[loadDsirModel]] table; feed micro-batches
+    * through it for continuous selection.
+    */
+  def dsirScore(documents: DataFrame, model: DataFrame,
+                buckets: Int = 1024): DataFrame = {
+    dsirToks(documents, buckets)
       .groupBy(col("doc_id"), col("__b"))
       .agg(count(lit(1)).as("__n"))
-      .join(lr, Seq("__b"))
+      .join(broadcast(model), Seq("__b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("__n")).as("n_tokens"),
         sum(col("__n") * col("__lr")).cast("double").as("dsir_weight"))
+  }
+
+  /** The importance-resampling DRAW: Bernoulli-keep each raw document
+    * with probability exp(w − max(w)) — weight-proportional selection
+    * with the best-matching document kept almost surely, the DSIR
+    * resampling step expressed as a deterministic per-doc coin. The
+    * coin is the same 16-bit md5 uniform as [[sampleWeighted]]
+    * (engine-portable, layout-independent); the keep probability is
+    * ROUNDED to 6 dp before the u16 compare so both engines compare
+    * the same double against the same integer (only exp/ln ride IEEE,
+    * same boundary-risk posture as [[lmScore]]).
+    *
+    * Scale: [[dsirWeights]]'s shape plus one broadcast max scalar and
+    * a narrow filter — nothing new shuffles.
+    */
+  def dsirSample(documents: DataFrame, targetLang: String = "en",
+                 buckets: Int = 1024,
+                 salt: String = "graft-dsir-v1"): DataFrame = {
+    val weights = dsirWeights(documents, targetLang, buckets)
+    val maxW = broadcast(weights.agg(max(col("dsir_weight")).as("__max_w")))
+    def hexVal(pos: Int) = expr(
+      s"instr('$HexAlphabet', substring(md5(concat_ws('|', cast(doc_id as string), '$salt')), $pos, 1))")
+    val u16 = ((((hexVal(1) - 1) * 16 + (hexVal(2) - 1)) * 16 + (hexVal(3) - 1)) * 16 +
+      (hexVal(4) - 1)).cast("long")
+    weights
+      .crossJoin(maxW)
+      .withColumn("keep_p", round(exp(col("dsir_weight") - col("__max_w")), 6))
+      .withColumn("u16", u16)
+      .filter(col("u16") < col("keep_p") * 65536.0)
+      .select(col("doc_id"), col("n_tokens"), col("dsir_weight"),
+        col("keep_p"), col("u16"))
       .orderBy(col("doc_id"))
   }
 }

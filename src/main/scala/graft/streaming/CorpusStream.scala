@@ -120,6 +120,39 @@ object CorpusStream {
       .awaitTermination()
   }
 
+  /** Continuous DSIR selection — the streaming twin of
+    * [[graft.ops.Corpus.dsirScore]]: documents land as files, each
+    * micro-batch is scored against the PERSISTED importance model
+    * ([[graft.ops.Corpus.writeDsirModel]] — trained offline on a
+    * corpus snapshot, like any index build) and scored rows append to
+    * `destPath`. A document's score depends only on its own tokens and
+    * the static model, so the drained stream equals the batch scoring
+    * row-for-row regardless of batching (spec-asserted) — no state
+    * stores, no cross-batch contract caveats. The model loads ONCE
+    * (it is immutable; a retrain publishes a new path), each batch
+    * pays only its own token explode + broadcast join.
+    */
+  def dsirScoreOnce(spark: SparkSession, srcDir: String, modelPath: String,
+                    destPath: String, checkpointDir: String,
+                    maxFilesPerTrigger: Int = 0): Unit = {
+    val model = graft.ops.Corpus.loadDsirModel(spark, modelPath)
+    val schema = spark.read.parquet(srcDir).schema
+    val reader = spark.readStream.schema(schema)
+    val src = (if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    else reader).parquet(srcDir)
+    src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Corpus.dsirScore(batch, model)
+          .write.mode("append").parquet(destPath)
+      }
+      .start()
+      .awaitTermination()
+  }
+
   /** Drain all staged document files through the ingest pipeline into
     * `destPath` (parquet append), exactly-once per file via the
     * checkpoint. `Trigger.AvailableNow` processes the backlog and

@@ -391,7 +391,11 @@ object EventStream {
     * rows are comparable row-for-row. Assumes per-key in-order arrival
     * across micro-batches (the key-partitioned-topic guarantee
     * [[toKafka]] encodes); within a batch rows are sorted before the
-    * state walk.
+    * state walk. The batch sort buffers ONE PRIMITIVE LONG per row
+    * (epoch-µs), not the row itself — a 10M-row hot key in a catch-up
+    * batch costs ~80 MB, not gigabytes; ordering by epoch-µs is
+    * gap-equivalent to the old (second, nano, event_id) order because
+    * equal timestamps yield gap 0 either way.
     */
   def gapDetectStream(spark: SparkSession, events: DataFrame,
                       thresholdSec: Long = 21600): DataFrame = {
@@ -400,26 +404,31 @@ object EventStream {
     val typed = events
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .withColumn("ts", col("ts").cast("timestamp"))
-      .select(col("user_id"), col("ts"), col("event_id"))
-      .as[(Long, java.sql.Timestamp, Long)]
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    def toMicros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant; i.getEpochSecond * 1000000L + i.getNano / 1000
+    }
+    def fromMicros(m: Long): java.sql.Timestamp = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(Math.floorDiv(m, 1000000L),
+        Math.floorMod(m, 1000000L) * 1000))
     typed
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
-        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
          state: org.apache.spark.sql.streaming.GroupState[java.sql.Timestamp]) =>
-          val sorted = rows.toSeq.sortBy { r =>
-            val i = r._2.toInstant; (i.getEpochSecond, i.getNano, r._3)
-          }
+          val micros = rows.map(r => toMicros(r._2)).toArray
+          java.util.Arrays.sort(micros)
           val out = Seq.newBuilder[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
-          var last = state.getOption
-          sorted.foreach { case (_, ts, _) =>
-            last.foreach { prev =>
-              val gap = ts.toInstant.getEpochSecond - prev.toInstant.getEpochSecond
-              if (gap > thresholdSec) out += ((user, prev, ts, gap))
+          var last = state.getOption.map(toMicros).getOrElse(Long.MinValue)
+          micros.foreach { m =>
+            if (last != Long.MinValue) {
+              val gap = Math.floorDiv(m, 1000000L) - Math.floorDiv(last, 1000000L)
+              if (gap > thresholdSec) out += ((user, fromMicros(last), fromMicros(m), gap))
             }
-            if (last.forall(_.toInstant.isBefore(ts.toInstant))) last = Some(ts)
+            if (m > last) last = m
           }
-          last.foreach(state.update)
+          if (last != Long.MinValue) state.update(fromMicros(last))
           out.result().iterator
       }
       .toDF("user_id", "gap_start", "gap_end", "gap_sec")

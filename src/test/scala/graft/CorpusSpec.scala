@@ -382,4 +382,34 @@ class CorpusSpec extends SparkSpec {
     }
     out.unpersist()
   }
+
+  test("DSIR: persisted model serves identically to the inline weights") {
+    val path = java.nio.file.Files.createTempDirectory("graft_dsir_model").toString + "/m"
+    Corpus.writeDsirModel(Corpus.dsirModel(docs), path)
+    val served = Corpus.dsirScore(docs.filter(col("lang") =!= "en"),
+      Corpus.loadDsirModel(spark, path))
+    val inline = Corpus.dsirWeights(docs)
+    assert(served.orderBy("doc_id").collect().toSeq ===
+      inline.collect().toSeq)
+    // the model is broadcast-sized and the scoring join must broadcast it
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+  }
+
+  test("DSIR: target-language docs outscore raw docs on average; draw keeps the argmax") {
+    val w = Corpus.dsirScore(docs, Corpus.dsirModel(docs)).cache()
+    val en = docs.select(col("doc_id"), (col("lang") === "en").as("t"))
+    val byLang = w.join(en, Seq("doc_id"))
+      .groupBy(col("t")).agg(avg(col("dsir_weight") / col("n_tokens")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // per-token average, so length differences don't mask the signal
+    assert(byLang(true) > byLang(false),
+      s"target ${byLang(true)} should exceed raw ${byLang(false)}")
+    val kept = Corpus.dsirSample(docs).select("doc_id").as[Long].collect().toSet
+    val top = Corpus.dsirWeights(docs)
+      .orderBy(col("dsir_weight").desc).select("doc_id").as[Long].head()
+    // keep_p(argmax) = exp(0) = 1 > u16/65536 for every u16 < 65536
+    assert(kept.contains(top), s"argmax doc $top must survive the draw")
+    w.unpersist()
+  }
 }

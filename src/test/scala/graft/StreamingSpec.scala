@@ -531,4 +531,28 @@ class StreamingSpec extends SparkSpec {
     EmbeddingStream.ingestOnce(spark, src, idxPath, ckpt2)
     assert(spark.read.parquet(s"$idxPath/assigned").count() === n)
   }
+
+  test("streamed DSIR scoring equals batch scoring row-for-row, across batch splits") {
+    import graft.streaming.CorpusStream
+    val docs = Tables.documents(spark, sfDir)
+    val modelPath = java.nio.file.Files.createTempDirectory("graft_dsirm").toString + "/m"
+    graft.ops.Corpus.writeDsirModel(graft.ops.Corpus.dsirModel(docs), modelPath)
+    val src = java.nio.file.Files.createTempDirectory("graft_dsir_src").toString
+    val dest = java.nio.file.Files.createTempDirectory("graft_dsir_dest").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dsir_ckpt").toString
+    // stage as several files; cap one file per trigger to force multiple
+    // micro-batches — per-doc scores must not depend on the batching
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    CorpusStream.dsirScoreOnce(spark, src, modelPath, dest, ckpt,
+      maxFilesPerTrigger = 1)
+    val streamed = spark.read.parquet(dest)
+      .orderBy("doc_id").collect().toSeq
+    val batch = graft.ops.Corpus.dsirScore(docs,
+      graft.ops.Corpus.loadDsirModel(spark, modelPath))
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed === batch)
+    // rerunning with the same checkpoint is a no-op (exactly-once)
+    CorpusStream.dsirScoreOnce(spark, src, modelPath, dest, ckpt)
+    assert(spark.read.parquet(dest).count() === batch.size)
+  }
 }

@@ -194,6 +194,9 @@ object SparkEntry {
     "doc_lm_score" -> ((s, d) => Corpus.lmScore(Tables.documents(s, d))),
     "dsir_weights" -> ((s, d) => Corpus.dsirWeights(Tables.documents(s, d))),
     "dsir_sample" -> ((s, d) => Corpus.dsirSample(Tables.documents(s, d))),
+    // rows-only: seeded-KMeans clustering is deterministic but not
+    // ANSI-expressible; SemDeDupSpec gates within-cell exactness
+    "dedup_semantic" -> ((s, d) => Similarity.semDedup(Tables.embeddings(s, d))),
     "perplexity_buckets" -> ((s, d) => Corpus.perplexityBuckets(Tables.documents(s, d))),
     "doc_entropy" -> ((s, d) => TextAnalysis.entropy(Tables.documents(s, d))),
     "contamination_check" -> ((s, d) => Corpus.contamination(Tables.documents(s, d))),

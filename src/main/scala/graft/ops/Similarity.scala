@@ -123,6 +123,50 @@ object Similarity {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): semantic dedup by
+    * k-means clustering + WITHIN-CLUSTER cosine pruning — the published
+    * alternative to hyperplane LSH for embedding-space dedup. The
+    * coarse quantizer is the SAME seeded KMeans as the IVF family
+    * ([[buildIvf]] — one clustering infrastructure, two consumers);
+    * each cell self-joins internally, pairs at or above `threshold`
+    * mark the LARGER id as a duplicate (greedy min-id representative,
+    * matching the exact-dedup family's keep-lowest rule), and every
+    * vector reports (vec_id, cell, is_kept).
+    *
+    * Contract (stated, like the LSH twin): pairs SPLIT ACROSS CELLS are
+    * not compared — that recall loss vs the exact all-pairs form is the
+    * method's trade, bounded by the quantizer's quality. The spec
+    * asserts exactness WITHIN cells against the brute-force pair set.
+    *
+    * Scale: the only shuffle keys vectors by cell; per-cell cost is
+    * quadratic in CELL size (the paper's bet: cells are thousands-fold
+    * smaller than the corpus — size nCells so cells fit the quadratic
+    * budget, the same knob as IVF cell balance; ivf_cell_stats measures
+    * exactly this). KMeans is seeded → the report is deterministic
+    * across runs (spec-locked), though not ANSI-expressible → rows-only
+    * + spec gate, like the rest of the clustering family.
+    */
+  def semDedup(embeddings: DataFrame, nCells: Int = 16,
+               threshold: Double = 0.45): DataFrame = {
+    // the KMeans FIT in buildIvf is eager and runs once; the transform
+    // behind `assigned` is a narrow re-scan per use — nothing pins
+    val assigned = buildIvf(embeddings, nCells).assigned
+    val left = assigned.select(col("cell"), col("vec_id").as("a_id"),
+      col("v").as("va"), col("norm2").as("na2"))
+    val right = assigned.select(col("cell"), col("vec_id").as("b_id"),
+      col("v").as("vb"), col("norm2").as("nb2"))
+    val dropped = left.join(right, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosRaw(col("va"), col("vb"), col("na2"), col("nb2")) >= threshold)
+      .select(col("b_id").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .join(dropped.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .withColumn("is_kept", col("__dup").isNull)
+      .select(col("vec_id"), col("cell"), col("is_kept"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Symmetric int8 quantization of the embedding column — the storage
     * and serving format of billion-vector ANN (4× smaller than float32,
     * 8× smaller than the double compute form): per-vector scale =

@@ -359,6 +359,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("SemDeDup: within-cell exactness, cross-cell contract, min-id keeps, determinism") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Similarity.semDedup(emb).cache()
+    val n = emb.count()
+    assert(out.count() === n, "every vector reports")
+    // exact reference: all-pairs cosine at the same threshold
+    val exactPairs = Similarity.embeddingNearDups(emb)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val cellOf = out.select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val kept = out.filter(col("is_kept")).select("vec_id").as[Long].collect().toSet
+    // (1) a same-cell exact pair always drops the larger id
+    val sameCell = exactPairs.filter { case (a, b) => cellOf(a) == cellOf(b) }
+    sameCell.foreach { case (_, b) =>
+      assert(!kept(b), s"vec $b has a smaller same-cell neighbor but was kept")
+    }
+    // (2) every dropped vector has a smaller same-cell exact neighbor
+    //     (no false drops; cross-cell pairs never justify one)
+    val smaller = sameCell.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    out.filter(!col("is_kept")).select("vec_id").as[Long].collect().foreach { b =>
+      assert(smaller.contains(b), s"vec $b dropped without a same-cell neighbor")
+    }
+    // (3) seeded KMeans → the whole report is run-deterministic
+    assert(out.collect().toSeq === Similarity.semDedup(emb).collect().toSeq)
+    out.unpersist()
+  }
+
   test("IVF cell stats cover the whole corpus with nonnegative shares") {
     import graft.ops.AnnServing
     val e = Tables.embeddings(spark, sfDir)

@@ -609,9 +609,13 @@ object Analytics {
     * three correlated passes.
     *
     * Scale: one orderkey co-shuffle (lineitem ⋈ filtered orders); the
-    * per-order aggregate reuses that clustering (no re-shuffle); the
-    * per-supplier count aggregates a ≤|orders| frame and the name join
-    * broadcasts supplier. The top-N ships as TakeOrderedAndProject.
+    * distinct-supplier counts come from a TWO-LEVEL aggregate —
+    * (orderkey, suppkey) supplier rows first, then per-order counts —
+    * instead of countDistinct, so no Expand multiplies the join output
+    * and BOTH levels reuse the join's orderkey clustering (no
+    * re-shuffle); the per-supplier count aggregates a ≤|orders| frame
+    * and the name join broadcasts supplier. The top-N ships as
+    * TakeOrderedAndProject.
     */
   def q21WaitingOrders(supplier: DataFrame, orders: DataFrame,
                        lineitem: DataFrame, lateDays: Int = 90,
@@ -622,9 +626,11 @@ object Analytics {
         col("l_orderkey") === col("o_orderkey"))
       .withColumn("__late",
         col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("__late")).as("__late"))
       .groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("__n_supp"),
-        countDistinct(when(col("__late"), col("l_suppkey"))).as("__n_late"),
+      .agg(count(lit(1)).as("__n_supp"),
+        sum(when(col("__late"), 1L).otherwise(0L)).as("__n_late"),
         max(when(col("__late"), col("l_suppkey"))).as("__late_supp"))
       .filter(col("__n_supp") >= 2 && col("__n_late") === 1)
       .groupBy(col("__late_supp"))

@@ -48,4 +48,44 @@ object EmbeddingStream {
       .start()
       .awaitTermination()
   }
+
+  /** Continuous ANN query serving — the other face of the persisted
+    * index: QUERY vectors land as files, each micro-batch probes the
+    * stored cell-partitioned index ([[graft.ops.Similarity.queryIvf]] —
+    * centroids broadcast, only probed `cell=` partitions read) and the
+    * top-k neighbor rows append to `destPath`. The index is RE-READ per
+    * batch from its path, so vectors appended by [[ingestOnce]] between
+    * micro-batches are visible to the next batch — the
+    * ingest-while-serving loop a vector store runs, with the index
+    * directory as the only coupling. A query's result depends on
+    * nothing but itself and the index snapshot, so batching never
+    * changes any row (spec: drained stream ≡ batch query set when the
+    * index is quiescent).
+    */
+  def queryOnce(spark: SparkSession, srcDir: String, indexPath: String,
+                destPath: String, checkpointDir: String, k: Int = 5,
+                nProbe: Int = 4, maxFilesPerTrigger: Int = 0): Unit = {
+    val schema = spark.read.parquet(srcDir).schema
+    val reader = spark.readStream.schema(schema)
+    val src = (if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    else reader).parquet(srcDir)
+    src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val index = Similarity.IvfIndex(
+          spark.read.parquet(s"$indexPath/centroids"),
+          spark.read.parquet(s"$indexPath/assigned"))
+        val queries = Similarity.prepared(batch)
+          .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+            org.apache.spark.sql.functions.col("v").as("qv"),
+            org.apache.spark.sql.functions.col("norm2").as("qn2"))
+        Similarity.queryIvf(index, queries, k, nProbe)
+          .write.mode("append").parquet(destPath)
+      }
+      .start()
+      .awaitTermination()
+  }
 }

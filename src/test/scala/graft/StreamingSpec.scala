@@ -532,6 +532,37 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idxPath/assigned").count() === n)
   }
 
+  test("streamed ANN queries against the persisted index equal the batch query set") {
+    import graft.ops.Similarity
+    import graft.streaming.EmbeddingStream
+    val emb = Tables.embeddings(spark, sfDir)
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_qivf_idx").toString
+    Similarity.writeIvfPartitioned(Similarity.buildIvf(emb), idxPath)
+    val queries = emb.filter(col("vec_id") < 10)
+    val src = java.nio.file.Files.createTempDirectory("graft_qivf_src").toString
+    val dest = java.nio.file.Files.createTempDirectory("graft_qivf_dest").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qivf_ckpt").toString
+    // several files + one file per trigger → results must not depend on
+    // how queries batch
+    queries.repartition(3).write.mode("overwrite").parquet(src)
+    EmbeddingStream.queryOnce(spark, src, idxPath, dest, ckpt,
+      maxFilesPerTrigger = 1)
+    val streamed = spark.read.parquet(dest)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val index = Similarity.IvfIndex(
+      spark.read.parquet(s"$idxPath/centroids"),
+      spark.read.parquet(s"$idxPath/assigned"))
+    val batchQ = Similarity.prepared(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm2").as("qn2"))
+    val batch = Similarity.queryIvf(index, batchQ)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(streamed === batch)
+    // exactly-once: rerun with the same checkpoint appends nothing
+    EmbeddingStream.queryOnce(spark, src, idxPath, dest, ckpt)
+    assert(spark.read.parquet(dest).count() === batch.size)
+  }
+
   test("streamed DSIR scoring equals batch scoring row-for-row, across batch splits") {
     import graft.streaming.CorpusStream
     val docs = Tables.documents(spark, sfDir)

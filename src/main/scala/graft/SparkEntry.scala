@@ -230,6 +230,31 @@ object SparkEntry {
   // Shared SQL fragments for the D-section oracles (DuckDB dialect).
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val wsSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+  /** Shared DSIR estimator CTEs (see Corpus.dsirWeights): md5 3-hex-digit
+    * bucket fold, add-one multinomials, 6-dp-quantized log-ratio model,
+    * per-doc exact decimal sums. Both dsir_weights and dsir_sample
+    * interpolate THIS string so the two oracles can never drift from
+    * each other; only the Scala implementation is a separate copy.
+    */
+  private val dsirCtes =
+    s"""t AS (SELECT doc_id, lang = 'en' AS tgt,
+       |   unnest(list_filter($wsSql, x -> x != '')) AS tok FROM documents),
+       | b AS (SELECT doc_id, tgt,
+       |   ((instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 256
+       |  + (instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) * 16
+       |  + (instr('0123456789abcdef', substring(md5(tok), 3, 1)) - 1)) % 1024 AS bkt
+       |   FROM t),
+       | cnt AS (SELECT bkt, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+       |         sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr FROM b GROUP BY 1),
+       | tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM cnt),
+       | lr AS (SELECT bkt, CAST(round(ln((ct + 1.0) / (tt + 1024))
+       |                            - ln((cr + 1.0) / (tr + 1024)), 6)
+       |                   AS DECIMAL(18,6)) AS lr FROM cnt, tot),
+       | dt AS (SELECT doc_id, bkt, count(*) AS n FROM b WHERE NOT tgt GROUP BY 1, 2),
+       | w AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |       CAST(sum(n * lr) AS DOUBLE) AS dsir_weight
+       |       FROM dt JOIN lr USING (bkt) GROUP BY doc_id)""".stripMargin
   private val stopSetSql = "('the','a','an','of','and','to','in','is','it','for','on','with')"
   private val statsSubSql =
     s"""SELECT doc_id, length(text) AS n_chars, len(ws) AS n_tokens,
@@ -691,11 +716,11 @@ object SparkEntry {
         | GROUP BY l_orderkey
         | HAVING count(DISTINCT l_suppkey) >= 2
         |    AND count(DISTINCT CASE WHEN late THEN l_suppkey END) = 1)
-        |SELECT s_name, count(*) AS numwait FROM (
+        |SELECT s_suppkey, s_name, count(*) AS numwait FROM (
         | SELECT DISTINCT lo.l_orderkey, lo.l_suppkey FROM lo
         | WHERE late AND lo.l_orderkey IN (SELECT l_orderkey FROM po)) q
         |JOIN supplier ON s_suppkey = l_suppkey
-        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+        |GROUP BY s_suppkey, s_name ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
     "top_k_per_group" ->
       """SELECT p_brand, rnk, p_partkey, p_name, p_retailprice FROM (
         | SELECT p_brand, p_partkey, p_name, p_retailprice,
@@ -1176,43 +1201,12 @@ object SparkEntry {
     // multinomials, 6-dp-quantized log-ratio model (decimal-exact doc
     // sums — only the two ln() calls are IEEE).
     "dsir_weights" ->
-      s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
-         |   unnest(list_filter($wsSql, x -> x != '')) AS tok FROM documents),
-         | b AS (SELECT doc_id, tgt,
-         |   ((instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 256
-         |  + (instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) * 16
-         |  + (instr('0123456789abcdef', substring(md5(tok), 3, 1)) - 1)) % 1024 AS bkt
-         |   FROM t),
-         | cnt AS (SELECT bkt, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
-         |         sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr FROM b GROUP BY 1),
-         | tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM cnt),
-         | lr AS (SELECT bkt, CAST(round(ln((ct + 1.0) / (tt + 1024))
-         |                            - ln((cr + 1.0) / (tr + 1024)), 6)
-         |                   AS DECIMAL(18,6)) AS lr FROM cnt, tot),
-         | dt AS (SELECT doc_id, bkt, count(*) AS n FROM b WHERE NOT tgt GROUP BY 1, 2)
-         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
-         | CAST(sum(n * lr) AS DOUBLE) AS dsir_weight
-         |FROM dt JOIN lr USING (bkt) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // The resampling draw on top of the dsir_weights CTE: keep iff the
+      s"""WITH $dsirCtes
+         |SELECT doc_id, n_tokens, dsir_weight FROM w ORDER BY doc_id""".stripMargin,
+    // The resampling draw on top of the shared dsir CTEs: keep iff the
     // doc's md5 u16 < 65536 · round(exp(w − max w), 6).
     "dsir_sample" ->
-      s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
-         |   unnest(list_filter($wsSql, x -> x != '')) AS tok FROM documents),
-         | b AS (SELECT doc_id, tgt,
-         |   ((instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 256
-         |  + (instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) * 16
-         |  + (instr('0123456789abcdef', substring(md5(tok), 3, 1)) - 1)) % 1024 AS bkt
-         |   FROM t),
-         | cnt AS (SELECT bkt, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
-         |         sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr FROM b GROUP BY 1),
-         | tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM cnt),
-         | lr AS (SELECT bkt, CAST(round(ln((ct + 1.0) / (tt + 1024))
-         |                            - ln((cr + 1.0) / (tr + 1024)), 6)
-         |                   AS DECIMAL(18,6)) AS lr FROM cnt, tot),
-         | dt AS (SELECT doc_id, bkt, count(*) AS n FROM b WHERE NOT tgt GROUP BY 1, 2),
-         | w AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
-         |       CAST(sum(n * lr) AS DOUBLE) AS dsir_weight
-         |       FROM dt JOIN lr USING (bkt) GROUP BY doc_id),
+      s"""WITH $dsirCtes,
          | mx AS (SELECT max(dsir_weight) AS max_w FROM w),
          | u AS (SELECT doc_id, n_tokens, dsir_weight,
          |   round(exp(dsir_weight - max_w), 6) AS keep_p,

@@ -637,8 +637,10 @@ object Analytics {
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
         col("__late_supp") === col("s_suppkey"))
-      .select(col("s_name"), col("numwait"))
-      .orderBy(col("numwait").desc, col("s_name"))
+      // s_suppkey in the output keys the result on the supplier's
+      // identity, not its (only incidentally unique) name
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
       .limit(topN)
 
   /** Top-k per group: 3 priciest parts per brand. Keyed window → one

@@ -52,11 +52,8 @@ object Corpus {
     * of the key, no partition-layout dependence à la
     * monotonically_increasing_id).
     */
-  private def hashBucket256(salt: String) = {
-    def hexVal(pos: Int) = expr(
-      s"instr('$HexAlphabet', substring(md5(concat_ws('|', cast(doc_id as string), '$salt')), $pos, 1))")
-    ((hexVal(1) - 1) * 16 + (hexVal(2) - 1)).cast("long")
-  }
+  private def hashBucket256(salt: String) =
+    (md5HexDigit(salt, 1) * 16 + md5HexDigit(salt, 2)).cast("long")
 
   /** Deterministic train/val/test assignment by content-hash bucket:
     * ~80/10/10 over 256 md5 buckets of (doc_id, salt). The split is a
@@ -109,14 +106,10 @@ object Corpus {
     */
   def sampleWeighted(documents: DataFrame,
                      salt: String = "graft-wsample-v1"): DataFrame = {
-    def hexVal(pos: Int) = expr(
-      s"instr('$HexAlphabet', substring(md5(concat_ws('|', cast(doc_id as string), '$salt')), $pos, 1))")
-    val u16 = (((hexVal(1) - 1) * 16 + (hexVal(2) - 1)) * 16 + (hexVal(3) - 1)) * 16 +
-      (hexVal(4) - 1)
     val maxW = documents.agg(max(col("n_chars")).as("__max_w"))
     documents
       .join(broadcast(maxW))
-      .withColumn("u16", u16.cast("long"))
+      .withColumn("u16", md5U16(salt))
       // integer cross-multiply: u/65536 < n_chars/max ⇔ u·max < n_chars·65536
       .filter(col("u16") * col("__max_w") < col("n_chars") * 65536L)
       .select(col("doc_id"), col("n_chars"), col("u16"),
@@ -684,6 +677,7 @@ object Corpus {
   def dsirModel(documents: DataFrame, targetLang: String = "en",
                 buckets: Int = 1024): DataFrame = {
     require(4096 % buckets == 0, "buckets must divide 16^3 for uniform md5 folding")
+    val spark = documents.sparkSession
     val cnt = dsirToks(documents, buckets)
       .withColumn("__tgt", col("lang") === targetLang)
       .groupBy(col("__b"))
@@ -691,7 +685,17 @@ object Corpus {
         sum(when(col("__tgt"), 0L).otherwise(1L)).as("__cr"))
     val tot = broadcast(cnt.agg(sum(col("__ct")).as("__tt"),
       sum(col("__cr")).as("__tr")))
-    cnt.crossJoin(tot)
+    // emit ALL buckets, zero-count smoothing included — a SERVED batch
+    // (dsirScore on post-training data) can hash tokens into buckets the
+    // training corpus never touched, and add-one smoothing defines a
+    // nonzero log-ratio for exactly that case. Training-corpus scoring
+    // never reaches these rows (its tokens' buckets are in cnt by
+    // construction), so the inline weights and their oracle are
+    // unchanged.
+    spark.range(buckets).select(col("id").as("__b"))
+      .join(cnt, Seq("__b"), "left")
+      .na.fill(0L, Seq("__ct", "__cr"))
+      .crossJoin(tot)
       .withColumn("__lr",
         round(log((col("__ct") + lit(1.0)) / (col("__tt") + lit(buckets))) -
           log((col("__cr") + lit(1.0)) / (col("__tr") + lit(buckets))), 6)
@@ -747,14 +751,10 @@ object Corpus {
                  salt: String = "graft-dsir-v1"): DataFrame = {
     val weights = dsirWeights(documents, targetLang, buckets)
     val maxW = broadcast(weights.agg(max(col("dsir_weight")).as("__max_w")))
-    def hexVal(pos: Int) = expr(
-      s"instr('$HexAlphabet', substring(md5(concat_ws('|', cast(doc_id as string), '$salt')), $pos, 1))")
-    val u16 = ((((hexVal(1) - 1) * 16 + (hexVal(2) - 1)) * 16 + (hexVal(3) - 1)) * 16 +
-      (hexVal(4) - 1)).cast("long")
     weights
       .crossJoin(maxW)
       .withColumn("keep_p", round(exp(col("dsir_weight") - col("__max_w")), 6))
-      .withColumn("u16", u16)
+      .withColumn("u16", md5U16(salt))
       .filter(col("u16") < col("keep_p") * 65536.0)
       .select(col("doc_id"), col("n_tokens"), col("dsir_weight"),
         col("keep_p"), col("u16"))

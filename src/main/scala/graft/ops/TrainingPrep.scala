@@ -198,8 +198,6 @@ object TrainingPrep {
       .orderBy(col("stream_offset"))
   }
 
-  private val HexAlphabet = "0123456789abcdef"
-
   /** Deterministic global shuffle + shard assignment for training-data
     * writing: shard = content-hash bucket of doc_id (engine-portable
     * md5-hex arithmetic, same trick as [[Corpus.splitAssign]]), position
@@ -212,9 +210,7 @@ object TrainingPrep {
   def shardAssign(documents: DataFrame, nShards: Int = 8,
                   salt: String = "graft-shard-v1"): DataFrame = {
     val h = md5(concat_ws("|", col("doc_id").cast("string"), lit(salt)))
-    def hexVal(pos: Int) = expr(
-      s"instr('$HexAlphabet', substring(md5(concat_ws('|', cast(doc_id as string), '$salt')), $pos, 1))")
-    val bucket = ((hexVal(1) - 1) * 16 + (hexVal(2) - 1)).cast("long")
+    val bucket = (md5HexDigit(salt, 1) * 16 + md5HexDigit(salt, 2)).cast("long")
     documents
       .select(col("doc_id"), (bucket % nShards).as("shard"), h.as("__h"))
       .withColumn("pos", row_number()

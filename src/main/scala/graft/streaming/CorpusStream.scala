@@ -128,14 +128,21 @@ object CorpusStream {
     * `destPath`. A document's score depends only on its own tokens and
     * the static model, so the drained stream equals the batch scoring
     * row-for-row regardless of batching (spec-asserted) — no state
-    * stores, no cross-batch contract caveats. The model loads ONCE
-    * (it is immutable; a retrain publishes a new path), each batch
-    * pays only its own token explode + broadcast join.
+    * stores, no cross-batch contract caveats. The model is MATERIALIZED
+    * once up front (1024 rows to the driver, rebuilt as a local frame),
+    * so micro-batches neither re-read the path nor observe a concurrent
+    * retrain mid-drain; each batch pays only its own token explode +
+    * broadcast join. Each batch writes its own `batch_id=` directory
+    * with overwrite, so a replay after a mid-commit failure REWRITES
+    * the same directory instead of appending duplicates — the sink is
+    * idempotent per batch, not merely once-per-checkpoint-lineage.
     */
   def dsirScoreOnce(spark: SparkSession, srcDir: String, modelPath: String,
                     destPath: String, checkpointDir: String,
                     maxFilesPerTrigger: Int = 0): Unit = {
-    val model = graft.ops.Corpus.loadDsirModel(spark, modelPath)
+    val loaded = graft.ops.Corpus.loadDsirModel(spark, modelPath)
+    val model = spark.createDataFrame(
+      java.util.Arrays.asList(loaded.collect(): _*), loaded.schema)
     val schema = spark.read.parquet(srcDir).schema
     val reader = spark.readStream.schema(schema)
     val src = (if (maxFilesPerTrigger > 0)
@@ -145,9 +152,9 @@ object CorpusStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.Corpus.dsirScore(batch, model)
-          .write.mode("append").parquet(destPath)
+          .write.mode("overwrite").parquet(s"$destPath/batch_id=$batchId")
       }
       .start()
       .awaitTermination()

@@ -60,7 +60,9 @@ object EmbeddingStream {
     * directory as the only coupling. A query's result depends on
     * nothing but itself and the index snapshot, so batching never
     * changes any row (spec: drained stream ≡ batch query set when the
-    * index is quiescent).
+    * index is quiescent). Results land in per-`batch_id=` directories
+    * written with overwrite: a replayed batch (mid-commit crash, lost
+    * offset) rewrites its directory instead of appending duplicates.
     */
   def queryOnce(spark: SparkSession, srcDir: String, indexPath: String,
                 destPath: String, checkpointDir: String, k: Int = 5,
@@ -74,7 +76,7 @@ object EmbeddingStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val index = Similarity.IvfIndex(
           spark.read.parquet(s"$indexPath/centroids"),
           spark.read.parquet(s"$indexPath/assigned"))
@@ -83,7 +85,7 @@ object EmbeddingStream {
             org.apache.spark.sql.functions.col("v").as("qv"),
             org.apache.spark.sql.functions.col("norm2").as("qn2"))
         Similarity.queryIvf(index, queries, k, nProbe)
-          .write.mode("append").parquet(destPath)
+          .write.mode("overwrite").parquet(s"$destPath/batch_id=$batchId")
       }
       .start()
       .awaitTermination()

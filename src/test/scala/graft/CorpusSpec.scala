@@ -386,14 +386,25 @@ class CorpusSpec extends SparkSpec {
   test("DSIR: persisted model serves identically to the inline weights") {
     val path = java.nio.file.Files.createTempDirectory("graft_dsir_model").toString + "/m"
     Corpus.writeDsirModel(Corpus.dsirModel(docs), path)
-    val served = Corpus.dsirScore(docs.filter(col("lang") =!= "en"),
-      Corpus.loadDsirModel(spark, path))
+    val model = Corpus.loadDsirModel(spark, path)
+    // every bucket ships, zero-count smoothing included — serving must
+    // never drop tokens from buckets the training corpus missed
+    assert(model.count() === 1024)
+    val served = Corpus.dsirScore(docs.filter(col("lang") =!= "en"), model)
     val inline = Corpus.dsirWeights(docs)
     assert(served.orderBy("doc_id").collect().toSeq ===
       inline.collect().toSeq)
     // the model is broadcast-sized and the scoring join must broadcast it
     val plan = served.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    // a fully-OOV document still gets scored: all its tokens count and
+    // each contributes the smoothed zero-count ratio
+    val oov = Seq((999999L, "zzzqx zzzqy zzzqx")).toDF("doc_id", "text")
+      .withColumn("lang", lit("xx")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val scored = Corpus.dsirScore(oov, model).collect()
+    assert(scored.length === 1)
+    assert(scored.head.getLong(1) === 3L, "all OOV tokens must count")
   }
 
   test("DSIR: target-language docs outscore raw docs on average; draw keeps the argmax") {

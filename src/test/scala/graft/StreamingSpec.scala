@@ -547,7 +547,7 @@ class StreamingSpec extends SparkSpec {
     queries.repartition(3).write.mode("overwrite").parquet(src)
     EmbeddingStream.queryOnce(spark, src, idxPath, dest, ckpt,
       maxFilesPerTrigger = 1)
-    val streamed = spark.read.parquet(dest)
+    val streamed = spark.read.parquet(dest).drop("batch_id")
       .orderBy("query_id", "rnk").collect().toSeq
     val index = Similarity.IvfIndex(
       spark.read.parquet(s"$idxPath/centroids"),
@@ -576,7 +576,7 @@ class StreamingSpec extends SparkSpec {
     docs.repartition(3).write.mode("overwrite").parquet(src)
     CorpusStream.dsirScoreOnce(spark, src, modelPath, dest, ckpt,
       maxFilesPerTrigger = 1)
-    val streamed = spark.read.parquet(dest)
+    val streamed = spark.read.parquet(dest).drop("batch_id")
       .orderBy("doc_id").collect().toSeq
     val batch = graft.ops.Corpus.dsirScore(docs,
       graft.ops.Corpus.loadDsirModel(spark, modelPath))

@@ -4,9 +4,17 @@ in DuckDB over the sf tables, load the Spark result parquet, sort columns
 by name, sort rows, and compare values. Dev tool only (driver-side python
 env); NOT part of the Scala library.
 
+DRIVER-FAITHFUL COERCION (round-7 fix): the driver materialises both
+sides through a dataframe (pandas) before hashing, so a DuckDB HUGEINT
+aggregate becomes float64 and renders `7833.0` against Spark's bigint
+`7833` — a hash mismatch the old fetchall() path (python ints on both
+sides) could never see. Both sides now round-trip through fetchdf() so
+that class of oracle-portability bug fails HERE first. Do not switch
+back to fetchall.
+
 Usage: check_oracle.py <sfdir> <verify_out_dir>
 """
-import sys, json, glob, math
+import sys, json, glob, math, decimal
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -16,16 +24,20 @@ def norm(v):
     # STRICT, like the driver: compare exact representations. A Spark
     # DOUBLE 1.5 vs a DuckDB DECIMAL 1.50 must MISMATCH here, because it
     # mismatches the driver's hash. No rounding, no type coercion.
+    # numpy scalars (the fetchdf path) unwrap to python scalars first so
+    # repr() is stable across numpy versions ('7833.0', not
+    # 'np.float64(7833.0)').
+    if type(v).__module__ == "numpy" and hasattr(v, "item") and not hasattr(v, "__len__"):
+        v = v.item()
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
         return repr(v)
-    import decimal
     if isinstance(v, decimal.Decimal):
         return str(v)  # preserves scale: Decimal('1.20') -> '1.20'
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(norm(x) for x in v)
     return str(v)
 
@@ -35,6 +47,14 @@ def canon(cols, rows):
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
     return [cols[i] for i in order], out
 
+def fetch_df(res):
+    """The driver's materialisation path: result -> pandas dataframe.
+    This is where DuckDB HUGEINT / wide DECIMAL collapse to float64."""
+    df = res.fetchdf()
+    cols = list(df.columns)
+    rows = [tuple(r) for r in df.itertuples(index=False, name=None)]
+    return cols, rows
+
 def main(sfdir, outdir):
     con = duckdb.connect()
     for t in TABLES:
@@ -43,9 +63,7 @@ def main(sfdir, outdir):
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
-            res = con.execute(sql)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            ocols, orows = fetch_df(con.execute(sql))
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_bad += 1
@@ -55,9 +73,8 @@ def main(sfdir, outdir):
             print(f"FAIL {name}: no spark output")
             n_bad += 1
             continue
-        sres = con.execute(f"SELECT * FROM read_parquet({files!r})")
-        scols = [d[0] for d in sres.description]
-        srows = sres.fetchall()
+        scols, srows = fetch_df(
+            con.execute(f"SELECT * FROM read_parquet({files!r})"))
         oc, orws = canon(ocols, orows)
         sc, srws = canon(scols, srows)
         if oc != sc:

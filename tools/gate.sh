@@ -13,6 +13,8 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 cpus="${SPARK_GRAFT_CPUS:-16}"
+echo "== gate: checker self-test =="
+(cd tools && python3 test_checker.py)
 for sf in sf0.001 sf0.01 sf0.1; do
   out="/tmp/gate_$sf"
   rm -rf "$out"

@@ -565,6 +565,9 @@ object Corpus {
           pmod(xxhash64(col("src")), lit(hubSalts.toLong))).otherwise(lit(0L)))
       .select(col("src"), col("dst"), col("__salt"))
       .localCheckpoint(true)
+    // the un-salted edge list is fully folded into `salted` — release
+    // its blocks now rather than holding two edge-sized copies all run
+    org.apache.spark.sql.graft.Shims.unpersistCheckpoint(edges)
     (salted, hubs)
   }
 
@@ -612,8 +615,16 @@ object Corpus {
         .join(labels.withColumnRenamed("cluster_id", "__old"), Seq("doc_id"))
         .filter(col("cluster_id") =!= col("__old"))
         .count()
+      // superseded round state: `updated` is materialized and `changed`
+      // counted, so the previous labels snapshot is dead — release it or
+      // a diameter-d graph holds d corpus-sized label copies in storage
+      org.apache.spark.sql.graft.Shims.unpersistCheckpoint(labels)
       labels = updated
     }
+    // edge/hub views die with the loop; only the final labels snapshot
+    // (the result's backing store) survives the call
+    org.apache.spark.sql.graft.Shims.unpersistCheckpoint(edges)
+    org.apache.spark.sql.graft.Shims.unpersistCheckpoint(hubs)
     labels
       .withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("boolean"))
       .select(col("doc_id"), col("cluster_id"), col("is_canonical"))

@@ -45,6 +45,16 @@ object Shims {
     if (!exp.extraStrategies.contains(s)) exp.extraStrategies ++= Seq(s)
   }
 
+  /** Drop the storage blocks backing a `localCheckpoint()`'ed frame.
+    * The blocks ARE the checkpoint (lineage is truncated), so this is
+    * only safe on frames that will never be read again — superseded
+    * iteration state, not results. No-op for non-checkpointed frames.
+    */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    logicalPlan(df).collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Register a custom expression under a SQL function name. */
   def registerFunction(spark: SparkSession, name: String,
                        builder: Seq[Expression] => Expression): Unit =

@@ -305,6 +305,25 @@ class CorpusSpec extends SparkSpec {
     assert(Seq(1000L, 1001L, 1002L).forall(byDoc(_) === 1000L), "side chain keeps its own label")
   }
 
+  test("clustersFromPairs releases superseded checkpoints (storage does not grow with diameter)") {
+    // a 12-hop chain forces ≥12 propagation rounds — before the r7 fix
+    // each round's label snapshot (plus the edge/hub views) stayed
+    // persisted for the session; now only the RESULT's backing snapshot
+    // may survive the call
+    val members = spark.range(0, 13).toDF("doc_id")
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = Corpus.clustersFromPairs(members, chain, hubSalts = 4, hubDegree = 100L)
+    assert(out.select("cluster_id").distinct().as[Long].collect().toSeq === Seq(0L),
+      "chain collapses to one cluster")
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"expected at most the result's own snapshot to persist, found ${leaked.size}")
+    // and the result must still be readable after the internal releases
+    assert(out.count() === 13)
+  }
+
   test("lengthPercentiles: histogram rank selection = naive sorted-list percentiles") {
     val out = Corpus.lengthPercentiles(docs)
       .as[(String, Long, Long, Long, Long)].collect()

@@ -29,12 +29,20 @@ import org.apache.hadoop.fs.Path
   *    pinned snapshot stays readable regardless of concurrent commits —
   *    snapshot isolation by construction, not by locking.
   *  - Writer concurrency is OPTIMISTIC: two commits racing to the same
-  *    version number resolve by the rename — on stores where rename
-  *    does not overwrite (HDFS, object stores with atomic rename) the
-  *    loser's rename fails and the operation throws for the caller to
-  *    retry against the new latest. POSIX local filesystems let rename
-  *    replace an existing directory, so local use assumes one writer
-  *    (exactly the posture of the driver/test environment).
+  *    version number resolve at publish. Hadoop rename is NOT a safe
+  *    conflict detector by itself — FileSystem.rename into an EXISTING
+  *    directory (HDFS and LocalFileSystem alike) moves the source
+  *    INSIDE the destination and returns true, which would silently
+  *    swallow the losing commit. [[publish]] therefore (a) refuses when
+  *    the target version dir already exists, and (b) after a
+  *    rename-returned-true, checks the staged dir did not end up NESTED
+  *    under the target (the exists→rename race window) — either case
+  *    throws a conflict for the caller to retry against the new latest.
+  *    The exists/rename pair is not one atomic step, so on stores with
+  *    no atomic "rename iff absent" a theoretical double-publish of the
+  *    SAME version can interleave between (a) and the rename; (b)
+  *    converts that interleaving into a detected conflict rather than a
+  *    lost commit.
   *
   * [[upsertKeepLast]] is the MERGE the round-4/5 verdicts asked for:
   * partition-level copy-on-write — only partitions containing updated
@@ -113,19 +121,40 @@ object SnapshotTable {
                      keyCols: Seq[String], orderCol: String): Long = {
     val v = latestVersion(spark, path)
     val (old, partitionCols) = entriesOf(spark, path, v)
+    // Affected-partition subpaths must match the manifest's `part`
+    // field, which comes from ON-DISK dir names — Hive-escaped by
+    // Spark's partition writer ('a b' -> 'a%20b', null ->
+    // __HIVE_DEFAULT_PARTITION__). A raw `c=value` concat misses every
+    // such partition: old files would be kept AND merged rows written —
+    // silent duplicates. Escape with the writer's own rules.
     val affectedParts: Set[String] =
       if (partitionCols.isEmpty) Set("")
-      else updates.select(partSubpath(partitionCols).as("__p"))
-        .distinct().collect().map(_.getString(0)).toSet
+      else updates.select(partitionCols.map(c => col(c).cast("string")): _*)
+        .distinct().collect().map { r =>
+          partitionCols.indices.map { i =>
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .getPartitionPathString(
+                partitionCols(i), if (r.isNullAt(i)) null else r.getString(i))
+          }.mkString("/")
+        }.toSet
     val (hit, kept) = old.partition(e => affectedParts.contains(e.part))
     // updates may target partitions the table has never seen
     val existingAffected =
       if (hit.isEmpty) updates.limit(0) else readEntries(spark, path, hit)
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol).desc)
-    val merged = existingAffected.unionByName(updates)
+    // Deterministic winner on orderCol ties: an update beats a stored
+    // row (MERGE semantics — the incoming write is the newer fact), and
+    // two tied updates resolve by a content hash so reruns pick the
+    // same row. Identical rows hash equal, so the outcome is stable
+    // either way.
+    val merged = existingAffected.withColumn("__upd", lit(0))
+      .unionByName(updates.withColumn("__upd", lit(1)))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol).desc, col("__upd").desc,
+        xxhash64(struct(updates.columns.map(col): _*)).desc)
+    val winners = merged
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-    val fresh = writeCommit(spark, path, merged, partitionCols)
+      .filter(col("__rn") === 1).drop("__rn", "__upd")
+    val fresh = writeCommit(spark, path, winners, partitionCols)
     publish(spark, path, v + 1, kept ++ fresh, partitionCols)
   }
 
@@ -138,17 +167,44 @@ object SnapshotTable {
               targetFilesPerPartition: Int = 1): Long = {
     val v = latestVersion(spark, path)
     val (_, partitionCols) = entriesOf(spark, path, v)
-    val all = read(spark, path, v).repartition(targetFilesPerPartition,
-      (if (partitionCols.isEmpty) Seq(lit(1)) else partitionCols.map(col)): _*)
+    val base = read(spark, path, v)
+    // `repartition(n, partitionCols)` would colocate each table
+    // partition into ONE task (→ one file) regardless of n; to honor
+    // the target, spread each partition's rows over a content-hash
+    // bucket in [0, target) and shuffle on (partitionCols, bucket) —
+    // each (partition, bucket) group lands whole in one task, so a
+    // partition dir gets at most `target` files. Unpartitioned tables
+    // round-robin into exactly `target` files.
+    val all =
+      if (partitionCols.isEmpty) base.repartition(targetFilesPerPartition)
+      else {
+        // explicit task count: an unnumbered repartition is fair game
+        // for AQE partition coalescing, which would re-merge the buckets
+        // into one task per partition and undo the spread
+        val tasks = math.max(
+          spark.conf.get("spark.sql.shuffle.partitions").toInt,
+          targetFilesPerPartition)
+        base
+          .withColumn("__bucket", pmod(
+            xxhash64(struct(base.columns.map(col): _*)),
+            lit(targetFilesPerPartition.toLong)))
+          .repartition(tasks, partitionCols.map(col) :+ col("__bucket"): _*)
+          .drop("__bucket")
+      }
     val fresh = writeCommit(spark, path, all, partitionCols)
     publish(spark, path, v + 1, fresh, partitionCols)
   }
 
-  /** Delete manifests older than the newest `keepVersions` and every
-    * data file (and emptied commit subtree) no kept version references —
-    * including stray subtrees from commits that died before publishing.
-    * Time travel to a vacuumed version throws afterwards; that is the
-    * retention trade every snapshot store makes. Returns deleted file
+  /** Delete manifests older than the newest `keepVersions`, every data
+    * file no kept version references — including stray subtrees from
+    * commits that died before publishing — and orphaned `.tmp-*`
+    * manifest stagings from crashed publishes. Only parquet data files
+    * count toward the returned total; sidecars (_SUCCESS, .crc) of
+    * kept commits are left alone and dead commits' sidecars go with
+    * their subtree. Time travel to a vacuumed version throws
+    * afterwards; that is the retention trade every snapshot store
+    * makes. Must not run concurrently with an in-flight publish (the
+    * staging dir would read as an orphan). Returns deleted data-file
     * count.
     */
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1): Int = {
@@ -166,17 +222,30 @@ object SnapshotTable {
       val root = fs.makeQualified(new Path(path)).toUri
       while (it.hasNext) {
         val f = it.next().getPath
-        val rel = root.relativize(f.toUri).getPath
-        if (!referenced.contains(rel)) { fs.delete(f, false); deleted += 1 }
+        if (f.getName.endsWith(".parquet")) {
+          val rel = root.relativize(f.toUri).getPath
+          if (!referenced.contains(rel)) { fs.delete(f, false); deleted += 1 }
+        }
       }
-      // prune commit subtrees left empty (dead or fully-vacuumed commits)
+      // prune commit subtrees holding no live data (dead or fully-
+      // vacuumed commits) — recursive delete sweeps their sidecars too
       fs.listStatus(dataDir).foreach { s =>
-        if (s.isDirectory && !fs.listFiles(s.getPath, true).hasNext)
-          fs.delete(s.getPath, true)
+        if (s.isDirectory) {
+          val files = fs.listFiles(s.getPath, true)
+          var live = false
+          while (!live && files.hasNext)
+            live = files.next().getPath.getName.endsWith(".parquet")
+          if (!live) fs.delete(s.getPath, true)
+        }
       }
     }
     drop.foreach { v =>
       fs.delete(new Path(new Path(path, ManifestDir), versionDirName(v)), true)
+    }
+    // manifest stagings orphaned by a publish that died before rename
+    val mdir = new Path(path, ManifestDir)
+    if (fs.exists(mdir)) fs.listStatus(mdir).foreach { s =>
+      if (s.getPath.getName.startsWith(".tmp-")) fs.delete(s.getPath, true)
     }
     deleted
   }
@@ -196,10 +265,6 @@ object SnapshotTable {
   // ── internals ─────────────────────────────────────────────────────
 
   private case class Entry(path: String, part: String)
-
-  private def partSubpath(partitionCols: Seq[String]) =
-    concat_ws("/", partitionCols.map(c =>
-      concat(lit(c + "="), col(c).cast("string"))): _*)
 
   private def entriesOf(spark: SparkSession, path: String,
                         v: Long): (Seq[Entry], Seq[String]) = {
@@ -261,13 +326,27 @@ object SnapshotTable {
     val tmp = new Path(root, s"$ManifestDir/.tmp-${java.util.UUID.randomUUID().toString.take(12)}")
     mf.coalesce(1).write.parquet(tmp.toString)
     val target = new Path(new Path(root, ManifestDir), versionDirName(v))
-    // the one atomic step; on rename-no-overwrite stores a concurrent
-    // winner makes this fail → caller retries against the new latest
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, true)
-      throw new IllegalStateException(
-        s"commit conflict publishing version $v of $root — retry against latest")
-    }
+    atomicPublishDir(fs, tmp, target)
     v
+  }
+
+  /** Publish `tmp` as `target` with conflict detection. Hadoop rename
+    * into an EXISTING dir "succeeds" by nesting the source inside it —
+    * a silently lost commit. Refuse a pre-existing target, rename, then
+    * verify we did not nest under a winner that appeared between the
+    * two steps; any of the three outcomes cleans up the staging and
+    * throws a retryable conflict.
+    */
+  private[graft] def atomicPublishDir(
+      fs: org.apache.hadoop.fs.FileSystem, tmp: Path, target: Path): Unit = {
+    def conflict(cleanup: Path): Nothing = {
+      fs.delete(cleanup, true)
+      throw new IllegalStateException(
+        s"commit conflict publishing $target — retry against latest")
+    }
+    if (fs.exists(target)) conflict(tmp)
+    if (!fs.rename(tmp, target)) conflict(tmp)
+    val nested = new Path(target, tmp.getName)
+    if (fs.exists(nested)) conflict(nested)
   }
 }

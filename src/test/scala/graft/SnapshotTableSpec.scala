@@ -123,4 +123,135 @@ class SnapshotTableSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(got === Set((1L, 1L), (2L, 7L), (3L, 1L), (4L, 1L), (5L, 1L), (8L, 7L)))
   }
+
+  test("upsert matches Hive-escaped and null partition values (no silent duplicates)") {
+    // partition values the raw `c=value` concat can never match on
+    // disk: a space (escaped %20), a colon+slash (%3A / %2F), and null
+    // (__HIVE_DEFAULT_PARTITION__). Before the r7 fix these partitions
+    // kept their old files AND got merged rows — duplicate keys.
+    val t = tmpTable("graft_snap_esc")
+    val tricky = Seq(
+      (1L, Some("a b"), 1L), (2L, Some("x:y/z"), 1L), (3L, None: Option[String], 1L)
+    ).toDF("k", "part_col", "ord")
+    SnapshotTable.create(spark, t, tricky, Seq("part_col"))
+    SnapshotTable.upsertKeepLast(spark, t,
+      Seq((1L, Some("a b"), 5L), (2L, Some("x:y/z"), 5L), (3L, None: Option[String], 5L))
+        .toDF("k", "part_col", "ord"),
+      Seq("k"), "ord")
+    val got = SnapshotTable.read(spark, t).select("k", "ord")
+      .as[(Long, Long)].collect().sorted
+    assert(got === Seq((1L, 5L), (2L, 5L), (3L, 5L)),
+      s"every key must appear exactly once with the updated ord, got ${got.toSeq}")
+    // and the affected partitions' old files must NOT carry forward
+    val after = SnapshotTable.manifest(spark, t)
+      .select("path").as[String].collect().toSet
+    val before = SnapshotTable.manifest(spark, t, 1L)
+      .select("path").as[String].collect().toSet
+    assert(after.intersect(before).isEmpty,
+      "all partitions were updated, so no old file may survive in the new manifest")
+  }
+
+  test("upsert ties on orderCol resolve deterministically with the update winning") {
+    val t = tmpTable("graft_snap_tie")
+    SnapshotTable.create(spark, t, Seq((1L, "stored", 5L)).toDF("k", "v", "ord"))
+    SnapshotTable.upsertKeepLast(spark, t,
+      Seq((1L, "update", 5L)).toDF("k", "v", "ord"), Seq("k"), "ord") // same ord
+    val got = SnapshotTable.read(spark, t).select("v").as[String].collect().toSeq
+    assert(got === Seq("update"), "on an orderCol tie the incoming update must win")
+  }
+
+  test("compact honors targetFilesPerPartition") {
+    val t = tmpTable("graft_snap_tfp")
+    val wide = spark.range(0, 1000)
+      .selectExpr("id AS k", "CAST(id % 2 AS STRING) AS part_col", "id AS ord")
+    SnapshotTable.create(spark, t, wide, Seq("part_col"))
+    SnapshotTable.compact(spark, t, targetFilesPerPartition = 4)
+    val filesPerPart = SnapshotTable.manifest(spark, t)
+      .groupBy("part").count().as[(String, Long)].collect().toMap
+    assert(filesPerPart.keySet === Set("part_col=0", "part_col=1"))
+    filesPerPart.foreach { case (p, n) =>
+      assert(n >= 2 && n <= 4, s"$p: expected 2..4 files for target 4, got $n")
+    }
+    assert(SnapshotTable.read(spark, t).count() === 1000)
+    // unpartitioned: exactly the target file count
+    val t2 = tmpTable("graft_snap_tfp_flat")
+    SnapshotTable.create(spark, t2, wide.drop("part_col"))
+    SnapshotTable.compact(spark, t2, targetFilesPerPartition = 3)
+    assert(SnapshotTable.manifest(spark, t2).count() === 3L)
+    assert(SnapshotTable.read(spark, t2).count() === 1000)
+  }
+
+  test("publish refuses an existing target version instead of nesting into it (lost commit)") {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(tmpTable("graft_snap_race"))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    def stage(name: String): Path = {
+      val p = new Path(dir, name)
+      fs.mkdirs(p)
+      val out = fs.create(new Path(p, "manifest.parquet")); out.write(1); out.close()
+      p
+    }
+    val target = new Path(dir, "v00000001")
+    SnapshotTable.atomicPublishDir(fs, stage(".tmp-winner"), target)
+    assert(fs.exists(new Path(target, "manifest.parquet")), "winner publishes cleanly")
+
+    // first, the raw Hadoop hazard the guard exists for: rename into an
+    // existing dir returns TRUE and nests the source — the old code
+    // reported this as a committed version
+    val hazard = stage(".tmp-hazard")
+    assert(fs.rename(hazard, target) === true, "Hadoop rename nests and claims success")
+    assert(fs.exists(new Path(target, ".tmp-hazard")), "the losing dir nested silently")
+    fs.delete(new Path(target, ".tmp-hazard"), true)
+
+    // the guard: a losing publish throws a retryable conflict, cleans
+    // its staging, and leaves the winner's version untouched
+    val loser = stage(".tmp-loser")
+    val ex = intercept[IllegalStateException] {
+      SnapshotTable.atomicPublishDir(fs, loser, target)
+    }
+    assert(ex.getMessage.contains("conflict"))
+    assert(!fs.exists(loser), "staging dir must be cleaned up")
+    assert(fs.listStatus(target).forall(!_.getPath.getName.startsWith(".tmp-")),
+      "nothing may nest inside the winner's version dir")
+    assert(fs.exists(new Path(target, "manifest.parquet")), "winner intact")
+  }
+
+  test("torn publish: staged manifest with no rename is invisible, vacuum reclaims it") {
+    // crash window: data files written, manifest STAGED under .tmp-*,
+    // process dies before the rename. Readers must still see the last
+    // published version; vacuum must reclaim both the orphan data and
+    // the orphan staging dir.
+    val t = tmpTable("graft_snap_torn")
+    SnapshotTable.create(spark, t, seed, Seq("part_col"))
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the torn writer's data files
+    Seq((9L, "z", 9L)).toDF("k", "part_col", "ord")
+      .write.partitionBy("part_col").parquet(s"$t/data/commit-torn0001")
+    // ... and its staged-but-never-renamed manifest
+    Seq(("data/commit-torn0001/part_col=z/x.parquet", "part_col=z", "part_col"))
+      .toDF("path", "part", "partition_cols")
+      .coalesce(1).write.parquet(s"$t/_manifests/.tmp-torn0001")
+    assert(SnapshotTable.versions(spark, t) === Seq(1L),
+      "a staged manifest must not be a visible version")
+    assert(rowsOf(t).size === 5, "readers still see the last published version")
+    SnapshotTable.vacuum(spark, t, keepVersions = 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$t/data/commit-torn0001")),
+      "vacuum reclaims the torn commit's data subtree")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$t/_manifests/.tmp-torn0001")),
+      "vacuum reclaims the orphaned manifest staging dir")
+    assert(rowsOf(t).size === 5)
+  }
+
+  test("vacuum counts only parquet data files and keeps live sidecars") {
+    val t = tmpTable("graft_snap_side")
+    SnapshotTable.create(spark, t, seed, Seq("part_col"))
+    SnapshotTable.compact(spark, t) // v2; v1's files become garbage
+    val v1Files = SnapshotTable.manifest(spark, t, 1L).count()
+    val deleted = SnapshotTable.vacuum(spark, t, keepVersions = 1)
+    assert(deleted === v1Files,
+      s"deleted count must equal v1's parquet file count ($v1Files), got $deleted")
+    assert(rowsOf(t).size === 5, "live commit must read fine after vacuum")
+  }
 }

@@ -158,6 +158,24 @@ object SnapshotTable {
     publish(spark, path, v + 1, kept ++ fresh, partitionCols)
   }
 
+  /** [[upsertKeepLast]] that also handles the empty table: the first
+    * call creates version 1 from the (within-batch keep-last-deduped)
+    * updates, later calls MERGE. The idempotent entry a streaming
+    * `foreachBatch` sink needs — batch replays after a checkpoint
+    * recovery converge by keep-last instead of duplicating.
+    */
+  def upsertOrCreate(spark: SparkSession, path: String, updates: DataFrame,
+                     keyCols: Seq[String], orderCol: String,
+                     partitionCols: Seq[String] = Nil): Long =
+    if (versions(spark, path).isEmpty) {
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col(orderCol).desc,
+          xxhash64(struct(updates.columns.map(col): _*)).desc)
+      val deduped = updates.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      create(spark, path, deduped, partitionCols)
+    } else upsertKeepLast(spark, path, updates, keyCols, orderCol)
+
   /** Fold the snapshot's whole history into one commit subtree with
     * `targetFilesPerPartition` files per partition — same rows, fewer
     * files, one read branch. Old versions remain readable until

@@ -254,6 +254,62 @@ object EventStream {
       }
       .start()
 
+  /** [[upsertSink]] writing through [[graft.sources.SnapshotTable]]
+    * instead of live partition-swap parquet — the consumer's `ON
+    * CONFLICT` loop under a transactional table (consumer/main.py:
+    * 229-245 against a real MVCC store). Each micro-batch becomes one
+    * atomically-published table version whose commit rewrites only the
+    * partitions the batch touches; a reader pinned at version v keeps
+    * reading v byte-for-byte while the stream publishes v+1, v+2, … —
+    * the isolation the raw-directory sink can only approximate. Batch
+    * replays after checkpoint recovery converge by keep-last.
+    */
+  def upsertSinkSnapshot(spark: SparkSession, events: DataFrame, path: String,
+                         checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    Ingest.validate(events)
+      .drop("__raw")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("dt", to_date(col("ts")).cast("string"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // no-data micro-batches (watermark advancement) must not mint
+        // empty table versions
+        if (!batch.isEmpty)
+          graft.sources.SnapshotTable.upsertOrCreate(spark, path, batch,
+            keyCols = Seq("user_id", "ts"), orderCol = "event_id",
+            partitionCols = Seq("dt")): Unit
+      }
+      .start()
+
+  /** [[aggTableSink]] on [[graft.sources.SnapshotTable]]: the
+    * incrementally-maintained aggregate becomes a versioned table, so a
+    * dashboard reader holds one CONSISTENT version of the whole
+    * aggregate while the stream keeps publishing newer ones — update
+    * mode re-emits a window's row mid-aggregation, and under the raw
+    * sink a reader could catch partition A after batch n and partition
+    * B at batch n-1. Keep-last on the micro-batch sequence `__v` keeps
+    * redelivered batches from regressing rows, exactly as in
+    * [[aggTableSink]].
+    */
+  def aggTableSinkSnapshot(spark: SparkSession, events: DataFrame, path: String,
+                           checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    windowedAgg(cleaned(events))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.SnapshotTable.upsertOrCreate(spark, path,
+            batch
+              .withColumn("dt", to_date(col("bucket")).cast("string"))
+              .withColumn("__v", lit(batchId)),
+            keyCols = Seq("bucket", "event_type"), orderCol = "__v",
+            partitionCols = Seq("dt")): Unit
+      }
+      .start()
+
   /** Incrementally-maintained aggregate table — the materialized-view
     * face of [[windowedAgg]]: update mode re-emits each (bucket,
     * event_type) row whenever new events land in its window, and

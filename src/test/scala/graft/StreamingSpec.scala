@@ -314,6 +314,83 @@ class StreamingSpec extends SparkSpec {
       .count(_.startsWith("dt=")) === 2)
   }
 
+  test("snapshot-table streaming upsert: pinned reader isolation while the stream commits") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val src = java.nio.file.Files.createTempDirectory("graft_snapus_src").toString
+    val tgt = java.nio.file.Files.createTempDirectory("graft_snapus_tgt").toString + "/table"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_snapus_ck").toString
+    def write(rows: Seq[(Long, String, Long, String, Double, String)], f: String): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .coalesce(1).write.mode("overwrite").parquet(src + "/" + f)
+    write(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "click", 10.0, "{}"),
+      (2L, "2024-01-02 11:00:00", 2L, "view", 5.0, "{}")), "b1")
+    val q = EventStream.upsertSinkSnapshot(spark,
+      spark.readStream.schema(EventStream.eventSchema).parquet(src + "/*"), tgt, ckpt)
+    q.processAllAvailable()
+    val v1 = SnapshotTable.latestVersion(spark, tgt)
+    val pinned = SnapshotTable.read(spark, tgt, v1) // reader holds v1
+    // batch 2 redelivers key (1, 10:00) with a newer event_id and adds a key
+    write(Seq(
+      (9L, "2024-01-01 10:00:00", 1L, "click", 99.0, "{}"),
+      (5L, "2024-01-01 13:00:00", 4L, "view", 1.0, "{}")), "b2")
+    q.processAllAvailable(); q.stop()
+    // stream published v1+1; the pinned reader still evaluates to v1's rows
+    assert(SnapshotTable.latestVersion(spark, tgt) === v1 + 1)
+    val pinnedRows = pinned.select("user_id", "event_id", "value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pinnedRows === Set((1L, 1L, 10.0), (2L, 2L, 5.0)),
+      "pinned snapshot must not see the stream's later commit")
+    // latest converges to keep-last per key
+    val latest = SnapshotTable.read(spark, tgt)
+      .select("user_id", "event_id", "value")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(latest === Map(1L -> ((9L, 99.0)), 2L -> ((2L, 5.0)), 4L -> ((5L, 1.0))))
+  }
+
+  test("snapshot-table aggregate sink converges to the batch aggregate, versioned") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val src = java.nio.file.Files.createTempDirectory("graft_snapag_src").toString
+    val tgt = java.nio.file.Files.createTempDirectory("graft_snapag_tgt").toString + "/table"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_snapag_ck").toString
+    def write(rows: Seq[(Long, String, Long, String, Double, String)], f: String): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .coalesce(1).write.mode("overwrite").parquet(src + "/" + f)
+    write(Seq(
+      (1L, "2024-01-01 10:05:00", 1L, "click", 10.0, "{}"),
+      (2L, "2024-01-01 10:20:00", 2L, "click", 5.0, "{}"),
+      (3L, "2024-01-01 11:10:00", 1L, "view", 2.0, "{}")), "b1")
+    val q = EventStream.aggTableSinkSnapshot(spark,
+      spark.readStream.schema(EventStream.eventSchema).parquet(src + "/*"), tgt, ckpt)
+    q.processAllAvailable()
+    // batch 2 re-opens the 10:00 window: the upsert must REPLACE its row
+    write(Seq(
+      (4L, "2024-01-01 10:40:00", 3L, "click", 7.0, "{}"),
+      (5L, "2024-01-02 09:00:00", 1L, "click", 1.0, "{}")), "b2")
+    q.processAllAvailable(); q.stop()
+    val got = SnapshotTable.read(spark, tgt)
+      .select(col("bucket").cast("string"), col("event_type"), col("n"), col("total_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got === Set(
+      ("2024-01-01 10:00:00", "click", 3L, 22.0),
+      ("2024-01-01 11:00:00", "view", 1L, 2.0),
+      ("2024-01-02 09:00:00", "click", 1L, 1.0)))
+    // each micro-batch published one version, and time travel to v1
+    // reads the aggregate as of batch 1 — a dashboard can hold a
+    // consistent as-of view while the stream keeps publishing
+    assert(SnapshotTable.versions(spark, tgt).length === 2)
+    val asOfB1 = SnapshotTable.read(spark, tgt, 1L)
+      .select(col("bucket").cast("string"), col("event_type"), col("n"), col("total_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(asOfB1 === Set(
+      ("2024-01-01 10:00:00", "click", 2L, 15.0),
+      ("2024-01-01 11:00:00", "view", 1L, 2.0)))
+  }
+
   test("backfill with maxFilesPerTrigger processes in bounded micro-batches") {
     val src = stagedDir // staged as 2 files
     val dest = java.nio.file.Files.createTempDirectory("graft_bf_rate").toString

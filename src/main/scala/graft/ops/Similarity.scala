@@ -299,6 +299,70 @@ object Similarity {
     IvfIndex(centroids, spark.read.parquet(s"$path/assigned"))
   }
 
+  /** Versioned home for a persisted IVF layout — the maintenance story
+    * [[appendToIvfPartitioned]] defers to ("periodic refit is an
+    * offline rebuild"): each version is a complete
+    * `v<00000001>/{centroids,assigned}` layout staged under a temp name
+    * and PUBLISHED with one atomic directory rename (the
+    * [[graft.sources.SnapshotTable]] publish primitive, conflicts
+    * detected the same way). A serving reader loads the latest version
+    * at plan time and keeps reading THAT directory for the life of its
+    * plan, so a concurrent rebuild is invisible to it — old-or-new,
+    * never a mix of one version's centroids with another's cells.
+    */
+  def ivfVersions(spark: SparkSession, path: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d{8}")).map(_.drop(1).toLong).sorted
+  }
+
+  /** Publish `index` as the next version of the layout at `path`. */
+  def writeIvfVersioned(index: IvfIndex, path: String): Long = {
+    val spark = index.assigned.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = ivfVersions(spark, path).lastOption.getOrElse(0L) + 1
+    val tmp = new org.apache.hadoop.fs.Path(path,
+      ".tmp-" + java.util.UUID.randomUUID().toString.take(12))
+    index.assigned.write.partitionBy("cell").parquet(s"$tmp/assigned")
+    index.centroids.write.parquet(s"$tmp/centroids")
+    graft.sources.SnapshotTable.atomicPublishDir(fs, tmp,
+      new org.apache.hadoop.fs.Path(path, f"v$v%08d"))
+    v
+  }
+
+  /** Load one version (latest by default) of a versioned IVF layout;
+    * the returned readers are pinned to that version's directory.
+    */
+  def loadIvfVersioned(spark: SparkSession, path: String,
+                       version: Long = -1L): IvfIndex = {
+    val vs = ivfVersions(spark, path)
+    require(vs.nonEmpty, s"no versioned IVF layout at $path")
+    val v = if (version >= 0) version else vs.last
+    val d = new org.apache.hadoop.fs.Path(path, f"v$v%08d").toString
+    IvfIndex(spark.read.parquet(s"$d/centroids"),
+      spark.read.parquet(s"$d/assigned"))
+  }
+
+  /** Offline coarse-quantizer RETRAIN of a versioned IVF layout — the
+    * maintenance op [[AnnServing.ivfCellStats]]'s drift dashboard calls
+    * for: refit KMeans on the STORED vectors (the latest version's
+    * assigned frame carries them — no re-read of the source corpus),
+    * reassign, and publish the result as version n+1 via the atomic
+    * rename. Serving readers pinned at n keep their directory; new
+    * loads get n+1; a crashed rebuild leaves only an inert `.tmp-*`
+    * staging (reclaim by deleting it). Old versions are kept for
+    * pinned readers until explicitly deleted — same retention trade as
+    * [[graft.sources.SnapshotTable.vacuum]].
+    */
+  def rebuildIvf(spark: SparkSession, path: String, nCells: Int = 16): Long = {
+    val current = loadIvfVersioned(spark, path)
+    val vectors = current.assigned.select(col("vec_id"), col("v").as("embedding"))
+    writeIvfVersioned(buildIvf(vectors, nCells), path)
+  }
+
   /** Query phase against a built index: each query probes its nProbe
     * nearest cells (L2, the training metric) and exactly reranks only
     * those candidates. `queries` columns: query_id, qv array<double>,
@@ -737,8 +801,14 @@ object AnnServing {
     * corpus — the balance dashboard for a cell-partitioned ANN layout
     * (a skewed quantizer concentrates probes on hot cells and defeats
     * the nProbe/nCells pruning argument; this is the view that says
-    * "retrain the coarse quantizer"). One count-aggregation on the
-    * served index's assignment frame; output is nCells rows.
+    * "retrain the coarse quantizer" — and [[Similarity.rebuildIvf]] is
+    * the op that acts on it: offline refit, atomic version publish).
+    * One count-aggregation on the served index's assignment frame;
+    * output is nCells rows. Driver-gated rows-only BY NECESSITY, not
+    * choice: the DuckDB oracle cannot execute a KMeans fit, and the
+    * assignment frame lives outside the oracle's table views — the
+    * histogram's determinism claim (two independent seeded builds agree
+    * cell-for-cell) is carried by the SimilaritySpec gate instead.
     */
   def ivfCellStats(spark: SparkSession, sfDir: String, nCells: Int = 16): DataFrame = {
     val index = ivfCache.computeIfAbsent(sfDir, _ =>

@@ -700,9 +700,36 @@ object AnnServing {
   private val sq8Cache = new ConcurrentHashMap[String, IvfIndex]()
   private val pqCache  = new ConcurrentHashMap[String, (DataFrame, PqModel, DataFrame)]()
   private val exactCache = new ConcurrentHashMap[String, DataFrame]()
+  // the float-IVF family serves from a VERSIONED store so the offline
+  // rebuild op composes with live serving (publish v+1, flip the cache)
+  private val ivfStores = new ConcurrentHashMap[String, String]()
 
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def servedIvf(spark: SparkSession, sfDir: String, nCells: Int): IvfIndex =
+    ivfCache.computeIfAbsent(sfDir, _ => {
+      val store = ivfStores.computeIfAbsent(sfDir, _ => tmp("graft_ivf_serve") + "/ivf")
+      if (Similarity.ivfVersions(spark, store).isEmpty)
+        Similarity.writeIvfVersioned(
+          Similarity.buildIvf(graft.Tables.embeddings(spark, sfDir), nCells), store)
+      Similarity.loadIvfVersioned(spark, store)
+    })
+
+  /** Act on the [[ivfCellStats]] drift signal for the SERVED index:
+    * retrain offline ([[Similarity.rebuildIvf]] — publishes version
+    * n+1 atomically), then flip the serving cache to the new version.
+    * In-flight readers of the old version keep their directory; every
+    * call after the flip serves the rebuilt quantizer. Returns the
+    * published version.
+    */
+  def rebuildServedIvf(spark: SparkSession, sfDir: String, nCells: Int = 16): Long = {
+    servedIvf(spark, sfDir, nCells) // ensure the store exists
+    val store = ivfStores.get(sfDir)
+    val v = Similarity.rebuildIvf(spark, store, nCells)
+    ivfCache.put(sfDir, Similarity.loadIvfVersioned(spark, store))
+    v
+  }
 
   private def queriesOf(base: DataFrame, nQueries: Int): DataFrame =
     base.filter(col("vec_id") < nQueries)
@@ -714,10 +741,7 @@ object AnnServing {
     */
   def knnIvf(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5,
              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val index = ivfCache.computeIfAbsent(sfDir, _ =>
-      Similarity.writeIvfPartitioned(
-        Similarity.buildIvf(graft.Tables.embeddings(spark, sfDir), nCells),
-        tmp("graft_ivf_serve")))
+    val index = servedIvf(spark, sfDir, nCells)
     val queries = queriesOf(Similarity.prepared(graft.Tables.embeddings(spark, sfDir)), nQueries)
     Similarity.queryIvf(index, queries, k, nProbe, excludeSelf = true)
   }
@@ -811,10 +835,7 @@ object AnnServing {
     * cell-for-cell) is carried by the SimilaritySpec gate instead.
     */
   def ivfCellStats(spark: SparkSession, sfDir: String, nCells: Int = 16): DataFrame = {
-    val index = ivfCache.computeIfAbsent(sfDir, _ =>
-      Similarity.writeIvfPartitioned(
-        Similarity.buildIvf(graft.Tables.embeddings(spark, sfDir), nCells),
-        tmp("graft_ivf_serve")))
+    val index = servedIvf(spark, sfDir, nCells)
     val total = index.assigned.agg(count(lit(1)).as("__n"))
     index.assigned
       .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))

@@ -456,4 +456,36 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.ivfVersions(spark, store) === Seq(1L, 2L))
     assert(Similarity.loadIvfVersioned(spark, store).centroids.count() === 8L)
   }
+
+  test("served-IVF rebuild flips the serving layer to the new quantizer") {
+    import graft.ops.AnnServing
+    val e = Tables.embeddings(spark, sfDir)
+    // serve first (16 cells), then act on the drift signal: retrain to 8
+    val before = AnnServing.ivfCellStats(spark, sfDir).count()
+    assert(before > 8L && before <= 16L)
+    val v = AnnServing.rebuildServedIvf(spark, sfDir, nCells = 8)
+    assert(v >= 2L, "rebuild must publish a NEW version of the serving store")
+    val statsAfter = AnnServing.ivfCellStats(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    assert(statsAfter.length <= 8, "cell stats must reflect the rebuilt quantizer")
+    assert(statsAfter.map(_._2).sum === e.count(), "rebuild preserves the corpus")
+    // and the served queries still hold their recall floor on the new index
+    val exact = Similarity.knnBruteForce(e)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val served = AnnServing.knnIvf(spark, sfDir)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (qid, nbrs) =>
+      served.get(qid).map(s => (s intersect nbrs).size.toDouble / nbrs.size).getOrElse(0.0)
+    }
+    assert(recalls.sum / recalls.size >= 0.8,
+      s"served recall after rebuild ${recalls.sum / recalls.size}")
+    // restore the served geometry for any later consumer in this JVM
+    // (the refit runs on the stored vectors, whose partitioning differs
+    // from the original source read, so the exact nonempty-cell count
+    // may differ from `before` — geometry class is what matters here)
+    AnnServing.rebuildServedIvf(spark, sfDir, nCells = 16)
+    assert(AnnServing.ivfCellStats(spark, sfDir).count() > 8L)
+  }
 }

@@ -268,6 +268,27 @@ object SnapshotTable {
     deleted
   }
 
+  /** Run a commit operation with optimistic-concurrency retries: on a
+    * publish conflict the operation re-executes, re-reading the (new)
+    * latest version — which is exactly why [[append]]/[[upsertKeepLast]]
+    * resolve their base version inside the call. Backoff-free: a
+    * conflict means the other writer already finished. Rethrows after
+    * `attempts` exhausted (a pathologically hot table — at that point
+    * the caller needs coordination, not retries).
+    */
+  def retryOnConflict[T](attempts: Int = 5)(op: => T): T = {
+    var left = attempts
+    while (true) {
+      try return op
+      catch {
+        case e: IllegalStateException if e.getMessage != null &&
+            e.getMessage.contains("commit conflict") && left > 1 =>
+          left -= 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** The snapshot as a DataFrame: exactly `version`'s files (or
     * latest's), partition columns re-attached via each commit subtree's
     * `basePath`. Partition-pruning filters prune at planning time as on

@@ -244,6 +244,37 @@ class SnapshotTableSpec extends SparkSpec {
     assert(rowsOf(t).size === 5)
   }
 
+  test("retryOnConflict re-executes a conflicted commit against the new latest") {
+    val t = tmpTable("graft_snap_retry")
+    SnapshotTable.create(spark, t, seed, Seq("part_col"))
+    // first attempt loses a simulated race; the retried op re-reads
+    // latestVersion inside append and lands cleanly
+    var attempts = 0
+    val v = SnapshotTable.retryOnConflict(attempts = 3) {
+      attempts += 1
+      if (attempts == 1)
+        throw new IllegalStateException("commit conflict publishing v2 — retry against latest")
+      SnapshotTable.append(spark, t, Seq((9L, "a", 9L)).toDF("k", "part_col", "ord"))
+    }
+    assert(v === 2L && attempts === 2)
+    assert(rowsOf(t).size === 6)
+    // exhausted attempts rethrow the conflict
+    val ex = intercept[IllegalStateException] {
+      SnapshotTable.retryOnConflict(attempts = 2) {
+        throw new IllegalStateException("commit conflict publishing — retry against latest")
+      }
+    }
+    assert(ex.getMessage.contains("conflict"))
+    // non-conflict failures are NOT retried
+    var calls = 0
+    intercept[RuntimeException] {
+      SnapshotTable.retryOnConflict(attempts = 5) {
+        calls += 1; throw new RuntimeException("boom")
+      }
+    }
+    assert(calls === 1, "only publish conflicts may retry")
+  }
+
   test("vacuum counts only parquet data files and keeps live sidecars") {
     val t = tmpTable("graft_snap_side")
     SnapshotTable.create(spark, t, seed, Seq("part_col"))

@@ -87,6 +87,39 @@ class PropertySpec extends SparkSpec {
     Gen.listOfN(12, Gen.oneOf("the", "fast", "data", "spark", "query",
       "row", "join", "scan", "sort", "hash")).map(_.mkString(" "))
 
+  test("snapshot upsert converges to one row per key for ARBITRARY partition values (3 datasets)") {
+    // the r7 Hive-escape fix, property-tested: whatever string lands in
+    // the partition column — spaces, '=', ':', '/', '%', '#', unicode,
+    // empty/null — an upsert of every key must produce exactly one row
+    // per key with the updated ord, and a second identical upsert must
+    // be a no-op on row count (idempotent merge, no silent duplicates)
+    import graft.sources.SnapshotTable
+    // no non-ASCII sample: the sandbox JVM runs a POSIX/ASCII locale, so
+    // Spark's OWN partition writer throws InvalidPathException on é etc.
+    // before any graft code runs — an environment bound, not an escape gap
+    val trickyGen = Gen.oneOf(
+      Gen.const(null: String), Gen.const(""),
+      Gen.oneOf("a b", "x=y", "p:q", "m/n", "50%", "t#1", "a\tb"),
+      Gen.alphaNumStr.map(_.take(8)))
+    (1 to 3).foreach { trial =>
+      val parts = samples(trickyGen, 6, 31000L * trial).distinct
+      val rows = parts.zipWithIndex.map { case (p, i) => (i.toLong, Option(p), 1L) }
+      val t = java.nio.file.Files.createTempDirectory("graft_prop_snap").toString + "/t"
+      SnapshotTable.create(spark, t,
+        rows.toDF("k", "part_col", "ord"), Seq("part_col"))
+      val updates = rows.map { case (k, p, _) => (k, p, 9L) }
+        .toDF("k", "part_col", "ord")
+      SnapshotTable.upsertKeepLast(spark, t, updates, Seq("k"), "ord")
+      val got = SnapshotTable.read(spark, t).select("k", "ord")
+        .as[(Long, Long)].collect().sorted
+      assert(got === rows.indices.map(i => (i.toLong, 9L)),
+        s"trial $trial parts=${parts.mkString("|")}: got ${got.toSeq}")
+      // idempotence: replaying the same updates changes nothing
+      SnapshotTable.upsertKeepLast(spark, t, updates, Seq("k"), "ord")
+      assert(SnapshotTable.read(spark, t).count() === rows.length.toLong)
+    }
+  }
+
   test("ngram jaccard post-filter stays in [0.5, 1]; simhash is deterministic") {
     (1 to 3).foreach { trial =>
       val docs = samples(textGen, 8, 31L * trial).zipWithIndex

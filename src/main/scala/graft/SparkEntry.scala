@@ -35,6 +35,19 @@ object SparkEntry {
       StationQueries.rawStation(Tables.events(s, d), RawUser, RawStart, RawEnd)),
     "raw_station_all" -> ((s, d) =>
       StationQueries.rawStationAll(Tables.events(s, d), RawUser)),
+    // the reference's cached endpoint (query/main.py:183-191): first
+    // call populates the TTL'd result cache, second SERVES FROM IT —
+    // the compute thunk of the second call throws if ever invoked, so
+    // the oracle-gated rows provably came from the cache entry
+    "raw_station_cached" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_rc_gate").toString
+      val key = graft.sources.ResultCache.keyOf("raw_station",
+        Seq(RawUser.toString, RawStart, RawEnd))
+      graft.sources.ResultCache.getOrCompute(s, root, key, ttlMs = 300000L)(
+        StationQueries.rawStation(Tables.events(s, d), RawUser, RawStart, RawEnd))
+      graft.sources.ResultCache.getOrCompute(s, root, key, ttlMs = 300000L)(
+        sys.error("cache hit must not recompute"))
+    }),
     "agg_station" -> ((s, d) =>
       StationQueries.aggStation(Tables.events(s, d), RawUser, RawStart, RawEnd)),
     "timeseries_bucket" -> ((s, d) =>
@@ -396,6 +409,12 @@ object SparkEntry {
          |ORDER BY ts DESC""".stripMargin,
     "raw_station_all" ->
       s"""SELECT * FROM events WHERE user_id = $RawUser
+         |ORDER BY ts DESC""".stripMargin,
+    // identical oracle to raw_station: the cache must be a correctness
+    // no-op, and these rows were served from a cache HIT (see queries)
+    "raw_station_cached" ->
+      s"""SELECT * FROM events WHERE user_id = $RawUser
+         | AND ts >= TIMESTAMP '$RawStart' AND ts <= TIMESTAMP '$RawEnd'
          |ORDER BY ts DESC""".stripMargin,
     "agg_station" ->
       s"""SELECT user_id, round(avg(value), 4) AS avg_value, min(value) AS min_value,

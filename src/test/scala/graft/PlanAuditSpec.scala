@@ -47,6 +47,10 @@ class PlanAuditSpec extends SparkSpec {
       "knn_ivf", "knn_ivf_sq8", "knn_ivf_pq", "knn_lsh", "knn_bruteforce",
       "ann_recall_report", "ivf_cell_stats", "stream_hourly_by_type",
       "plan_audit_report", "generate_events", "generate_events_status",
+      // cache-hit demonstration: construction populates + serves the
+      // result cache (eager by contract); the underlying raw_station
+      // plan is already in the fleet
+      "raw_station_cached",
       // declared by-design all-pairs oracle baseline (SURVEY §2D): its
       // exact self-join is the one intentional non-scale plan; the
       // banded twin (dedup_embedding_lsh) is what must stay clean

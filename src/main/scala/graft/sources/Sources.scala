@@ -100,8 +100,15 @@ object Sources {
     val existing =
       try spark.read.parquet(path)
       finally spark.conf.set(inferKey, prevInfer)
+    // NULL-SAFE partition match: a plain equality semi-join drops
+    // existing rows of a null-valued partition (null = null is not
+    // true), so an upsert targeting __HIVE_DEFAULT_PARTITION__ would
+    // stage only its own rows and the swap would silently DISCARD the
+    // partition's prior contents. <=> keeps them in the merge.
     val affectedParts = updates.select(partitionCols.map(col): _*).distinct()
-    val affected = existing.join(affectedParts, partitionCols, "left_semi")
+    val affected = existing.as("e").join(affectedParts.as("p"),
+      partitionCols.map(c => col(s"e.$c") <=> col(s"p.$c")).reduce(_ && _),
+      "left_semi")
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol).desc)
     val merged = affected.unionByName(updates)
       .withColumn("__rn", row_number().over(w))

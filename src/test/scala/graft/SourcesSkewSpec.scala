@@ -83,6 +83,42 @@ class SourcesSkewSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 3)
   }
 
+  test("partitioned upsert into a NULL-valued partition keeps the partition's prior rows") {
+    // a plain equality semi-join never matches existing null-partition
+    // rows (null = null is not true), so before the r7 fix an upsert
+    // targeting __HIVE_DEFAULT_PARTITION__ staged ONLY its own rows and
+    // the swap discarded the partition's prior contents — data loss,
+    // not duplication
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_null").toString
+    def batch(rows: (Long, Option[String], Long, Double)*) =
+      rows.toDF("event_id", "date", "user_id", "value")
+    Sources.upsertPartitionedKeepLast(spark, dir,
+      batch((1L, None, 1L, 10.0), (2L, Some("2024-01-02"), 2L, 20.0)),
+      keyCols = Seq("user_id"), orderCol = "event_id",
+      partitionCols = Seq("date"))
+    // upsert a NEW key into the null partition
+    Sources.upsertPartitionedKeepLast(spark, dir,
+      batch((5L, None, 3L, 30.0)),
+      keyCols = Seq("user_id"), orderCol = "event_id",
+      partitionCols = Seq("date"))
+    val back = spark.read.parquet(dir)
+      .select("event_id", "user_id", "value")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(back.toSeq === Seq(
+      (1L, 1L, 10.0),   // prior null-partition row MUST survive
+      (2L, 2L, 20.0),
+      (5L, 3L, 30.0)))
+    // and keep-last still applies within the null partition
+    Sources.upsertPartitionedKeepLast(spark, dir,
+      batch((9L, None, 1L, 11.0)),
+      keyCols = Seq("user_id"), orderCol = "event_id",
+      partitionCols = Seq("date"))
+    val after = spark.read.parquet(dir)
+      .select("event_id", "user_id", "value")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(after.toSeq === Seq((2L, 2L, 20.0), (5L, 3L, 30.0), (9L, 1L, 11.0)))
+  }
+
   test("structural DLQ wraps corrupt rows in the collector's record shape") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dlqwrap").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.jsonl"),

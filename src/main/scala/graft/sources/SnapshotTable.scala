@@ -104,11 +104,19 @@ object SnapshotTable {
     publish(spark, path, 1L, entries, partitionCols)
   }
 
-  /** Add `df`'s rows as new files; existing entries carry forward. */
+  /** Add `df`'s rows as new files; existing entries carry forward.
+    * Schema evolution follows the [[Sources.evolveForAppend]] gate:
+    * ADDED nullable columns merge in (older commits null-fill at
+    * read — [[readEntries]] unions by name with missing-column fill),
+    * MISSING columns null-fill in the batch, and a TYPE CHANGE throws
+    * before any file lands — the producer-deployment contract the raw
+    * append path already enforces, now on the transactional table.
+    */
   def append(spark: SparkSession, path: String, df: DataFrame): Long = {
     val v = latestVersion(spark, path)
     val (old, partitionCols) = entriesOf(spark, path, v)
-    val fresh = writeCommit(spark, path, df, partitionCols)
+    val evolved = Sources.evolveForAppend(df, readEntries(spark, path, old).schema)
+    val fresh = writeCommit(spark, path, evolved, partitionCols)
     publish(spark, path, v + 1, old ++ fresh, partitionCols)
   }
 
@@ -325,7 +333,9 @@ object SnapshotTable {
         .option("basePath", s"$root/$commitDir")
         .parquet(es.map(e => s"$root/${e.path}"): _*)
     }
-    branches.reduceLeft(_.unionByName(_))
+    // missing-column fill: commits written BEFORE a column was added
+    // (append-time schema evolution) read back with nulls in it
+    branches.reduceLeft(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Write `df` under a fresh commit subtree; return its manifest

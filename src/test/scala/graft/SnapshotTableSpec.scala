@@ -244,6 +244,37 @@ class SnapshotTableSpec extends SparkSpec {
     assert(rowsOf(t).size === 5)
   }
 
+  test("append evolves the schema: added columns merge, old commits null-fill, type change throws") {
+    val t = tmpTable("graft_snap_evo")
+    SnapshotTable.create(spark, t, seed, Seq("part_col"))
+    // a newer producer ships an extra nullable column
+    val v2 = SnapshotTable.append(spark, t,
+      Seq((6L, "c", 2L, "fresh")).toDF("k", "part_col", "ord", "note"))
+    assert(v2 === 2L)
+    val back = SnapshotTable.read(spark, t)
+    assert(back.columns.toSet === Set("k", "part_col", "ord", "note"))
+    val notes = back.select("k", "note").as[(Long, Option[String])]
+      .collect().toMap
+    assert(notes(6L) === Some("fresh"))
+    assert((1L to 5L).forall(notes(_).isEmpty), "pre-evolution rows null-fill the added column")
+    // an OLDER producer (missing the new column) still appends — null-filled
+    val v3 = SnapshotTable.append(spark, t,
+      Seq((7L, "a", 3L)).toDF("k", "part_col", "ord"))
+    assert(v3 === 3L)
+    assert(SnapshotTable.read(spark, t).count() === 7)
+    // a type change is a breaking deploy: refuse before any file lands
+    val filesBefore = SnapshotTable.manifest(spark, t).count()
+    intercept[IllegalArgumentException] {
+      SnapshotTable.append(spark, t,
+        Seq((8L, "a", "NOT_A_LONG")).toDF("k", "part_col", "ord"))
+    }
+    assert(SnapshotTable.manifest(spark, t).count() === filesBefore,
+      "a refused append must not publish")
+    // time travel still reads the pre-evolution schema
+    assert(SnapshotTable.read(spark, t, 1L).columns.toSet
+      === Set("k", "part_col", "ord"))
+  }
+
   test("retryOnConflict re-executes a conflicted commit against the new latest") {
     val t = tmpTable("graft_snap_retry")
     SnapshotTable.create(spark, t, seed, Seq("part_col"))

@@ -115,10 +115,27 @@ object SnapshotTable {
   def append(spark: SparkSession, path: String, df: DataFrame): Long = {
     val v = latestVersion(spark, path)
     val (old, partitionCols) = entriesOf(spark, path, v)
-    val evolved = Sources.evolveForAppend(df, readEntries(spark, path, old).schema)
+    val evolved = Sources.evolveForAppend(df,
+      evolutionRef(readEntries(spark, path, old).schema, df, partitionCols))
     val fresh = writeCommit(spark, path, evolved, partitionCols)
     publish(spark, path, v + 1, old ++ fresh, partitionCols)
   }
+
+  /** Schema-drift reference for append/merge: the table's read schema,
+    * with partition columns typed as the INCOMING batch types them.
+    * Partition values round-trip through Hive directory names and read
+    * back type-inferred (a string "2024-01-01" returns as DATE) — that
+    * is storage layout, not producer drift, and must not trip the
+    * type-change refusal.
+    */
+  private def evolutionRef(tableSchema: org.apache.spark.sql.types.StructType,
+                           batch: DataFrame, partitionCols: Seq[String])
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(tableSchema.map { f =>
+      if (partitionCols.contains(f.name))
+        batch.schema.find(_.name == f.name).getOrElse(f)
+      else f
+    })
 
   /** Partition-level copy-on-write MERGE: per `keyCols` key keep the
     * `orderCol`-newest row across (stored ∪ updates), rewriting ONLY
@@ -146,19 +163,25 @@ object SnapshotTable {
           }.mkString("/")
         }.toSet
     val (hit, kept) = old.partition(e => affectedParts.contains(e.part))
+    // MERGE follows the same evolution contract as append: the batch
+    // evolves against the table's read schema (type changes refuse,
+    // missing columns null-fill), and affected rows stored before a
+    // column existed null-fill it through the union
+    val evolved = Sources.evolveForAppend(updates,
+      evolutionRef(readEntries(spark, path, old).schema, updates, partitionCols))
     // updates may target partitions the table has never seen
     val existingAffected =
-      if (hit.isEmpty) updates.limit(0) else readEntries(spark, path, hit)
+      if (hit.isEmpty) evolved.limit(0) else readEntries(spark, path, hit)
     // Deterministic winner on orderCol ties: an update beats a stored
     // row (MERGE semantics — the incoming write is the newer fact), and
     // two tied updates resolve by a content hash so reruns pick the
     // same row. Identical rows hash equal, so the outcome is stable
     // either way.
     val merged = existingAffected.withColumn("__upd", lit(0))
-      .unionByName(updates.withColumn("__upd", lit(1)))
+      .unionByName(evolved.withColumn("__upd", lit(1)), allowMissingColumns = true)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(orderCol).desc, col("__upd").desc,
-        xxhash64(struct(updates.columns.map(col): _*)).desc)
+        xxhash64(struct(evolved.columns.map(col): _*)).desc)
     val winners = merged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn", "__upd")

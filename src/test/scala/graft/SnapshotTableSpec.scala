@@ -275,6 +275,38 @@ class SnapshotTableSpec extends SparkSpec {
       === Set("k", "part_col", "ord"))
   }
 
+  test("upsert follows the same schema-evolution contract as append") {
+    val t = tmpTable("graft_snap_evoup")
+    SnapshotTable.create(spark, t, seed, Seq("part_col"))
+    // newer producer MERGES with an added column: update key 1, add key 9
+    SnapshotTable.upsertKeepLast(spark, t,
+      Seq((1L, "a", 5L, Some("touched")), (9L, "d", 5L, Some("new")))
+        .toDF("k", "part_col", "ord", "note"),
+      Seq("k", "part_col"), "ord")
+    val got = SnapshotTable.read(spark, t)
+      .select("k", "ord", "note").as[(Long, Long, Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((5L, Some("touched"))))
+    assert(got(9L) === ((5L, Some("new"))))
+    assert(got(3L) === ((1L, None)), "untouched old rows null-fill the added column")
+    // older producer upserts WITHOUT the evolved column: null-filled, merges fine
+    SnapshotTable.upsertKeepLast(spark, t,
+      Seq((3L, "b", 7L)).toDF("k", "part_col", "ord"), Seq("k", "part_col"), "ord")
+    val after = SnapshotTable.read(spark, t)
+      .select("k", "ord", "note").as[(Long, Long, Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(after(3L) === ((7L, None)))
+    assert(after(1L) === ((5L, Some("touched"))), "evolved values survive an old-schema merge")
+    // type-changed MERGE refuses before any commit
+    val vBefore = SnapshotTable.latestVersion(spark, t)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.upsertKeepLast(spark, t,
+        Seq((2L, "a", "NOT_A_LONG")).toDF("k", "part_col", "ord"),
+        Seq("k", "part_col"), "ord")
+    }
+    assert(SnapshotTable.latestVersion(spark, t) === vBefore)
+  }
+
   test("retryOnConflict re-executes a conflicted commit against the new latest") {
     val t = tmpTable("graft_snap_retry")
     SnapshotTable.create(spark, t, seed, Seq("part_col"))

@@ -63,6 +63,24 @@ object SnapshotTable {
 
   private val ManifestDir = "_manifests"
 
+  // table path -> post-commit hooks (path, publishedVersion). Fired
+  // after a successful manifest publish — the read-after-write wiring
+  // for dependent caches (see ResultCache.invalidateOnCommit). Hooks
+  // run on the committing thread AFTER the version is visible, so a
+  // hook that recomputes reads the new version; a hook failure
+  // propagates (the commit itself is already durable).
+  private val commitHooks =
+    new java.util.concurrent.ConcurrentHashMap[String, List[(String, Long) => Unit]]()
+
+  /** Register a post-commit hook for the table at `path` (matched on
+    * the exact path string the writer uses). Multiple hooks stack.
+    */
+  def onCommit(path: String)(hook: (String, Long) => Unit): Unit =
+    commitHooks.merge(path, List(hook), (a, b) => b ++ a)
+
+  /** Drop all hooks for `path` (tests; decommissioned dashboards). */
+  def clearCommitHooks(path: String): Unit = commitHooks.remove(path)
+
   private def fsOf(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -146,6 +164,16 @@ object SnapshotTable {
                      keyCols: Seq[String], orderCol: String): Long = {
     val v = latestVersion(spark, path)
     val (old, partitionCols) = entriesOf(spark, path, v)
+    // MERGE follows the same evolution contract as append: the batch
+    // evolves against the table's read schema (type changes refuse,
+    // missing columns null-fill), and affected rows stored before a
+    // column existed null-fill it through the union. Evolution runs
+    // FIRST so a batch from an older producer that omits a partition
+    // column null-fills it (landing in the default partition) instead
+    // of failing the affected-partition resolution below — append and
+    // merge accept the same batches.
+    val evolved = Sources.evolveForAppend(updates,
+      evolutionRef(readEntries(spark, path, old).schema, updates, partitionCols))
     // Affected-partition subpaths must match the manifest's `part`
     // field, which comes from ON-DISK dir names — Hive-escaped by
     // Spark's partition writer ('a b' -> 'a%20b', null ->
@@ -154,7 +182,7 @@ object SnapshotTable {
     // silent duplicates. Escape with the writer's own rules.
     val affectedParts: Set[String] =
       if (partitionCols.isEmpty) Set("")
-      else updates.select(partitionCols.map(c => col(c).cast("string")): _*)
+      else evolved.select(partitionCols.map(c => col(c).cast("string")): _*)
         .distinct().collect().map { r =>
           partitionCols.indices.map { i =>
             org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -163,12 +191,6 @@ object SnapshotTable {
           }.mkString("/")
         }.toSet
     val (hit, kept) = old.partition(e => affectedParts.contains(e.part))
-    // MERGE follows the same evolution contract as append: the batch
-    // evolves against the table's read schema (type changes refuse,
-    // missing columns null-fill), and affected rows stored before a
-    // column existed null-fill it through the union
-    val evolved = Sources.evolveForAppend(updates,
-      evolutionRef(readEntries(spark, path, old).schema, updates, partitionCols))
     // updates may target partitions the table has never seen
     val existingAffected =
       if (hit.isEmpty) evolved.limit(0) else readEntries(spark, path, hit)
@@ -204,7 +226,16 @@ object SnapshotTable {
           xxhash64(struct(updates.columns.map(col): _*)).desc)
       val deduped = updates.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
-      create(spark, path, deduped, partitionCols)
+      try create(spark, path, deduped, partitionCols)
+      catch {
+        // lost the create race: another writer published version 1
+        // between our emptiness check and create's own — converge by
+        // merging against the winner instead of surfacing a
+        // non-retryable "already exists" to retryOnConflict
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("already exists") =>
+          upsertKeepLast(spark, path, updates, keyCols, orderCol)
+      }
     } else upsertKeepLast(spark, path, updates, keyCols, orderCol)
 
   /** Fold the snapshot's whole history into one commit subtree with
@@ -399,6 +430,7 @@ object SnapshotTable {
     mf.coalesce(1).write.parquet(tmp.toString)
     val target = new Path(new Path(root, ManifestDir), versionDirName(v))
     atomicPublishDir(fs, tmp, target)
+    commitHooks.getOrDefault(root, Nil).foreach(_(root, v))
     v
   }
 

@@ -307,6 +307,73 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.latestVersion(spark, t) === vBefore)
   }
 
+  test("MERGE from a producer omitting a partition column null-fills like append") {
+    // the round-7 advisor finding: affectedParts used to be computed
+    // from the PRE-evolution batch, so a missing partition column blew
+    // up with an unresolved-column error on merge while append handled
+    // the identical batch. Evolution now runs first on both paths.
+    val t = tmpTable("graft_snap_missingpart")
+    SnapshotTable.create(spark, t, seed, Seq("part_col"))
+    SnapshotTable.upsertKeepLast(spark, t,
+      Seq((10L, 9L)).toDF("k", "ord"), Seq("k", "part_col"), "ord")
+    val got = rowsOfNullable(t)
+    assert(got.contains((10L, null, 9L)),
+      "the batch row must null-fill the missing partition column")
+    assert(got.size === 6, "existing rows must be untouched")
+    // and a second such merge updates the default-partition key in place
+    SnapshotTable.upsertKeepLast(spark, t,
+      Seq((10L, 11L)).toDF("k", "ord"), Seq("k", "part_col"), "ord")
+    val after = rowsOfNullable(t)
+    assert(after.contains((10L, null, 11L)) && !after.contains((10L, null, 9L)))
+  }
+
+  private def rowsOfNullable(path: String): Set[(Long, String, Long)] =
+    SnapshotTable.read(spark, path).select("k", "part_col", "ord")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getLong(2))).toSet
+
+  test("concurrent writers: every commit lands once, result equals the sequential fold") {
+    val t = tmpTable("graft_snap_conc")
+    val nThreads = 4
+    val perThread = 5
+    val keySpace = 6L
+    // operation (thread, ord, keys): ord is globally unique so keep-last
+    // is order-independent — the expected table is the same whatever
+    // interleaving the optimistic-concurrency retries produce
+    val ops = for (th <- 0 until nThreads; i <- 0 until perThread) yield {
+      val ord = (th * perThread + i + 1).toLong
+      (th, ord, Seq(ord % keySpace, (ord + 1) % keySpace))
+    }
+    import java.util.concurrent.{Executors, TimeUnit, ConcurrentLinkedQueue}
+    val pool = Executors.newFixedThreadPool(nThreads)
+    val failures = new ConcurrentLinkedQueue[Throwable]()
+    ops.groupBy(_._1).foreach { case (_, thOps) =>
+      pool.submit(new Runnable {
+        def run(): Unit = try {
+          thOps.foreach { case (_, ord, keys) =>
+            val batch = keys.map(k => (k, ord, s"p$ord")).toDF("k", "ord", "payload")
+            SnapshotTable.retryOnConflict(attempts = 200) {
+              SnapshotTable.upsertOrCreate(spark, t, batch, Seq("k"), "ord")
+            }
+          }
+        } catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(180, TimeUnit.SECONDS), "writers timed out")
+    assert(failures.isEmpty, s"a writer failed: ${failures.peek()}")
+    assert(SnapshotTable.versions(spark, t).size === nThreads * perThread,
+      "every commit must land exactly once (no lost or duplicated publishes)")
+    val expected = ops.flatMap { case (_, ord, keys) => keys.map(k => (k, ord)) }
+      .groupBy(_._1).map { case (k, rows) =>
+        val ord = rows.map(_._2).max
+        (k, ord, s"p$ord")
+      }.toSet
+    val got = SnapshotTable.read(spark, t).select("k", "ord", "payload")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === expected, "final table must equal the sequential fold by max ord")
+  }
+
   test("retryOnConflict re-executes a conflicted commit against the new latest") {
     val t = tmpTable("graft_snap_retry")
     SnapshotTable.create(spark, t, seed, Seq("part_col"))

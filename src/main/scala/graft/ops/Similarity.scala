@@ -333,6 +333,37 @@ object Similarity {
     v
   }
 
+  /** Retention-K GC for a versioned IVF layout — the maintenance loop
+    * [[writeIvfVersioned]] leaves open (every rebuild doubles storage
+    * until superseded versions are reclaimed): delete all but the
+    * newest `keepVersions` version directories plus any `.tmp-*`
+    * staging a crashed rebuild left behind. The latest version is
+    * never deleted (`keepVersions >= 1` enforced); a reader pinned to
+    * a reclaimed older version fails on its next scan — the same
+    * retention trade as [[graft.sources.SnapshotTable.vacuum]], run it
+    * on the owner's cadence after pinned readers drain. Must not run
+    * concurrently with an in-flight rebuild (its staging would read as
+    * torn). Returns the number of directories reclaimed.
+    */
+  def vacuumIvfVersions(spark: SparkSession, path: String,
+                        keepVersions: Int = 1): Int = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0
+    val drop = ivfVersions(spark, path).dropRight(keepVersions)
+    var deleted = 0
+    drop.foreach { v =>
+      if (fs.delete(new org.apache.hadoop.fs.Path(p, f"v$v%08d"), true)) deleted += 1
+    }
+    fs.listStatus(p).foreach { s =>
+      if (s.getPath.getName.startsWith(".tmp-")) {
+        fs.delete(s.getPath, true); deleted += 1
+      }
+    }
+    deleted
+  }
+
   /** Load one version (latest by default) of a versioned IVF layout;
     * the returned readers are pinned to that version's directory.
     */

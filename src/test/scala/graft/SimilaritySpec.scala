@@ -455,6 +455,22 @@ class SimilaritySpec extends SparkSpec {
     fs.mkdirs(new org.apache.hadoop.fs.Path(store, ".tmp-crashed"))
     assert(Similarity.ivfVersions(spark, store) === Seq(1L, 2L))
     assert(Similarity.loadIvfVersioned(spark, store).centroids.count() === 8L)
+
+    // GC: superseded v1 and the torn staging reclaim; v2 stays served
+    assert(Similarity.vacuumIvfVersions(spark, store) === 2,
+      "vacuum must reclaim the superseded version AND the torn staging")
+    assert(Similarity.ivfVersions(spark, store) === Seq(2L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(store, ".tmp-crashed")))
+    val survivor = Similarity.loadIvfVersioned(spark, store)
+    assert(survivor.centroids.count() === 8L &&
+      survivor.assigned.count() === e.count(),
+      "the retained latest version must stay fully readable")
+    // idempotent when nothing is reclaimable; never deletes the latest
+    assert(Similarity.vacuumIvfVersions(spark, store) === 0)
+    intercept[IllegalArgumentException] {
+      Similarity.vacuumIvfVersions(spark, store, keepVersions = 0)
+    }
+    assert(Similarity.ivfVersions(spark, store) === Seq(2L))
   }
 
   test("served-IVF rebuild flips the serving layer to the new quantizer") {

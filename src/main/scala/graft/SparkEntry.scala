@@ -21,6 +21,11 @@ object SparkEntry {
   private val RawStart = "2024-01-05 00:00:00"
   private val RawEnd = "2024-01-20 00:00:00"
 
+  // One process-stable result-cache root for the cached-endpoint gate
+  // (cleaned up by the JVM's temp reaper; never one dir per call).
+  private lazy val gateCacheRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_rc_gate").toString
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── A. ingestion pipeline (SURVEY §2A) ─────────────────────────────
     "ingest_validate" -> ((s, d) => Ingest.validate(Tables.events(s, d))),
@@ -40,12 +45,15 @@ object SparkEntry {
     // the compute thunk of the second call throws if ever invoked, so
     // the oracle-gated rows provably came from the cache entry
     "raw_station_cached" -> ((s, d) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_rc_gate").toString
+      // the sf dir is a cache-key param (the shared root serves every
+      // SF this process touches), and the root is process-stable so
+      // repeated gate runs reuse one temp dir instead of leaking one
+      // populated cache per invocation
       val key = graft.sources.ResultCache.keyOf("raw_station",
-        Seq(RawUser.toString, RawStart, RawEnd))
-      graft.sources.ResultCache.getOrCompute(s, root, key, ttlMs = 300000L)(
+        Seq(d, RawUser.toString, RawStart, RawEnd))
+      graft.sources.ResultCache.getOrCompute(s, gateCacheRoot, key, ttlMs = 300000L)(
         StationQueries.rawStation(Tables.events(s, d), RawUser, RawStart, RawEnd))
-      graft.sources.ResultCache.getOrCompute(s, root, key, ttlMs = 300000L)(
+      graft.sources.ResultCache.getOrCompute(s, gateCacheRoot, key, ttlMs = 300000L)(
         sys.error("cache hit must not recompute"))
     }),
     "agg_station" -> ((s, d) =>
@@ -205,8 +213,11 @@ object SparkEntry {
     // V=16 on the 31-word synthetic vocabulary so OOV rates are nonzero
     "vocab_coverage" -> ((s, d) => Corpus.vocabCoverage(Tables.documents(s, d), 16)),
     "doc_lm_score" -> ((s, d) => Corpus.lmScore(Tables.documents(s, d))),
-    "dsir_weights" -> ((s, d) => Corpus.dsirWeights(Tables.documents(s, d))),
-    "dsir_sample" -> ((s, d) => Corpus.dsirSample(Tables.documents(s, d))),
+    // served from the persisted DSIR model (train-once per corpus dir,
+    // AnnServing pattern) — persisted ≡ inline is spec-proven, so the
+    // oracle below is the same estimator the inline form computes
+    "dsir_weights" -> ((s, d) => DsirServing.dsirWeights(s, d)),
+    "dsir_sample" -> ((s, d) => DsirServing.dsirSample(s, d)),
     // rows-only: seeded-KMeans clustering is deterministic but not
     // ANSI-expressible; SemDeDupSpec gates within-cell exactness
     "dedup_semantic" -> ((s, d) => Similarity.semDedup(Tables.embeddings(s, d))),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -759,8 +759,17 @@ object Corpus {
     */
   def dsirSample(documents: DataFrame, targetLang: String = "en",
                  buckets: Int = 1024,
-                 salt: String = "graft-dsir-v1"): DataFrame = {
-    val weights = dsirWeights(documents, targetLang, buckets)
+                 salt: String = "graft-dsir-v1"): DataFrame =
+    dsirResample(dsirWeights(documents, targetLang, buckets), salt)
+
+  /** The resampling draw alone, over an already-scored weights frame
+    * (columns doc_id, n_tokens, dsir_weight) — shared by the inline
+    * [[dsirSample]] and the persisted-model serving path
+    * ([[DsirServing.dsirSample]]), which are therefore identical by
+    * construction downstream of the weights.
+    */
+  def dsirResample(weights: DataFrame,
+                   salt: String = "graft-dsir-v1"): DataFrame = {
     val maxW = broadcast(weights.agg(max(col("dsir_weight")).as("__max_w")))
     weights
       .crossJoin(maxW)
@@ -771,4 +780,47 @@ object Corpus {
         col("keep_p"), col("u16"))
       .orderBy(col("doc_id"))
   }
+}
+
+/** Serving layer for the DSIR estimator — the build-once/serve-many
+  * split [[Corpus.writeDsirModel]] provides, wired the way
+  * [[AnnServing]] wires the IVF family: the first call per corpus dir
+  * TRAINS the model and persists it; every later call scores against
+  * the stored table, so steady-state cost is the serving join, not the
+  * corpus-wide token explode. Persisted ≡ inline is spec-proven
+  * (CorpusSpec), so the driver gate's oracle is unchanged by serving
+  * through this layer.
+  */
+object DsirServing {
+  import java.util.concurrent.ConcurrentHashMap
+
+  // corpus dir -> persisted model path (one train per JVM per corpus)
+  private val modelStores = new ConcurrentHashMap[String, String]()
+
+  private def servedModel(spark: SparkSession, sfDir: String,
+                          targetLang: String, buckets: Int): DataFrame = {
+    val store = modelStores.computeIfAbsent(sfDir, _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft_dsir_serve")
+        .toString + "/model"
+      Corpus.writeDsirModel(
+        Corpus.dsirModel(graft.Tables.documents(spark, sfDir), targetLang, buckets),
+        path)
+      path
+    })
+    Corpus.loadDsirModel(spark, store)
+  }
+
+  /** [[Corpus.dsirWeights]] served from the persisted model. */
+  def dsirWeights(spark: SparkSession, sfDir: String,
+                  targetLang: String = "en", buckets: Int = 1024): DataFrame =
+    Corpus.dsirScore(
+        graft.Tables.documents(spark, sfDir).filter(col("lang") =!= targetLang),
+        servedModel(spark, sfDir, targetLang, buckets), buckets)
+      .orderBy(col("doc_id"))
+
+  /** [[Corpus.dsirSample]] served from the persisted model. */
+  def dsirSample(spark: SparkSession, sfDir: String,
+                 targetLang: String = "en", buckets: Int = 1024,
+                 salt: String = "graft-dsir-v1"): DataFrame =
+    Corpus.dsirResample(dsirWeights(spark, sfDir, targetLang, buckets), salt)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Corpus, TextDedup}
+import graft.ops.{Corpus, DsirServing, TextDedup}
 import org.apache.spark.sql.functions._
 
 class CorpusSpec extends SparkSpec {
@@ -424,6 +424,22 @@ class CorpusSpec extends SparkSpec {
     val scored = Corpus.dsirScore(oov, model).collect()
     assert(scored.length === 1)
     assert(scored.head.getLong(1) === 3L, "all OOV tokens must count")
+  }
+
+  test("DSIR serving layer: train-once persisted model matches inline weights and sample") {
+    // the gated entries serve through DsirServing — these equalities are
+    // what keeps the driver's oracle valid for the serving path
+    assert(DsirServing.dsirWeights(spark, sfDir).collect().toSeq ===
+      Corpus.dsirWeights(docs).collect().toSeq)
+    assert(DsirServing.dsirSample(spark, sfDir).collect().toSeq ===
+      Corpus.dsirSample(docs).collect().toSeq)
+    // second call must reuse the persisted model, not retrain: the
+    // serving plan broadcasts a parquet-sourced model table
+    val plan = DsirServing.dsirWeights(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(plan.toLowerCase.contains("parquet"),
+      "served weights must read the persisted model, not retrain inline")
   }
 
   test("DSIR: target-language docs outscore raw docs on average; draw keeps the argmax") {

@@ -48,7 +48,17 @@ object Bench {
         -1.0
       }
     }
+    // SPARK_GRAFT_BENCH_ONLY / _SKIP: comma-separated query-name filters
+    // for split runs — e.g. the sf1 scale bench times the declared
+    // quadratic oracle baselines in a separate reps=1 invocation so six
+    // reps of an all-pairs join don't dominate the wall clock.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) && !skip.contains(n) }
     queries.foreach { case (name, fn) => timeOnce(name, fn) } // warmup sweep, untimed
     // rep-major: sample r of every query before sample r+1 of any — each
     // query's reps land in distinct time windows (see scaladoc)

@@ -14,7 +14,7 @@ back to fetchall.
 
 Usage: check_oracle.py <sfdir> <verify_out_dir>
 """
-import sys, json, glob, math, decimal
+import sys, os, json, glob, math, decimal
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -58,7 +58,12 @@ def fetch_df(res):
 def main(sfdir, outdir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # driver layout: single file <t>.parquet; ScaleUp layout (sf1+):
+        # a DIRECTORY <t>.parquet/ of range-partitioned part files
+        path = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):

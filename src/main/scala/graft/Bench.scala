@@ -26,10 +26,29 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
+    // Long-running-driver posture (learned the hard way at sf1: the
+    // warmup sweep alone is ~125 heavy query executions / ~3.4k stages,
+    // and the 24g driver OOM'd at minute ~31 — exactly the default
+    // spark.cleaner.periodicGC.interval). Two root causes, two knobs:
+    //  - ContextCleaner only releases broadcasts / localCheckpoint
+    //    blocks after a DRIVER GC enqueues their weak refs; a large
+    //    heap GCs rarely, so the backlog grows for 30 min and the
+    //    first periodic GC arrives after the heap is already full.
+    //    2 min keeps the backlog sweep-sized. A real cluster driver
+    //    serving thousands of queries needs the same setting.
+    //  - The app/SQL status stores retain up to 1000 executions'
+    //    plan descriptions + per-stage metrics even with the UI off;
+    //    complex plans (the dedup/curation family) make each entry
+    //    plan-string-sized. Retention caps bound them.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      .config("spark.sql.ui.retainedExecutions", "16")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/shuffle paths once so the first timed query
@@ -59,11 +78,20 @@ object Bench {
       .getOrElse(Set.empty[String])
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) && !skip.contains(n) }
+    // Between sweeps, force the weak-ref processing that lets the
+    // ContextCleaner drain (untimed window, so the GC pause is never
+    // inside a measurement).
+    def drainCleaner(): Unit = { System.gc(); Thread.sleep(200) }
     queries.foreach { case (name, fn) => timeOnce(name, fn) } // warmup sweep, untimed
+    drainCleaner()
     // rep-major: sample r of every query before sample r+1 of any — each
     // query's reps land in distinct time windows (see scaladoc)
     val samples: Seq[Seq[Double]] =
-      (1 to math.max(1, reps)).map(_ => queries.map { case (n, f) => timeOnce(n, f) })
+      (1 to math.max(1, reps)).map { _ =>
+        val sweep = queries.map { case (n, f) => timeOnce(n, f) }
+        drainCleaner()
+        sweep
+      }
     val results = queries.zipWithIndex.map { case ((name, _), i) =>
       val s = samples.map(_(i))
       name -> (if (s.exists(_ < 0)) -1.0 else s.min)

@@ -12,6 +12,14 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // long-running-driver posture, same rationale as Bench: 127
+      // heavy queries in one JVM need the ContextCleaner backlog
+      // drained promptly and the status stores bounded
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      .config("spark.sql.ui.retainedExecutions", "16")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

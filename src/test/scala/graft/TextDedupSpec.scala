@@ -130,6 +130,23 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup serving split: served output ≡ inline composition, index built once") {
+    val all = Tables.documents(spark, sfDir)
+    val inline = TextDedup.dedupIncremental(
+      TextDedup.buildDedupIndex(all.filter(col("doc_id") % 5 =!= 4)),
+      all.filter(col("doc_id") % 5 === 4))
+      .select("doc_id").as[Long].collect().toSet
+    val served = graft.ops.DedupServing.dedupIncremental(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(served === inline && served.nonEmpty)
+    // second call serves the SAME persisted index instance (no rebuild)
+    val idx1 = graft.ops.DedupServing.servedIndex(spark, sfDir)
+    val again = graft.ops.DedupServing.dedupIncremental(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === inline)
+    assert(graft.ops.DedupServing.servedIndex(spark, sfDir) eq idx1)
+  }
+
   test("span dedup: reassembly is the identity for untouched docs, total loss for exact dups") {
     val all = Tables.documents(spark, sfDir)
     val out = TextDedup.spanDedup(all)

@@ -163,4 +163,20 @@ class PropertySpec extends SparkSpec {
       assert(ret.forall(_._2 >= 0))
     }
   }
+
+  test("no source file is git-binary (control bytes make diffs invisible)") {
+    // A raw NUL in a string literal once made a correctness-critical
+    // source file invisible to diff/grep/merge tooling (git shows
+    // 'Bin N -> M bytes'). Control characters other than \t \n \r in
+    // source are always a mistake — write them as escapes.
+    import scala.jdk.CollectionConverters._
+    val bad = java.nio.file.Files.walk(java.nio.file.Paths.get("src")).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .filter { p =>
+        java.nio.file.Files.readAllBytes(p).exists(b =>
+          (b >= 0 && b < 0x20) && b != '\t' && b != '\n' && b != '\r')
+      }
+      .map(_.toString).toList
+    assert(bad.isEmpty, s"source files containing raw control bytes: $bad")
+  }
 }

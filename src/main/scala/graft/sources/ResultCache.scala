@@ -22,10 +22,10 @@ import java.nio.charset.StandardCharsets
   * `e-*` directory and never touches the one a concurrent reader may
   * hold — Redis expiry is atomic and this layout earns the same safety
   * on a filesystem. The newest stamped generation serves; superseded
-  * generations older than the previous latest are garbage-collected on
-  * the publish path (a keep-2 window: the one just published plus the
-  * one readers may still be draining — result-sized data, so retention
-  * is cheap).
+  * generations are garbage-collected on the publish path once their
+  * age exceeds ttl + a grace window (see [[getOrCompute]]) — the
+  * previous latest is always retained. Result-sized data, so the
+  * bounded retention is cheap.
   *
   * Semantics, matching the reference where it matters:
   *  - HIT (newest generation younger than `ttl`): read its parquet —
@@ -98,9 +98,21 @@ object ResultCache {
     * than `ttlMs`, otherwise run `compute`, publish its result as a
     * fresh generation, and return the cached read. `nowMs` is
     * injectable for tests.
+    *
+    * `gcGraceMs` bounds the reader-safety window of generation GC: a
+    * superseded generation is reclaimed only once its publish stamp is
+    * older than `ttlMs + gcGraceMs`. Any reader necessarily passed its
+    * freshness check while the generation's age was < ttl, so it has
+    * at least `gcGraceMs` to finish collecting before the files can
+    * vanish — the multithreaded hammer spec drives 6 concurrent
+    * expired-refreshers through this window. (A generation whose stamp
+    * was stripped by [[invalidate]] has no age and is reclaimed
+    * immediately once superseded; frames read before an invalidate
+    * should be drained promptly, per the invalidate contract.)
     */
   def getOrCompute(spark: SparkSession, cacheRoot: String, key: String,
-                   ttlMs: Long, nowMs: () => Long = () => System.currentTimeMillis())
+                   ttlMs: Long, nowMs: () => Long = () => System.currentTimeMillis(),
+                   gcGraceMs: Long = 30000L)
                   (compute: => DataFrame): DataFrame = {
     val fs = fsOf(spark, cacheRoot)
     val keyDir = new Path(cacheRoot, key)
@@ -123,11 +135,16 @@ object ResultCache {
         // generation names are unique, so the publish cannot conflict;
         // the atomic rename still guards against a torn directory
         SnapshotTable.atomicPublishDir(fs, tmp, target)
-        // keep-2 GC: retain the generation just published and the
-        // previous latest (a concurrent reader that passed its
-        // freshness check moments ago may still be scanning it);
-        // everything older is unreachable by any new read
-        gens.drop(1).foreach(g => fs.delete(g, true))
+        // age-graced GC: always retain the previous latest (readers
+        // may be draining it), and reclaim older superseded
+        // generations only once their stamp age exceeds ttl + grace —
+        // with N concurrent refreshers a reader can lag more than one
+        // generation behind, so a pure keep-2 window deletes files out
+        // from under a just-returned frame (caught by the hammer spec)
+        val cutoff = now - ttlMs - gcGraceMs
+        gens.drop(1)
+          .filter(g => stampOf(spark, g).forall(_ < cutoff))
+          .foreach(g => fs.delete(g, true))
         spark.read.parquet(new Path(target, "data").toString)
     }
   }

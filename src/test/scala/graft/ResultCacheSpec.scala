@@ -94,14 +94,17 @@ class ResultCacheSpec extends SparkSpec {
     assert(held.as[Long].collect().toSet === Set(1L, 2L),
       "a frame read before a refresh must survive the refresh")
     assert(refreshed.as[Long].collect().toSet === Set(3L, 4L))
-    // a third refresh GCs generation 1 (outside the keep-2 window)
-    clock += 5000L
+    // a third refresh past ttl + grace reclaims generation 1; the
+    // previous latest (generation 2) is always retained for draining
+    // readers
+    clock += 40000L
     cached(Seq(5L))
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gens = fs.listStatus(new org.apache.hadoop.fs.Path(dir, key))
       .map(_.getPath.getName).filter(_.startsWith("e-"))
-    assert(gens.length === 2, s"keep-2 GC should retain 2 generations, saw ${gens.toSeq}")
+    assert(gens.length === 2,
+      s"age-graced GC should retain newest + previous latest, saw ${gens.toSeq}")
   }
 
   test("invalidate marks stale without breaking an in-flight frame") {
@@ -152,6 +155,39 @@ class ResultCacheSpec extends SparkSpec {
       unrelated()
       assert(others === 1, "an unrelated key must keep serving its entry")
     } finally SnapshotTable.clearCommitHooks(table)
+  }
+
+  test("hammered by concurrent expired-refreshers: no failures, every read complete") {
+    // 6 threads × 25 iterations on ONE key with ttl=1ms (real clock):
+    // every call takes the expired-recompute path, so publishes, reads,
+    // and generation GC all race each other continuously. Contract
+    // under test: no call may throw and every returned frame must
+    // collect the full row set — a torn read or a generation deleted
+    // out from under a racer's just-returned frame fails here.
+    val dir = root()
+    val key = ResultCache.keyOf("stress", Nil)
+    val expect = (1L to 20L).toSet
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    val tasks = (1 to 6).map { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try {
+            var i = 0
+            while (i < 25) {
+              val got = ResultCache.getOrCompute(spark, dir, key, ttlMs = 1L)(
+                spark.range(1, 21).toDF("k"))
+                .as[Long].collect().toSet
+              assert(got === expect, s"incomplete read: $got")
+              i += 1
+            }
+          } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    tasks.foreach(_.get())
+    pool.shutdown()
+    assert(errors.isEmpty,
+      s"concurrent cache traffic failed (${errors.size} errors): ${errors.peek()}")
   }
 
   test("distinct params cache independently; clear drops everything") {

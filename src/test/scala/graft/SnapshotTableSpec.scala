@@ -98,6 +98,28 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[Exception](SnapshotTable.read(spark, t, 1L).collect())
   }
 
+  test("a reader pinned within the vacuum retention window survives vacuum") {
+    // the retention contract (Delta/Iceberg-style): keepVersions is the
+    // operator's promise to pinned readers — a version inside the
+    // window keeps ALL its files through a vacuum; only versions
+    // beyond it are reclaimed (the documented trade, asserted by the
+    // intercept in the compact test).
+    val t = tmpTable("graft_snap_pin")
+    SnapshotTable.create(spark, t, seed, Seq("part_col"))
+    SnapshotTable.upsertKeepLast(spark, t,
+      Seq((1L, "a", 99L)).toDF("k", "part_col", "ord"), Seq("k"), "ord")
+    SnapshotTable.append(spark, t, Seq((8L, "c", 3L)).toDF("k", "part_col", "ord"))
+    val vs = SnapshotTable.versions(spark, t)
+    val pinnedV = vs(vs.length - 2) // previous version, inside keep-2
+    val pinned = SnapshotTable.read(spark, t, pinnedV)
+    val expect = pinned.select("k").as[Long].collect().toSet // materialize pre-vacuum
+    SnapshotTable.vacuum(spark, t, keepVersions = 2)
+    assert(SnapshotTable.read(spark, t, pinnedV).select("k").as[Long].collect().toSet
+      === expect, "a version inside keepVersions must stay fully readable")
+    assert(pinned.select("k").as[Long].collect().toSet === expect,
+      "a frame pinned before the vacuum must still collect")
+  }
+
   test("an unpublished commit is invisible and vacuum reclaims it") {
     val t = tmpTable("graft_snap_dead")
     SnapshotTable.create(spark, t, seed, Seq("part_col"))

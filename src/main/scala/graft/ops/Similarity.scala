@@ -726,24 +726,34 @@ object Similarity {
 object AnnServing {
   import java.util.concurrent.ConcurrentHashMap
   import Similarity.{IvfIndex, PqModel}
+  import graft.sources.ServingLayouts
 
+  // In-memory caches are keyed by (session, corpus): the cached values
+  // hold DataFrames bound to the session that built them, so a new
+  // session in the same JVM reloads from the STABLE on-disk layout
+  // (cheap) instead of serving dead frames — the same hazard the
+  // advisor flagged for DedupServing. The layouts themselves live at
+  // ServingLayouts-stable paths, so a second PROCESS also reuses them.
   private val ivfCache = new ConcurrentHashMap[String, IvfIndex]()
   private val sq8Cache = new ConcurrentHashMap[String, IvfIndex]()
   private val pqCache  = new ConcurrentHashMap[String, (DataFrame, PqModel, DataFrame)]()
   private val exactCache = new ConcurrentHashMap[String, DataFrame]()
+
+  private def key(spark: SparkSession, sfDir: String): String =
+    s"${System.identityHashCode(spark)}:$sfDir"
+
   // the float-IVF family serves from a VERSIONED store so the offline
   // rebuild op composes with live serving (publish v+1, flip the cache)
-  private val ivfStores = new ConcurrentHashMap[String, String]()
-
-  private def tmp(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  private def ivfStore(sfDir: String): String =
+    ServingLayouts.dirFor("ivf", sfDir) + "/ivf"
 
   private def servedIvf(spark: SparkSession, sfDir: String, nCells: Int): IvfIndex =
-    ivfCache.computeIfAbsent(sfDir, _ => {
-      val store = ivfStores.computeIfAbsent(sfDir, _ => tmp("graft_ivf_serve") + "/ivf")
+    ivfCache.computeIfAbsent(key(spark, sfDir), _ => {
+      val store = ivfStore(sfDir)
       if (Similarity.ivfVersions(spark, store).isEmpty)
         Similarity.writeIvfVersioned(
           Similarity.buildIvf(graft.Tables.embeddings(spark, sfDir), nCells), store)
+      ServingLayouts.markComplete(ServingLayouts.dirFor("ivf", sfDir))
       Similarity.loadIvfVersioned(spark, store)
     })
 
@@ -756,9 +766,9 @@ object AnnServing {
     */
   def rebuildServedIvf(spark: SparkSession, sfDir: String, nCells: Int = 16): Long = {
     servedIvf(spark, sfDir, nCells) // ensure the store exists
-    val store = ivfStores.get(sfDir)
+    val store = ivfStore(sfDir)
     val v = Similarity.rebuildIvf(spark, store, nCells)
-    ivfCache.put(sfDir, Similarity.loadIvfVersioned(spark, store))
+    ivfCache.put(key(spark, sfDir), Similarity.loadIvfVersioned(spark, store))
     v
   }
 
@@ -782,10 +792,20 @@ object AnnServing {
     */
   def knnIvfSq8(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5,
                 nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val index = sq8Cache.computeIfAbsent(sfDir, _ => {
-      val deq = Similarity.quantizeInt8(graft.Tables.embeddings(spark, sfDir))
-        .select(col("vec_id"), expr("transform(codes, c -> c * scale)").as("embedding"))
-      Similarity.writeIvfPartitioned(Similarity.buildIvf(deq, nCells), tmp("graft_sq8_serve"))
+    val index = sq8Cache.computeIfAbsent(key(spark, sfDir), _ => {
+      val dir = ServingLayouts.dirFor("sq8", sfDir)
+      if (ServingLayouts.isComplete(dir)) {
+        ServingLayouts.touch(dir)
+        IvfIndex(spark.read.parquet(s"$dir/centroids"),
+          spark.read.parquet(s"$dir/assigned"))
+      } else {
+        ServingLayouts.invalidate(dir)
+        val deq = Similarity.quantizeInt8(graft.Tables.embeddings(spark, sfDir))
+          .select(col("vec_id"), expr("transform(codes, c -> c * scale)").as("embedding"))
+        val idx = Similarity.writeIvfPartitioned(Similarity.buildIvf(deq, nCells), dir)
+        ServingLayouts.markComplete(dir)
+        idx
+      }
     })
     val queries = queriesOf(Similarity.prepared(graft.Tables.embeddings(spark, sfDir)), nQueries)
     Similarity.queryIvf(index, queries, k, nProbe, excludeSelf = true)
@@ -799,12 +819,17 @@ object AnnServing {
   def knnIvfPq(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5,
                nCells: Int = 16, nProbe: Int = 4, mSubs: Int = 8,
                kCentroids: Int = 32, rerank: Int = 50): DataFrame = {
-    val (centroids, pqm, codes) = pqCache.computeIfAbsent(sfDir, _ => {
-      val emb = graft.Tables.embeddings(spark, sfDir)
-      val index = Similarity.buildIvf(emb, nCells)
-      val pq = Similarity.trainPq(emb, mSubs, kCentroids)
-      val path = tmp("graft_ivfpq_serve")
-      Similarity.writeIvfPq(index, pq, path)
+    val (centroids, pqm, codes) = pqCache.computeIfAbsent(key(spark, sfDir), _ => {
+      val path = ServingLayouts.dirFor("ivfpq", sfDir)
+      if (ServingLayouts.isComplete(path)) ServingLayouts.touch(path)
+      else {
+        ServingLayouts.invalidate(path)
+        val emb = graft.Tables.embeddings(spark, sfDir)
+        val index = Similarity.buildIvf(emb, nCells)
+        val pq = Similarity.trainPq(emb, mSubs, kCentroids)
+        Similarity.writeIvfPq(index, pq, path)
+        ServingLayouts.markComplete(path)
+      }
       Similarity.loadIvfPq(spark, path)
     })
     val base = Similarity.prepared(graft.Tables.embeddings(spark, sfDir))
@@ -828,7 +853,7 @@ object AnnServing {
     // cached per sf-dir (like the index caches), NOT per call: a
     // per-call cache() would pin one more nQueries×k frame on every
     // invocation of a long-lived serving/bench loop
-    val exact = exactCache.computeIfAbsent(sfDir, _ =>
+    val exact = exactCache.computeIfAbsent(key(spark, sfDir), _ =>
       Similarity.knnBruteForce(graft.Tables.embeddings(spark, sfDir), nQueries, k)
         .select(col("query_id"), col("neighbor_id"))
         .cache())

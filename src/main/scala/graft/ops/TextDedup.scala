@@ -180,7 +180,10 @@ object TextDedup {
     writeBucketed(index.shingles, s"${tablePrefix}_shingles", s"$path/shingles",
       "doc_id", nBuckets)
     import spark.implicits._
-    Seq((index.bands, index.rows)).toDF("bands", "rows")
+    // n_buckets rides along with the band geometry so a LATER process
+    // can re-declare the bucket specs in its own catalog
+    // (Sources.registerBucketedTable) without guessing the layout
+    Seq((index.bands, index.rows, nBuckets)).toDF("bands", "rows", "n_buckets")
       .write.mode("overwrite").parquet(s"$path/meta")
     loadDedupIndex(spark, tablePrefix, path)
   }
@@ -441,6 +444,17 @@ object TextDedup {
   * is unchanged; only the REPEATED-call cost drops to what a daily
   * crawl actually pays. At sf1 the inline composition spent ~2× its
   * time recomputing corpus shingles+minhash per call (SCALE.md §3).
+  *
+  * Lifecycle (round-9 hardening): the layout lives at a PROCESS-STABLE
+  * per-(user, corpus) directory ([[graft.sources.ServingLayouts]]), so
+  * a second JVM re-registers the bucket specs in its own catalog and
+  * reuses the files instead of rebuilding — and /tmp holds at most one
+  * layout per corpus ever, reclaimable by ServingLayouts.vacuum. The
+  * in-memory cache is keyed by (session, corpus): a cached
+  * [[TextDedup.DedupIndex]] holds DataFrames and catalog-table
+  * references bound to the session that built it, so a NEW session in
+  * the same JVM (the advisor's stopped-session hazard) re-registers
+  * and reloads rather than serving dead frames.
   */
 object DedupServing {
   import java.util.concurrent.ConcurrentHashMap
@@ -457,11 +471,37 @@ object DedupServing {
   private def corpusOf(spark: SparkSession, sfDir: String): DataFrame =
     graft.Tables.documents(spark, sfDir).filter(col("doc_id") % 5 =!= 4)
 
+  private def build(spark: SparkSession, sfDir: String,
+                    dir: String): TextDedup.DedupIndex = {
+    graft.sources.ServingLayouts.invalidate(dir)
+    val idx = TextDedup.writeDedupIndex(
+      TextDedup.buildDedupIndex(corpusOf(spark, sfDir)), prefixOf(sfDir), dir)
+    graft.sources.ServingLayouts.markComplete(dir)
+    idx
+  }
+
+  /** Cross-process (or cross-session) reuse: re-declare the three
+    * bucket specs in THIS catalog over the stored files, then load.
+    */
+  private def reload(spark: SparkSession, sfDir: String,
+                     dir: String): TextDedup.DedupIndex = {
+    import graft.sources.Sources.registerBucketedTable
+    val prefix = prefixOf(sfDir)
+    val nb = spark.read.parquet(s"$dir/meta").head().getAs[Int]("n_buckets")
+    registerBucketedTable(spark, s"${prefix}_digests", s"$dir/digests", "__h1", nb)
+    registerBucketedTable(spark, s"${prefix}_buckets", s"$dir/buckets", "bucket", nb)
+    registerBucketedTable(spark, s"${prefix}_shingles", s"$dir/shingles", "doc_id", nb)
+    graft.sources.ServingLayouts.touch(dir)
+    TextDedup.loadDedupIndex(spark, prefix, dir)
+  }
+
   def servedIndex(spark: SparkSession, sfDir: String): TextDedup.DedupIndex =
-    cache.computeIfAbsent(sfDir, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_dedup_serve").toString
-      TextDedup.writeDedupIndex(
-        TextDedup.buildDedupIndex(corpusOf(spark, sfDir)), prefixOf(sfDir), dir)
+    cache.computeIfAbsent(s"${System.identityHashCode(spark)}:$sfDir", _ => {
+      val dir = graft.sources.ServingLayouts.dirFor("dedup", sfDir)
+      if (graft.sources.ServingLayouts.isComplete(dir))
+        try reload(spark, sfDir, dir)
+        catch { case scala.util.control.NonFatal(_) => build(spark, sfDir, dir) }
+      else build(spark, sfDir, dir)
     })
 
   /** [[TextDedup.dedupIncremental]] of the arriving batch against the

@@ -38,8 +38,10 @@ import java.nio.charset.StandardCharsets
   *    posture).
   *  - [[invalidate]] is the explicit story the reference lacks: it
   *    deletes only the `_cached_at` stamps, making every generation
-  *    STALE without removing data a lazy in-flight frame still needs —
-  *    the next read recomputes, in-flight reads complete.
+  *    STALE without immediately removing data a lazy in-flight frame
+  *    still needs — the next read recomputes; in-flight reads survive
+  *    up to two subsequent publishes (see [[invalidate]]'s retention
+  *    note).
   *
   * The cache is a correctness NO-OP by construction: every path
   * returns either the computed frame or a parquet round-trip of one.
@@ -69,15 +71,25 @@ object ResultCache {
   private def fsOf(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Read a generation's publish stamp. exists→open is NOT atomic and
+    * both the stamp (invalidate strips it) and the whole generation
+    * (GC of a superseded one) are legitimately deleted by concurrent
+    * callers, so ANY missing/unreadable state — not just a malformed
+    * payload — means "no stamp", never a thrown error: getOrCompute's
+    * contract is that concurrent racers each succeed.
+    */
   private def stampOf(spark: SparkSession, entry: Path): Option[Long] = {
     val fs = fsOf(spark, entry.toString)
     val stamp = new Path(entry, "_cached_at")
-    if (!fs.exists(stamp)) None
-    else {
-      val in = fs.open(stamp)
-      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong)
-      catch { case _: NumberFormatException => None }
-      finally in.close()
+    try {
+      if (!fs.exists(stamp)) None
+      else {
+        val in = fs.open(stamp)
+        try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong)
+        finally in.close()
+      }
+    } catch {
+      case _: NumberFormatException | _: java.io.IOException => None
     }
   }
 
@@ -151,9 +163,15 @@ object ResultCache {
 
   /** Mark every generation of `key` stale (read-after-write writers
     * call this on commit): only the `_cached_at` stamps are deleted,
-    * so the next [[getOrCompute]] recomputes while an in-flight lazy
-    * frame over the old data still collects. Returns true if any live
-    * stamp was removed.
+    * so the next [[getOrCompute]] recomputes without yanking data from
+    * under an in-flight lazy frame at that instant. Retention after an
+    * invalidate is BOUNDED, not indefinite: a stamp-stripped generation
+    * has no age, so once it is superseded at depth ≥ 2 the next publish
+    * reclaims it immediately (see [[getOrCompute]]'s GC note) — only
+    * the latest and previous-latest generations are retention-
+    * protected. Frames read before an invalidate must be drained
+    * promptly; they survive at most two subsequent publishes. Returns
+    * true if any live stamp was removed.
     */
   def invalidate(spark: SparkSession, cacheRoot: String, key: String): Boolean = {
     val fs = fsOf(spark, cacheRoot)

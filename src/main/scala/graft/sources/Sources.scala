@@ -378,4 +378,27 @@ object Sources {
       .bucketBy(nBuckets, bucketCol)
     sortCol.fold(w)(c => w.sortBy(c)).format("parquet").saveAsTable(table)
   }
+
+  /** Re-register an EXISTING bucketed parquet layout (files written by
+    * [[writeBucketed]] in some earlier process) in THIS catalog — the
+    * cross-JVM half of the bucketing story: the files carry their
+    * bucket ids in their names, but the bucket SPEC lives only in
+    * catalog metadata, so a fresh JVM must re-declare it before joins
+    * can skip the exchange. Schema is read from the parquet footers;
+    * the declared spec must match how the files were written or scans
+    * would be silently mis-bucketed — callers persist (bucketCol,
+    * nBuckets) alongside the layout (the serving meta tables do) and
+    * pass those stored values, never a guess.
+    */
+  def registerBucketedTable(spark: SparkSession, table: String, path: String,
+                            bucketCol: String, nBuckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val schema = spark.read.parquet(path).schema
+    val cols = schema.fields
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    spark.sql(
+      s"""CREATE TABLE `$table` ($cols) USING PARQUET
+         |CLUSTERED BY (`$bucketCol`) INTO $nBuckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+  }
 }

@@ -15,7 +15,10 @@ SPARK_GRAFT_BENCH_SKIP=dedup_ngram_jaccard,dedup_embedding \
 echo "[r8b] bench-sf1 done $(date -u +%H:%M:%S)"
 
 echo "[r8b] bench-sf10 start $(date -u +%H:%M:%S)"
-HEADLINERS=raw_station,latest_per_key,timeseries_bucket,q1_agg,q3_shipping,q5_local_supplier,q18_big_orders,q21_waiting_orders,events_sessionize_native,rollup_events,top_k_per_group_fast,ingest_pipeline,dedup_exact,dedup_minhash,dedup_simhash,span_dedup,dedup_clusters,knn_ivf,knn_ivf_pq,seq_pack,data_mix,epoch_shuffle,token_count,gopher_quality,lang_id
+# sf10 headliner set — MUST stay aligned with tools/r8_sf10.sh (the
+# documented artifact): the signature-collision dedup family is
+# excluded at sf10 as a generator artifact per SCALE.md §4.
+HEADLINERS=raw_station,latest_per_key,timeseries_bucket,q1_agg,q3_shipping,q5_local_supplier,q18_big_orders,q21_waiting_orders,events_sessionize_native,rollup_events,top_k_per_group_fast,ingest_pipeline,dedup_exact,span_dedup,knn_ivf,knn_ivf_pq,seq_pack,data_mix,epoch_shuffle,token_count,gopher_quality,lang_id
 SPARK_GRAFT_SF_DIR=/root/repo/data/sf10 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=64g \
 SPARK_GRAFT_BENCH_REPS=2 SPARK_GRAFT_BENCH_OUT=/tmp/bench_sf10.json \
 SPARK_GRAFT_BENCH_ONLY="$HEADLINERS" \

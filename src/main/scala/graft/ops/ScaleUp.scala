@@ -24,22 +24,53 @@ import org.apache.spark.sql.functions._
   *    duplicate of K−1 others, exploding near-dup candidate counts
   *    ~K× per row (quadratic pair growth) and turning every dedup
   *    operator's scaling curve into an artifact of the generator.
-  *    Instead documents/embeddings are regenerated from the measured
-  *    model of the driver's own data (same vocabulary, length law, dup
-  *    and near-dup injection rates, unit-norm random vectors), keyed
+  *    Documents/embeddings are generated from a statistical model keyed
   *    purely on (seed, id) — embarrassingly parallel, no driver-side
   *    RNG state, reproducible at any scale, like [[Generator]].
   *
-  * Measured model of the driver's documents (sf0.1, 5 000 docs):
-  * 30-word uniform vocabulary; word count uniform in [10,100];
-  * lang P(en)=0.41 and fr/de/es/zh ≈ 0.1475 each, independent of the
-  * text; sources src0..src19 uniform; ~5% of docs are NEAR-DUPS (a copy
-  * of an earlier doc with the rare token " dup" appended — 250/5 000
-  * docs contain "dup") and ~0.2% are EXACT dups of an earlier doc
-  * (8 dup groups / 5 000). Embeddings are 64-dim unit-norm isotropic
-  * random vectors (measured: ‖v‖=1±1e-7, within-label mean pairwise
-  * cos ≈ 0.003 — labels are NOT geometric clusters) with labels
-  * uniform in 0..9.
+  * The model (round 9, REALISTIC-SCALING revision). The r8 generator
+  * copied the driver's sf0.1 model literally — a 30-word uniform
+  * vocabulary and isotropic unit vectors — and the r8 scale campaign
+  * measured exactly why that cannot carry a scaling argument: 30 words
+  * give only 27 000 possible 3-shingles, so docs-per-shingle grows
+  * LINEARLY with the corpus (9.6 → 95.2 at ×10, SCALE.md §3) and every
+  * signature-collision candidate count grows ~n²/27 000; likewise
+  * isotropic 64-dim vectors put quadratic pair mass just above the
+  * 0.45 cosine threshold (std(cos) = 1/√64, so the 0.45 tail is a
+  * fixed 1.6e-4 of all n²/2 pairs). Real corpora do neither:
+  *
+  *  - **Documents follow Heaps' law + Zipf's law.** The vocabulary
+  *    grows with the corpus, V(N_tokens) = 8·√N_tokens (Heaps with
+  *    K=8, β=0.5 — mid-range of published English fits), and word
+  *    frequencies are Zipf(1) via the inverse-CDF trick
+  *    rank = ⌊V^u⌋−1 for uniform u (P(rank=k) ≈ 1/(k·lnV)). The head
+  *    of the rank order is a curated stopword+domain list
+  *    ([[HeadVocab]] — keeps the Stopwords/RequiredWords/Blockwords
+  *    hit rates of the analysis operators realistic); deeper ranks are
+  *    synthetic word forms. Docs-per-shingle therefore stays ~flat as
+  *    n grows (the shingle space outgrows the corpus), which is the
+  *    property that makes banded-LSH candidates ∝ true near-dups.
+  *    Word count stays uniform in [10,100]; lang P(en)=0.41,
+  *    fr/de/es/zh ≈ 0.1475 each, with per-language marker-word
+  *    injection (rate 0.06) so lang-ID heuristics see signal; sources
+  *    src0..src19 uniform. Dup injection keeps the driver's rates:
+  *    per 1000-id block, slots 950..997 (4.8%) are near-dups (source
+  *    doc + " dup" ⇒ Jaccard ≥ ~0.89) and 998..999 (0.2%) exact dups;
+  *    a dup inherits its SOURCE's language (real near-dups don't
+  *    switch language).
+  *  - **Embeddings are micro-clustered 256-dim unit vectors with
+  *    injected near-dups.** Members of 16-vector micro-clusters share
+  *    √0.2 of a common center (within-cluster cos ≈ 0.2 ± 1/16);
+  *    cross-cluster pairs are independent unit vectors whose cosine
+  *    concentrates as 1/√256 = 0.0625, putting the 0.45 threshold at
+  *    7.2σ — near-threshold background mass is ~zero at any SF
+  *    (vs 3.6σ = quadratic mass at d=64), so the ≥0.45 pair set is the
+  *    LINEAR injected-dup structure: per 1000-id block, slots 950..997
+  *    are perturbed copies of a block-local source (cos ≈ 0.92;
+  *    dup-dup siblings of one source ≈ 0.85) and 998..999 exact
+  *    copies. 256 dims is also simply the realistic regime (modern
+  *    text-embedding models are 256–4096-dim). Labels align with
+  *    micro-clusters (cluster mod 10) — a label is a topic, not noise.
   *
   * Output layout: each table is a DIRECTORY `<out>/<name>.parquet/`
   * of range-partitioned files clustered on its primary key (events on
@@ -79,41 +110,97 @@ object ScaleUp {
   private def keyBase(df: DataFrame, key: String): Long =
     df.agg(max(col(key))).head.getLong(0) + 1L
 
-  /** The 30-word vocabulary measured from the driver's documents (each
-    * ≈ 9 000 occurrences at sf0.1; "dup" is the near-dup marker token,
-    * not vocabulary). Includes the [[TrainingPrep.Blockwords]] "slow"
-    * so badword/quality filters see realistic hit rates.
+  /** The curated HEAD of the Zipf rank order: stopwords first (so
+    * [[TextAnalysis.Stopwords]] / RequiredWords / lang markers land at
+    * realistic frequencies — "the" draws P ≈ log2/logV ≈ 7%, like
+    * English), then the r8 generator's domain words (keeps the
+    * [[TrainingPrep.Blockwords]] "slow" hit rate for badword/quality
+    * filters). Ranks beyond the head render as synthetic forms
+    * "w<rank>" — Heaps-law tail vocabulary. "dup" stays the near-dup
+    * marker token, never vocabulary.
     */
-  val Vocab: Seq[String] = Seq(
+  val HeadVocab: Seq[String] = Seq(
+    "the", "a", "of", "and", "to", "in", "is", "it", "for", "on",
+    "with", "be", "that", "have",
     "spark", "window", "merge", "table", "column", "vector", "stream",
     "value", "data", "small", "join", "filter", "big", "group", "hash",
-    "customer", "sort", "order", "slow", "line", "part", "fast", "the",
-    "row", "agg", "key", "query", "a", "scan", "batch")
+    "customer", "sort", "order", "slow", "line", "part", "fast",
+    "row", "agg", "key", "query", "scan", "batch")
 
-  /** Word-salad text as a PURE function of (sid, seed): word count
-    * uniform in [10,100], each word an independent uniform draw from
-    * [[Vocab]]. Purity is what makes dup injection joinless — a dup's
-    * text is recomputed from its source id, not copied via a self-join.
+  /** Heaps' law: vocabulary size for an `nDocs`-document corpus
+    * (≈55 tokens/doc mean), V = 8·√N_tokens — so the 3-shingle space
+    * V³ outgrows the corpus and docs-per-shingle stays ~flat at any
+    * scale (measured: ScaleUpSpec's flatness test; the r8 fixed-30
+    * vocabulary saturated at 27 000 shingles and made collision
+    * candidates grow ~n², SCALE.md §3).
     */
-  private def textOf(sid: Column, seed: Long): Column = {
-    val vocabArr = array(Vocab.map(lit): _*)
+  def vocabSize(nDocs: Long): Int =
+    math.max(64, math.ceil(8.0 * math.sqrt(nDocs * 55.0)).toInt)
+
+  /** Uniform double in [0,1) keyed by (key, position, tag, seed). */
+  private def up(key: Column, i: Column, tag: Int, seed: Long): Column =
+    pmod(xxhash64(key, i, lit(tag), lit(seed)), lit(1L << 52)).cast("double") /
+      lit((1L << 52).toDouble)
+
+  /** Language label as a pure function of a doc id — shared by the
+    * original and its dups (a near-dup inherits its source's language).
+    */
+  private def langOf(id: Column, seed: Long): Column = {
+    val lu = u(id, 13, seed)
+    when(lu < 0.41, "en")
+      .when(lu < 0.5575, "fr")
+      .when(lu < 0.705, "de")
+      .when(lu < 0.8525, "es")
+      .otherwise("zh")
+  }
+
+  /** Zipf(1)-over-Heaps-vocabulary text as a PURE function of
+    * (sid, seed, corpus size): word count uniform in [10,100]; each
+    * position draws rank = ⌊V^u⌋−1 (inverse CDF of Zipf s=1), rendered
+    * from [[HeadVocab]] for head ranks and as "w<rank>" beyond; with
+    * probability 0.06 a position instead emits one of the doc's
+    * language's marker words ([[TextAnalysis.Markers]] — zh has no
+    * markers and skips injection). Purity is what makes dup injection
+    * joinless — a dup's text is recomputed from its source id, not
+    * copied via a self-join.
+    */
+  private def textOf(sid: Column, n: Long, seed: Long): Column = {
+    val v = vocabSize(n)
+    val headArr = array(HeadVocab.map(lit): _*)
     val wc = (pmod(xxhash64(sid, lit(10), lit(seed)), lit(91L)) + 10L).cast("int")
+    val lang = langOf(sid, seed)
+    def markerWord(i: Column): Column = {
+      val idx = (pmod(xxhash64(sid, i, lit(15), lit(seed)), lit(5L)) + 1L).cast("int")
+      def arr(l: String) = array(TextAnalysis.Markers(l).map(lit): _*)
+      when(lang === "en", element_at(arr("en"), idx))
+        .when(lang === "es", element_at(arr("es"), idx))
+        .when(lang === "de", element_at(arr("de"), idx))
+        .otherwise(element_at(arr("fr"), idx))
+    }
+    def zipfWord(i: Column): Column = {
+      // u strictly inside (0,1) so V^u ∈ (1,V) and rank ∈ [0, V-2]
+      val uu = (pmod(xxhash64(sid, i, lit(11), lit(seed)), lit(1L << 52)).cast("double") + 0.5) /
+        lit((1L << 52).toDouble)
+      val rank = (floor(pow(lit(v.toDouble), uu)) - 1.0).cast("long")
+      when(rank < HeadVocab.size,
+        element_at(headArr, (rank + 1L).cast("int")))
+        .otherwise(concat(lit("w"), rank))
+    }
     array_join(
       transform(sequence(lit(1), wc), i =>
-        element_at(vocabArr,
-          (pmod(xxhash64(sid, i, lit(11), lit(seed)), lit(Vocab.size.toLong)) + 1L)
-            .cast("int"))),
+        when(lang =!= "zh" && up(sid, i, 16, seed) < 0.06, markerWord(i))
+          .otherwise(zipfWord(i))),
       " ")
   }
 
-  /** Generate `n` documents with the measured driver model. Dup
-    * structure is blockwise: within each block of 1 000 ids, slots
-    * 0..949 are originals, 950..997 (4.8%) are near-dups (an original
-    * of the same block + " dup"), 998..999 (0.2%) exact dups — rates
-    * matching the measured 5% / 0.16%. Blocks make the source-doc
-    * choice local and joinless while keeping dup pairs spread across
-    * the whole id range like the driver's (pair distance is uniform
-    * within a block).
+  /** Generate `n` documents with the Heaps/Zipf model. Dup structure is
+    * blockwise: within each block of 1 000 ids, slots 0..949 are
+    * originals, 950..997 (4.8%) are near-dups (an original of the same
+    * block + " dup" — Jaccard ≥ ~0.89 at any length), 998..999 (0.2%)
+    * exact dups — the driver's measured 5% / 0.16% rates. Blocks make
+    * the source-doc choice local and joinless while keeping dup pairs
+    * spread across the whole id range (pair distance is uniform within
+    * a block).
     */
   def documents(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
     val id = col("doc_id")
@@ -125,43 +212,59 @@ object ScaleUp {
     val isNear = slot >= 950 && slot < 998
     val isExact = slot >= 998
     val sid = when(isNear || isExact, src).otherwise(id)
-    val text = when(isNear, concat(textOf(sid, seed), lit(" dup")))
-      .otherwise(textOf(sid, seed))
-    val lu = u(id, 13, seed)
-    val lang = when(lu < 0.41, "en")
-      .when(lu < 0.5575, "fr")
-      .when(lu < 0.705, "de")
-      .when(lu < 0.8525, "es")
-      .otherwise("zh")
+    val text = when(isNear, concat(textOf(sid, n, seed), lit(" dup")))
+      .otherwise(textOf(sid, n, seed))
     spark.range(n).select(col("id").as("doc_id"))
       .withColumn("text", text)
-      .withColumn("lang", lang)
+      .withColumn("lang", langOf(sid, seed))
       .withColumn("source",
         concat(lit("src"), pmod(xxhash64(id, lit(14), lit(seed)), lit(20L)).cast("string")))
       .withColumn("n_chars", length(col("text")))
   }
 
-  /** Generate `n` unit-norm isotropic random `dim`-vectors (Box-Muller
-    * gaussians from hash-uniforms, normalized in double, stored float —
-    * the driver's ‖v‖=1±1e-7 shape) with labels uniform in 0..9.
+  /** iid-N(0,1) `dim`-vector keyed by (key, tag) — Box-Muller from
+    * hash-uniforms; u1 in (0,1] so log(u1) is finite.
     */
-  def embeddings(spark: SparkSession, n: Long, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val id = col("vec_id")
-    val gauss = transform(sequence(lit(0), lit(dim - 1)), i => {
-      // u1 in (0,1] so log(u1) is finite; u2 in [0,1)
-      val u1 = (pmod(xxhash64(id, i, lit(20), lit(seed)), lit(1L << 52)).cast("double") + 1.0) /
+  private def gaussVec(key: Column, tag: Int, dim: Int, seed: Long): Column =
+    transform(sequence(lit(0), lit(dim - 1)), i => {
+      val u1 = (pmod(xxhash64(key, i, lit(tag), lit(seed)), lit(1L << 52)).cast("double") + 1.0) /
         lit((1L << 52).toDouble)
-      val u2 = pmod(xxhash64(id, i, lit(21), lit(seed)), lit(1L << 52)).cast("double") /
+      val u2 = pmod(xxhash64(key, i, lit(tag + 1), lit(seed)), lit(1L << 52)).cast("double") /
         lit((1L << 52).toDouble)
       sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
     })
+
+  /** Generate `n` unit-norm micro-clustered `dim`-vectors with injected
+    * near/exact dups (model rationale in the header scaladoc):
+    * base(k) = √0.2·center(⌊k/16⌋) + √0.8·noise(k); dup slots perturb
+    * their source's base by 0.42·noise (cos ≈ 1/√1.1764 ≈ 0.92), exact
+    * slots copy it. Everything is a pure function of (seed, id);
+    * normalization happens ONCE on the final raw vector, in double,
+    * stored float (‖v‖ = 1 ± 1e-7). Labels = micro-cluster mod 10.
+    */
+  def embeddings(spark: SparkSession, n: Long, dim: Int = 256, seed: Long = 42L): DataFrame = {
+    val id = col("vec_id")
+    val block = (id - pmod(id, lit(1000L)))
+    val slot = pmod(id, lit(1000L))
+    val origs = least(lit(950L), lit(n) - block)
+    val src = block + pmod(xxhash64(id, lit(12), lit(seed)), origs)
+    val isNear = slot >= 950 && slot < 998
+    val isExact = slot >= 998
+    val sid = when(isNear || isExact, src).otherwise(id)
+    val cluster = (sid / 16.0).cast("long") // ids ≪ 2^53: exact floor
+    val base = zip_with(
+      gaussVec(cluster, 20, dim, seed), gaussVec(sid, 24, dim, seed),
+      (c, g) => lit(math.sqrt(0.2)) * c + lit(math.sqrt(0.8)) * g)
+    val raw = when(isNear,
+        zip_with(base, gaussVec(id, 26, dim, seed), (b, p) => b + lit(0.42) * p))
+      .otherwise(base)
     spark.range(n).select(col("id").as("vec_id"))
-      .withColumn("__raw", gauss)
+      .withColumn("__raw", raw)
       .withColumn("__norm",
         sqrt(aggregate(col("__raw"), lit(0.0), (acc, x) => acc + x * x)))
       .withColumn("embedding",
         transform(col("__raw"), x => (x / col("__norm")).cast("float")))
-      .withColumn("label", pmod(xxhash64(id, lit(22), lit(seed)), lit(10L)).cast("int"))
+      .withColumn("label", pmod(cluster, lit(10L)).cast("int"))
       .select("vec_id", "embedding", "label")
   }
 

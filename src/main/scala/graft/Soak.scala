@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+
+/** Driver-soak gate: push thousands of mixed queries through ONE
+  * long-lived session and assert the driver's RSS PLATEAUS — the
+  * repeatable regression gate the r8 scale campaign's one-off finding
+  * called for (a 24g driver OOM'd at minute ~31 of the first sf1
+  * sweep: ContextCleaner backlog + status-store retention, fixed by
+  * the periodicGC/retention posture now in Bench/Verify; SCALE.md §4).
+  * This main re-runs that exposure class on demand so the fix can
+  * never silently regress: a reverted cleaner setting, a new
+  * cache/broadcast leak in an operator, or an unbounded serving cache
+  * all show up as monotone RSS growth here long before a multi-hour
+  * bench would find them.
+  *
+  * Methodology: a rotating mix of ~20 gated queries (scans, joins,
+  * window ops, broadcasts, the cached/serving paths — the block
+  * classes with driver-side lifecycle) runs `iters` times; RSS
+  * (/proc/self/status VmRSS — process truth, not JVM heap) is sampled
+  * every `sampleEvery` queries. The first third of samples is warmup
+  * (caches fill, codegen compiles, heap grows to steady state); the
+  * gate compares the LAST third's mean to the MIDDLE third's mean and
+  * fails if it grew more than `growthTol` (default 10%) — a plateau
+  * passes, monotone growth of the leak classes above does not (the
+  * r8 leak grew RSS ~60% per 1000 executions at sf1).
+  *
+  * Usage: `runMain graft.Soak [sfDir] [iters]`; env SPARK_GRAFT_CPUS,
+  * SPARK_GRAFT_SOAK_OUT (JSON result path), SPARK_GRAFT_SOAK_TOL.
+  * Exit 1 on gate failure. ~2000 queries ≈ 6 min at sf0.01/local[8].
+  */
+object Soak {
+
+  /** VmRSS in MiB from /proc/self/status — Linux-only, like the rest
+    * of the gate tooling. */
+  def rssMb(): Long = {
+    val line = scala.io.Source.fromFile("/proc/self/status").getLines()
+      .find(_.startsWith("VmRSS:")).getOrElse("VmRSS: 0 kB")
+    line.split("\\s+")(1).toLong / 1024
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val iters = if (args.length > 1) args(1).toInt else 2000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "soak_out.json")
+    val growthTol = sys.env.getOrElse("SPARK_GRAFT_SOAK_TOL", "0.10").toDouble
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      // the posture under test — the r8 OOM fix
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      .config("spark.sql.ui.retainedExecutions", "16")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "2000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // The mix: every driver-side block-lifecycle class is represented —
+    // broadcast joins (q3/q5/top_k), window ops (latest_per_key),
+    // result-cache hits (raw_station_cached), serving-layer caches
+    // (dedup_incremental, knn_ivf, ann families), plain scans/aggs.
+    // All are sub-second at sf0.01 so thousands fit in minutes.
+    val mixNames = Seq(
+      "q1_agg", "q3_shipping", "q5_local_supplier", "agg_station",
+      "raw_station", "raw_station_cached", "timeseries_station",
+      "latest_per_key", "top_k_per_group_fast", "rollup_events",
+      "events_dow_hour", "token_count", "text_stats", "lang_id",
+      "span_dedup", "doc_fingerprint", "multimodal_meta",
+      "sample_weighted", "knn_ivf", "dedup_incremental")
+    val mix = mixNames.map(n => n -> SparkEntry.queries(n))
+
+    val sampleEvery = math.max(1, iters / 200)
+    val samples = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var failures = 0
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < iters) {
+      val (name, fn) = mix(i % mix.size)
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable =>
+        failures += 1
+        System.err.println(s"[soak] $name failed at iter $i: ${e.getMessage}")
+      }
+      if (i % sampleEvery == 0) samples += ((i, rssMb()))
+      i += 1
+    }
+    val wallSec = (System.nanoTime() - t0) / 1e9
+
+    val rss = samples.map(_._2.toDouble).toSeq
+    val third = rss.size / 3
+    val mid = rss.slice(third, 2 * third)
+    val last = rss.drop(2 * third)
+    val midMean = mid.sum / math.max(1, mid.size)
+    val lastMean = last.sum / math.max(1, last.size)
+    val growth = lastMean / math.max(1.0, midMean) - 1.0
+    val plateau = growth <= growthTol
+    val ok = plateau && failures == 0
+
+    val json =
+      s"""{"metric":"soak_rss_plateau","ok":$ok,"iters":$iters,""" +
+      s""""failures":$failures,"wall_sec":${f"$wallSec%.1f"},""" +
+      s""""rss_mid_mb":${f"$midMean%.0f"},"rss_last_mb":${f"$lastMean%.0f"},""" +
+      s""""growth":${f"$growth%.4f"},"tolerance":$growthTol,""" +
+      s""""rss_first_mb":${rss.headOption.getOrElse(0.0).toLong},""" +
+      s""""rss_peak_mb":${rss.max.toLong},"sf":"$sfDir"}"""
+    println(json)
+    Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
+    spark.stop()
+    if (!ok) {
+      System.err.println(
+        s"[soak] GATE FAILED: growth=${f"$growth%.3f"} tol=$growthTol failures=$failures " +
+          "- driver memory does not plateau (see SCALE.md §4 for the leak classes this catches)")
+      sys.exit(1)
+    }
+  }
+}

@@ -154,7 +154,7 @@ object SparkEntry {
       TextDedup.spanDedupIncremental(index, docs.filter(col("doc_id") % 5 === 4))
     }),
     "dedup_ngram_jaccard" -> ((s, d) => TextDedup.ngramJaccard(Tables.documents(s, d))),
-    "dedup_minhash" -> ((s, d) => TextDedup.minhashLsh(Tables.documents(s, d))),
+    "dedup_minhash" -> ((s, d) => TextDedup.minhashLshAuto(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => TextDedup.simhashNearDups(Tables.documents(s, d))),
     "dedup_incremental" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -166,7 +166,7 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDups(Tables.embeddings(s, d))),
-    "dedup_embedding_lsh" -> ((s, d) => Similarity.embeddingNearDupsLsh(Tables.embeddings(s, d))),
+    "dedup_embedding_lsh" -> ((s, d) => Similarity.embeddingNearDupsLshAuto(Tables.embeddings(s, d))),
     "knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d))),
     "knn_lsh" -> ((s, d) => Similarity.knnLsh(Tables.embeddings(s, d))),
     // IVF family served from a prebuilt PERSISTED index (build-once /

@@ -538,7 +538,7 @@ object Corpus {
   def nearDupClusters(documents: DataFrame, hubSalts: Int = 16,
                       hubDegree: Long = 1000000L): DataFrame =
     clustersFromPairs(documents,
-      TextDedup.minhashLsh(documents).select(col("a_id"), col("b_id")),
+      TextDedup.minhashLshAuto(documents).select(col("a_id"), col("b_id")),
       hubSalts, hubDegree)
 
   /** Hub guard internals of [[clustersFromPairs]], exposed for the spec:

@@ -24,7 +24,7 @@ object Curation {
     val quality = TextAnalysis.qualityFilter(documents).select("doc_id")
     val exactDups = TextDedup.exact(documents)
       .filter(col("is_dup")).select("doc_id")
-    val nearDups = TextDedup.minhashLsh(documents)
+    val nearDups = TextDedup.minhashLshAuto(documents)
       .select(col("b_id").as("doc_id")) // keep the earlier doc of each pair
     val removed = exactDups.unionByName(nearDups).distinct()
     documents
@@ -129,7 +129,7 @@ object Curation {
       .select(col("doc_id"), lit(1).as("__q"))
     val exactDups = TextDedup.exact(documents).filter(col("is_dup"))
       .select(col("doc_id"), lit(1).as("__e"))
-    val nearDups = TextDedup.minhashLsh(documents)
+    val nearDups = TextDedup.minhashLshAuto(documents)
       .select(col("b_id").as("doc_id")).distinct()
       .withColumn("__n", lit(1))
     documents.select(col("doc_id"), col("source"))

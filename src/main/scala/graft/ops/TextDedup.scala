@@ -127,6 +127,19 @@ object TextDedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** [[minhashLsh]] with (bands, rows) DERIVED from the corpus size
+    * ([[LshGeometry.minhash]]): rows grow log₄ n to keep background
+    * collisions ∝ true dups, bands re-derived so the recall floor at
+    * the minimum dup Jaccard stays ≥ 1−1e-6. At driver-gate sizes
+    * (≤ ~6k docs) this is exactly the legacy (16, 4), so the strict
+    * oracle gates are bit-for-bit unchanged; at sf1/sf10 it is
+    * (18, 5)/(24, 7). The count is a parquet-metadata-sized job.
+    */
+  def minhashLshAuto(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val (bands, rows) = LshGeometry.minhash(documents.count())
+    minhashLsh(documents, bands, rows, threshold)
+  }
+
   /** Prebuilt dedup state over an accepted corpus, for incremental
     * (continuous-ingest) dedup: content digests for the exact gate,
     * minhash band buckets for the near-dup gate, and the shingle sets
@@ -138,6 +151,15 @@ object TextDedup {
     */
   case class DedupIndex(digests: DataFrame, buckets: DataFrame,
                         shingles: DataFrame, bands: Int, rows: Int)
+
+  /** [[buildDedupIndex]] with size-derived geometry (see
+    * [[minhashLshAuto]]); the derived (bands, rows) persist in the
+    * index meta, so incremental batches always match the build.
+    */
+  def buildDedupIndexAuto(corpus: DataFrame): DedupIndex = {
+    val (bands, rows) = LshGeometry.minhash(corpus.count())
+    buildDedupIndex(corpus, bands, rows)
+  }
 
   def buildDedupIndex(corpus: DataFrame, bands: Int = 16, rows: Int = 4): DedupIndex = {
     val sh = corpus
@@ -457,8 +479,9 @@ object TextDedup {
   * and reloads rather than serving dead frames.
   */
 object DedupServing {
-  import java.util.concurrent.ConcurrentHashMap
-  private val cache = new ConcurrentHashMap[String, TextDedup.DedupIndex]()
+  import graft.sources.{ServingLayouts, SessionCache}
+  import scala.util.control.NonFatal
+  private val cache = new SessionCache[(String, TextDedup.DedupIndex)]()
 
   /** Catalog-safe table prefix per sf-dir (bucketing metadata lives in
     * the catalog, so each corpus needs distinct table names). */
@@ -471,15 +494,6 @@ object DedupServing {
   private def corpusOf(spark: SparkSession, sfDir: String): DataFrame =
     graft.Tables.documents(spark, sfDir).filter(col("doc_id") % 5 =!= 4)
 
-  private def build(spark: SparkSession, sfDir: String,
-                    dir: String): TextDedup.DedupIndex = {
-    graft.sources.ServingLayouts.invalidate(dir)
-    val idx = TextDedup.writeDedupIndex(
-      TextDedup.buildDedupIndex(corpusOf(spark, sfDir)), prefixOf(sfDir), dir)
-    graft.sources.ServingLayouts.markComplete(dir)
-    idx
-  }
-
   /** Cross-process (or cross-session) reuse: re-declare the three
     * bucket specs in THIS catalog over the stored files, then load.
     */
@@ -491,18 +505,46 @@ object DedupServing {
     registerBucketedTable(spark, s"${prefix}_digests", s"$dir/digests", "__h1", nb)
     registerBucketedTable(spark, s"${prefix}_buckets", s"$dir/buckets", "bucket", nb)
     registerBucketedTable(spark, s"${prefix}_shingles", s"$dir/shingles", "doc_id", nb)
-    graft.sources.ServingLayouts.touch(dir)
     TextDedup.loadDedupIndex(spark, prefix, dir)
   }
 
-  def servedIndex(spark: SparkSession, sfDir: String): TextDedup.DedupIndex =
-    cache.computeIfAbsent(s"${System.identityHashCode(spark)}:$sfDir", _ => {
-      val dir = graft.sources.ServingLayouts.dirFor("dedup", sfDir)
-      if (graft.sources.ServingLayouts.isComplete(dir))
-        try reload(spark, sfDir, dir)
-        catch { case scala.util.control.NonFatal(_) => build(spark, sfDir, dir) }
-      else build(spark, sfDir, dir)
-    })
+  /** Stage-build the layout (never in place on the shared path — the
+    * r9 advisor's concurrent-overwrite find), atomically publish via
+    * [[ServingLayouts.acquire]], and register it in THIS catalog. If a
+    * stored layout exists but fails to reload here, build into a
+    * PRIVATE stage and serve that, leaving the shared dir untouched
+    * for whoever can still read it.
+    */
+  private def make(spark: SparkSession, sfDir: String): (String, TextDedup.DedupIndex) = {
+    def buildInto(stage: String): Unit = {
+      TextDedup.writeDedupIndex(
+        TextDedup.buildDedupIndexAuto(corpusOf(spark, sfDir)), prefixOf(sfDir), stage)
+      ()
+    }
+    val dir = ServingLayouts.acquire("dedup", sfDir)(buildInto)
+    try (dir, reload(spark, sfDir, dir))
+    catch {
+      case NonFatal(_) =>
+        val priv = ServingLayouts.privateStage("dedup", sfDir)
+        buildInto(priv)
+        ServingLayouts.markComplete(priv)
+        (priv, reload(spark, sfDir, priv))
+    }
+  }
+
+  def servedIndex(spark: SparkSession, sfDir: String): TextDedup.DedupIndex = {
+    val (dir, idx) = cache.getOrBuild(spark, sfDir)(make(spark, sfDir))
+    // liveness + staleness on EVERY serve: touch keeps vacuum away from
+    // a live layout; a vacuumed-under-us layout evicts and rebuilds
+    // instead of failing every later scan (r9 advisor's liveness find)
+    if (ServingLayouts.isComplete(dir)) { ServingLayouts.touch(dir); idx }
+    else {
+      cache.invalidate(sfDir)
+      val (d2, i2) = cache.getOrBuild(spark, sfDir)(make(spark, sfDir))
+      ServingLayouts.touch(d2)
+      i2
+    }
+  }
 
   /** [[TextDedup.dedupIncremental]] of the arriving batch against the
     * served (persisted, bucketed) corpus index. */

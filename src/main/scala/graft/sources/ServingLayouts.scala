@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
 
 /** Stable on-disk homes for serving-layer index layouts (the persisted
   * artifacts behind AnnServing / DedupServing — cf. the reference's
@@ -17,23 +17,33 @@ import java.nio.file.{Files, Path, Paths}
   *
   * {{{ <java.io.tmpdir>/graft-serve-<user>/<kind>-<md5(corpus).12> }}}
   *
-  * Lifecycle contract:
-  *  - Builders stage into the directory and call [[markComplete]] LAST;
-  *    readers treat the layout as reusable only when the marker exists
-  *    (a crashed half-build is rebuilt, never trusted).
-  *  - [[touch]] on every reuse keeps the marker's mtime fresh, so
-  *    [[vacuum]] (age-based reclaim of whole layout dirs) only removes
-  *    layouts no process has served from within the retention window —
-  *    the same owner-cadence retention trade as SnapshotTable.vacuum
-  *    and vacuumIvfVersions.
+  * Lifecycle contract (round-10 hardening — the r9 advisor found the
+  * build-in-place protocol racy across processes):
+  *  - [[acquire]] is the one write path: a builder stages the layout
+  *    into a unique `.stage-*` sibling, marks it complete, then
+  *    ATOMICALLY renames it onto the stable path. Two processes that
+  *    race both build privately; exactly one rename wins, the loser
+  *    discards its stage and serves the winner's files. No reader can
+  *    ever observe a half-built or mixed stable directory, because the
+  *    stable path only ever appears fully-formed via rename(2).
+  *  - The `_layout_complete` marker is written inside the stage BEFORE
+  *    the rename, so on the stable path "dir exists" and "complete"
+  *    coincide; the marker's remaining job is the [[vacuum]] liveness
+  *    stamp: [[touch]] on EVERY serve (not just first load — the r9
+  *    advisor's second find) keeps it fresh, so vacuum only reclaims
+  *    layouts no process has served from within the retention window.
+  *  - A crashed build leaves only a `.stage-*` dir, which ages out by
+  *    its own mtime; the stable path is never debris.
   *
-  * Layout dirs are keyed by (corpus directory, its mtime): rewriting a
-  * table inside the corpus dir updates the dir's mtime (overwrite
-  * replaces the table subdir), which moves the layout home — so a
-  * REGENERATED corpus can never be served from the previous content's
-  * index, and the superseded layout ages out via [[vacuum]]. Growth is
-  * bounded: one dir per (kind, corpus version), regardless of how many
-  * gate/bench/test processes run.
+  * Layout dirs are keyed by (corpus directory, content stamp). The
+  * stamp is the max mtime across the corpus dir AND its direct
+  * children (r9 advisor: a rewrite INSIDE `<table>.parquet/` bumps the
+  * subdir's mtime but not the corpus dir's), so any regeneration —
+  * whole-table overwrite, append, compaction — moves the layout home
+  * and the superseded layout ages out via [[vacuum]]. An unreadable
+  * corpus path fails loudly instead of silently collapsing versions.
+  * Growth is bounded: one dir per (kind, corpus version), regardless
+  * of how many gate/bench/test processes run.
   */
 object ServingLayouts {
 
@@ -48,70 +58,179 @@ object ServingLayouts {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
 
+  /** Content-version stamp of the corpus: max mtime over the directory
+    * and its direct children. One `stat` per table — driver-sized.
+    * Fails loudly on an unreadable corpus so two corpus versions can
+    * never silently share a layout under a defaulted stamp.
+    */
+  private def stampOf(corpusDir: String): Long = {
+    val p = Paths.get(corpusDir)
+    val top =
+      try Files.getLastModifiedTime(p).toMillis
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalArgumentException(
+            s"ServingLayouts: corpus dir unreadable: $corpusDir", e)
+      }
+    if (!Files.isDirectory(p)) top
+    else {
+      val s = Files.list(p)
+      try {
+        val kids = s.toArray.toSeq.map { c =>
+          try Files.getLastModifiedTime(c.asInstanceOf[Path]).toMillis
+          catch { case _: java.io.IOException => 0L }
+        }
+        (top +: kids).max
+      } finally s.close()
+    }
+  }
+
+  private def stablePathOf(kind: String, corpusDir: String): Path =
+    root.resolve(s"$kind-${digest(s"$corpusDir@${stampOf(corpusDir)}")}")
+
   /** The stable layout directory for (kind, corpusDir) — created if
-    * absent, same path in every JVM while the corpus dir's content
-    * version (mtime) is unchanged.
+    * absent, same path in every JVM while the corpus content version
+    * (stamp) is unchanged. Prefer [[acquire]] for build-or-reuse; this
+    * remains the home for stores with their own internal atomicity
+    * (the versioned IVF store publishes versions atomically inside it).
     */
   def dirFor(kind: String, corpusDir: String): String = {
-    val stamp =
-      try Files.getLastModifiedTime(Paths.get(corpusDir)).toMillis.toString
-      catch { case _: java.io.IOException => "0" }
-    val d = root.resolve(s"$kind-${digest(s"$corpusDir@$stamp")}")
+    val d = stablePathOf(kind, corpusDir)
     Files.createDirectories(d)
     d.toString
   }
+
+  /** Get-or-build with cross-process safety: returns a directory that
+    * holds a COMPLETE layout. If the stable path is already complete,
+    * it is touched and reused. Otherwise `build` runs against a unique
+    * staging sibling, the marker is written, and the stage is renamed
+    * atomically onto the stable path; if another process won the
+    * rename race, this builder's stage is discarded and the winner's
+    * layout served. If the rename fails against pre-protocol debris
+    * that cannot be replaced, the private stage itself is served (and
+    * later reclaimed by [[vacuum]]) — never an overwrite of a shared
+    * live directory.
+    */
+  def acquire(kind: String, corpusDir: String)(build: String => Unit): String = {
+    val stable = stablePathOf(kind, corpusDir)
+    Files.createDirectories(stable.getParent)
+    if (isComplete(stable.toString)) { touch(stable.toString); return stable.toString }
+    val stage = newStage(stable)
+    Files.createDirectories(stage)
+    try {
+      build(stage.toString)
+      markComplete(stage.toString)
+    } catch {
+      case e: Throwable => deleteRecursively(stage); throw e
+    }
+    try {
+      Files.move(stage, stable, StandardCopyOption.ATOMIC_MOVE)
+      stable.toString
+    } catch {
+      case _: java.nio.file.FileSystemException => // exists / not empty / busy
+        if (isComplete(stable.toString)) {
+          // a concurrent builder won the publish race — serve its layout
+          deleteRecursively(stage)
+          touch(stable.toString)
+          stable.toString
+        } else {
+          // incomplete debris at the stable path (crashed pre-rename
+          // protocol): try once to clear and claim it, else serve the
+          // private stage rather than overwrite a dir others may read
+          try {
+            deleteRecursively(stable)
+            Files.move(stage, stable, StandardCopyOption.ATOMIC_MOVE)
+            stable.toString
+          } catch {
+            case _: java.nio.file.FileSystemException => stage.toString
+          }
+        }
+    }
+  }
+
+  /** A fresh private staging dir next to the stable path — for builds
+    * that must NOT touch the shared layout (e.g. the stored layout
+    * exists but failed to reload in this catalog). Reclaimed by
+    * [[vacuum]] like any layout dir.
+    */
+  def privateStage(kind: String, corpusDir: String): String = {
+    val d = newStage(stablePathOf(kind, corpusDir))
+    Files.createDirectories(d)
+    d.toString
+  }
+
+  private def newStage(stable: Path): Path =
+    stable.resolveSibling(
+      stable.getFileName.toString + ".stage-" +
+        java.util.UUID.randomUUID().toString.take(8))
 
   /** True iff a prior build finished (marker present). */
   def isComplete(dir: String): Boolean =
     Files.exists(Paths.get(dir, Marker))
 
   /** Publish the layout as reusable — call only after every file of the
-    * layout is on disk.
+    * layout is on disk. Idempotent and race-safe: a marker that already
+    * exists is the desired end state.
     */
   def markComplete(dir: String): Unit = {
-    val m = Paths.get(dir, Marker)
-    if (!Files.exists(m)) Files.createFile(m)
+    try Files.createFile(Paths.get(dir, Marker))
+    catch { case _: FileAlreadyExistsException => () }
     touch(dir)
   }
 
   /** Strip the marker before a rebuild overwrites the layout in place,
-    * so no other process trusts a half-overwritten directory.
+    * so no other process trusts a half-overwritten directory. (With
+    * [[acquire]] in-place overwrites no longer happen on stable paths;
+    * retained for stores with internal atomicity and for tests.)
     */
   def invalidate(dir: String): Unit =
     Files.deleteIfExists(Paths.get(dir, Marker))
 
-  /** Refresh the marker mtime so [[vacuum]] sees the layout as live. */
+  /** Refresh the marker mtime so [[vacuum]] sees the layout as live.
+    * Called on EVERY serve (cheap: one utimensat), not just first load,
+    * so a long-lived server's layout can never age out under it.
+    */
   def touch(dir: String): Unit = {
     val m = Paths.get(dir, Marker)
-    if (Files.exists(m))
-      Files.setLastModifiedTime(m,
-        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    try {
+      if (Files.exists(m))
+        Files.setLastModifiedTime(m,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    } catch { case _: java.io.IOException => () } // raced with a vacuum: next serve revalidates
   }
 
   /** Reclaim layout dirs not served from within `maxAgeMs` (marker
-    * mtime too old) — and half-built dirs with NO marker older than
-    * `maxAgeMs` by directory mtime (a crashed build's debris). Returns
-    * the number of layout dirs deleted. Safe to run on the owner's
-    * cadence; a concurrent reader of a reclaimed layout fails its next
-    * scan and rebuilds — same trade as every retention GC in the repo.
+    * mtime too old) — and stage/half-built dirs with NO marker older
+    * than `maxAgeMs` by directory mtime (a crashed build's debris).
+    * Returns the number of layout dirs deleted. Safe to run on the
+    * owner's cadence; serving caches revalidate the marker on every
+    * serve and rebuild if a vacuum raced them — same trade as every
+    * retention GC in the repo.
     */
   def vacuum(maxAgeMs: Long, nowMs: Long = System.currentTimeMillis()): Int = {
     if (!Files.exists(root)) return 0
-    val dirs = Files.list(root).toArray.toSeq.map(_.asInstanceOf[Path])
-      .filter(Files.isDirectory(_))
+    val s = Files.list(root)
+    val dirs =
+      try s.toArray.toSeq.map(_.asInstanceOf[Path]).filter(Files.isDirectory(_))
+      finally s.close()
     var deleted = 0
     dirs.foreach { d =>
       val marker = d.resolve(Marker)
       val stampPath = if (Files.exists(marker)) marker else d
-      val age = nowMs - Files.getLastModifiedTime(stampPath).toMillis
+      val age =
+        try nowMs - Files.getLastModifiedTime(stampPath).toMillis
+        catch { case _: java.io.IOException => 0L } // vanished under us: skip
       if (age > maxAgeMs) { deleteRecursively(d); deleted += 1 }
     }
     deleted
   }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).toArray.toSeq.map(_.asInstanceOf[Path]).foreach(deleteRecursively)
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.toArray.toSeq.map(_.asInstanceOf[Path]).foreach(deleteRecursively)
+      finally s.close()
+    }
     Files.deleteIfExists(p)
   }
 }

@@ -85,6 +85,85 @@ class ServingLayoutsSpec extends SparkSpec {
     assert(joined.count() === 50)
   }
 
+  test("stamp includes table subdirs: rewriting INSIDE a table dir moves the layout home") {
+    val corpus = Files.createTempDirectory("graft_sl_sub").toString
+    val table = Files.createDirectory(Paths.get(corpus, "documents.parquet"))
+    val a = ServingLayouts.dirFor("t", corpus)
+    // an append/compaction that only touches files INSIDE the table dir
+    // bumps the SUBDIR's mtime, not the corpus dir's — must still move
+    Files.setLastModifiedTime(table,
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(table).toMillis + 60000))
+    val b = ServingLayouts.dirFor("t", corpus)
+    assert(b != a, "a table rewritten in place must not be served from the old index")
+  }
+
+  test("an unreadable corpus dir fails loudly instead of sharing a defaulted layout") {
+    intercept[IllegalArgumentException] {
+      ServingLayouts.dirFor("t", "/nonexistent/graft/corpus/path")
+    }
+  }
+
+  test("acquire: racing builders publish exactly one complete layout; the loser serves the winner's") {
+    val corpus = Files.createTempDirectory("graft_sl_race").toString
+    val started = new java.util.concurrent.CountDownLatch(2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (1 to 2).map { i =>
+      new Thread(() => {
+        val dir = ServingLayouts.acquire("race", corpus) { stage =>
+          started.countDown()
+          started.await() // both builders in flight simultaneously
+          Files.write(Paths.get(stage, "data"), s"builder$i".getBytes)
+          Thread.sleep(50)
+          Files.write(Paths.get(stage, "owner"), s"builder$i".getBytes)
+        }
+        results.add(dir)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    val dirs = results.toArray(Array.empty[String])
+    assert(dirs.length === 2)
+    dirs.foreach { d =>
+      assert(ServingLayouts.isComplete(d), s"served dir must be complete: $d")
+      // never a mixed build: data and owner must come from the SAME builder
+      val data = new String(Files.readAllBytes(Paths.get(d, "data")))
+      val owner = new String(Files.readAllBytes(Paths.get(d, "owner")))
+      assert(data === owner, s"mixed layout served: data=$data owner=$owner")
+    }
+  }
+
+  test("acquire reuses a completed layout without re-running the build") {
+    val corpus = Files.createTempDirectory("graft_sl_reuse").toString
+    var builds = 0
+    val a = ServingLayouts.acquire("ru", corpus) { stage =>
+      builds += 1; Files.write(Paths.get(stage, "data"), "x".getBytes)
+    }
+    val b = ServingLayouts.acquire("ru", corpus) { _ =>
+      builds += 1; fail("a complete layout must be reused, not rebuilt")
+    }
+    assert(a === b)
+    assert(builds === 1)
+  }
+
+  test("DedupServing touches the marker on EVERY serve and rebuilds if the layout is vacuumed under it") {
+    val first = DedupServing.dedupIncremental(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    val dir = ServingLayouts.dirFor("dedup", sfDir)
+    // simulate a long-idle marker, then a cache-hit serve: liveness must refresh
+    Files.setLastModifiedTime(Paths.get(dir, "_layout_complete"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10000000))
+    DedupServing.dedupIncremental(spark, sfDir).count()
+    val age = System.currentTimeMillis() -
+      Files.getLastModifiedTime(Paths.get(dir, "_layout_complete")).toMillis
+    assert(age < 5000000, "a cache-hit serve must refresh the vacuum-liveness marker")
+    // simulate a vacuum racing the live server: files gone, marker gone
+    ServingLayouts.vacuum(maxAgeMs = -1) // everything is 'idle'
+    assert(!Files.exists(Paths.get(dir)), "vacuum reclaimed the layout")
+    val rebuilt = DedupServing.dedupIncremental(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rebuilt === first, "a vacuumed layout must be rebuilt, not served from dead frames")
+  }
+
   test("DedupServing: a NEW session reloads the stored layout and serves identical survivors") {
     val first = DedupServing.dedupIncremental(spark, sfDir)
       .select("doc_id").as[Long].collect().toSet

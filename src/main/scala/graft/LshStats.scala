@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.Hashes
+import graft.ops.{LshGeometry, Similarity, TextDedup}
+
+/** Scale-campaign diagnostic: measure the LSH CANDIDATE load against
+  * the TRUE near-dup load for a corpus — the number the size-derived
+  * geometry story stands on. The r8 campaign could only reason about
+  * candidate growth indirectly (via query wall-times over the
+  * saturated 30-word corpus); this main measures it directly so
+  * SCALE.md can assert "banded candidates ∝ true dups" with data:
+  *
+  *   - minhash: distinct candidate pairs from the derived band-bucket
+  *     index vs verified pairs at Jaccard ≥ 0.5, plus docs-per-shingle
+  *     (the Heaps-law flatness witness — the r8 corpus measured 9.6 →
+  *     95.2 across one decade; a Heaps corpus must stay ~flat);
+  *   - hyperplane: distinct candidate pairs from the derived geometry
+  *     vs verified pairs at cosine ≥ 0.45.
+  *
+  * Prints ONE JSON line; `runMain graft.LshStats <sfDir> [out.json]`.
+  * Candidate counting uses the same public kernels as the operators
+  * (bucket join on ids only), so the measured load is the operators'
+  * actual shuffle load, not a proxy.
+  */
+object LshStats {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // ---- minhash side ----
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.count()
+    val (mBands, mRows) = LshGeometry.minhash(nDocs)
+    val shingles = docs
+      .withColumn("shingles", Hashes.shingleHashes(
+        split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "), 3))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("shingles"))
+    val docsPerShingle = shingles
+      .select(explode(col("shingles")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("c"))
+      .agg(avg(col("c")).as("a"), count(lit(1)).as("nsh"))
+      .head()
+    val buckets = shingles
+      .withColumn("minhash", Hashes.minhashSig(col("shingles"), mBands * mRows))
+      .select(col("doc_id"),
+        explode(Hashes.bandKeys(col("minhash"), mBands, mRows)).as("bucket"))
+    val mCand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct().count()
+    val mTrue = TextDedup.minhashLsh(docs, mBands, mRows).count()
+
+    // ---- hyperplane side ----
+    val emb = Tables.embeddings(spark, sfDir)
+    val nVecs = emb.count()
+    val (hBands, hBits) = LshGeometry.hyperplane(nVecs)
+    val base = Similarity.prepared(emb)
+    val vb = base.select(col("vec_id"),
+      explode(graft.functions.VectorOps.hyperplaneBands(col("v"), hBands, hBits)).as("bucket"))
+    val hCand = vb.as("a")
+      .join(vb.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct().count()
+    val hTrue = Similarity.embeddingNearDupsLsh(emb, 0.45, hBands, hBits).count()
+
+    def ratio(c: Long, t: Long): Double = c.toDouble / math.max(1L, t)
+    val json =
+      s"""{"metric":"lsh_candidate_load","sf":"$sfDir","n_docs":$nDocs,""" +
+      s""""minhash_geometry":[$mBands,$mRows],"minhash_candidates":$mCand,""" +
+      s""""minhash_true":$mTrue,"minhash_cand_per_true":${f"${ratio(mCand, mTrue)}%.1f"},""" +
+      s""""docs_per_shingle":${f"${docsPerShingle.getDouble(0)}%.2f"},""" +
+      s""""distinct_shingles":${docsPerShingle.getLong(1)},""" +
+      s""""n_vecs":$nVecs,"hyperplane_geometry":[$hBands,$hBits],""" +
+      s""""hyperplane_candidates":$hCand,"hyperplane_true":$hTrue,""" +
+      s""""hyperplane_cand_per_true":${f"${ratio(hCand, hTrue)}%.1f"}}"""
+    println(json)
+    args.lift(1).foreach(p => java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(p), json + "\n"))
+    spark.stop()
+  }
+}

@@ -32,9 +32,37 @@ object VectorKernels {
     acc
   }
 
+  /** Plane-sign tables for [[hyperplaneBands]], cached per (planes,
+    * dims): the ±1 entries depend only on (plane, dim), but the first
+    * implementation recomputed the mix64 parity PER ROW — at the
+    * size-derived sf1 geometry (102×14 planes, 256 dims) that is 365k
+    * hash calls per vector, measured as ~2 min of single-core work for
+    * one 20k-vector corpus. The table is ~3 MB, built once per JVM per
+    * geometry, read-only across executor threads.
+    */
+  private val signTables =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+
+  private def signTable(planes: Int, dims: Int): Array[Double] =
+    signTables.computeIfAbsent((planes, dims), { case (p, d) =>
+      val t = new Array[Double](p * d)
+      var j = 0
+      while (j < p) {
+        var i = 0
+        while (i < d) {
+          t(j * d + i) =
+            if ((HashKernels.mix64(i.toLong * 0x1fffffL + j) & 1L) == 0L) 1.0 else -1.0
+          i += 1
+        }
+        j += 1
+      }
+      t
+    })
+
   /** See [[HyperplaneBands]]. */
   def hyperplaneBands(v: ArrayData, bands: Int, bitsPerBand: Int): ArrayData = {
     val dims = v.numElements()
+    val signs = signTable(bands * bitsPerBand, dims)
     val keys = new Array[Long](bands)
     var g = 0
     while (g < bands) {
@@ -44,9 +72,9 @@ object VectorKernels {
         val j = g * bitsPerBand + b
         var proj = 0.0
         var i = 0
+        val off = j * dims
         while (i < dims) {
-          val sign = if ((HashKernels.mix64(i.toLong * 0x1fffffL + j) & 1L) == 0L) 1.0 else -1.0
-          proj += v.getDouble(i) * sign
+          proj += v.getDouble(i) * signs(off + i)
           i += 1
         }
         if (proj > 0) key |= (1L << b)

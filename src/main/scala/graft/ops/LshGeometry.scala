@@ -22,21 +22,16 @@ package graft.ops
   *
   * '''Random-hyperplane (cosine) banding''' — b bands of k sign bits;
   * p_bit(c) = 1 − acos(c)/π, band collision p_bit^k. Here the band key
-  * space IS 2^k, so k must grow as log2(n/occupancy) to keep bucket
-  * occupancy (and with it the n²/2^k background candidate mass)
-  * bounded; bands are re-derived for the recall target at the
-  * verification threshold, under a hard cost cap (bands·bits planes
-  * per vector). Past the cap the floor at the THRESHOLD honestly
-  * degrades — by design: at 0.45 cosine the LSH exponent
-  * ρ = ln(1/p1)/ln(1/p2) ≈ 0.63 makes threshold-recall exponentially
-  * expensive at scale, while real corpora put true near-dups at
-  * 0.85+, where the same geometry's floor stays ≈ 1 (report both with
-  * [[hyperplaneRecall]]; the scale gate measures recall against the
-  * exact oracle and asserts the dup-level floor).
+  * space IS 2^k, so k must grow ~log₂ n to keep the n²·b/2^k
+  * background candidate mass bounded, and b is re-derived for the
+  * recall target at the corpus's TRUE-DUP similarity (0.85) — not at
+  * the 0.45 verification threshold, where the LSH exponent ρ ≈ 0.63
+  * makes near-1 recall cost ~n^1.63 (see [[hyperplane]] for the
+  * measured failure and the two-regime rule).
   *
   * The constants are anchored so the DRIVER-gate corpora reproduce the
   * r1–r9 hand-tuned geometries exactly — (16, 4) minhash below ~6k
-  * docs, (32, 4) hyperplane below ~800 vectors — so every strict
+  * docs, (32, 4) hyperplane up to 4k vectors — so every strict
   * oracle gate keeps its measured behavior, and the formula only
   * changes what was never gate-locked: the geometry at scale.
   */
@@ -77,24 +72,48 @@ object LshGeometry {
     (bands, rows)
   }
 
-  /** (bands, bitsPerBand) for an n-vector corpus.
+  /** (bands, bitsPerBand) for an n-vector corpus. Two regimes, because
+    * hyperplane LSH at a 0.45 cosine threshold has exponent
+    * ρ = ln(1/p₁)/ln(1/p₂) ≈ 0.63 — maintaining near-1 recall AT the
+    * threshold while suppressing background collisions costs ~n^1.63,
+    * worse than the broadcast all-pairs scan it is meant to replace
+    * (measured: a threshold-targeted 128×9 geometry produced ~50 M
+    * background candidates on 20 k vectors — 26% of ALL pairs):
     *
-    * bits = max(4, ⌈log₂(n/occupancy)⌉) keeps expected bucket
-    * occupancy (and the n²/2^bits background candidate mass per band)
-    * bounded; bands = smallest b with recall ≥ 1−targetMiss at the
-    * verification `threshold`, capped at `maxBands` (the per-vector
-    * cost ceiling — past it the threshold floor degrades honestly
-    * while the 0.85+ true-dup floor stays ≈ 1; see the header).
-    * targetMiss = 0.002 anchors bits=4 → bands=32, the r1–r9 geometry,
-    * so sub-800-vector (driver-gate) corpora are unchanged.
+    *  - '''n ≤ smallN (4 000)''': the legacy (32, 4). Near-all-pairs
+    *    candidate mass is cheap at this size, and the strict-equality
+    *    oracle gates (which include genuinely threshold-adjacent pairs
+    *    in the isotropic driver corpora) keep their measured ~0.998
+    *    per-pair floor. Driver-gate behavior is bit-for-bit r1–r9.
+    *  - '''n > smallN''': geometry solves the coupled system
+    *    bits = ⌈log₂(bands·n / candPerVec)⌉ (expected BACKGROUND
+    *    candidates per vector ≈ bands·n/2^bits stays ≤ candPerVec,
+    *    since a random pair's per-bit collision odds are ~1/2) and
+    *    bands = ⌈ln(1/miss)/−ln(1−p_bit(dupSim)^bits)⌉ (recall ≥
+    *    1−targetMiss at the corpus's true-dup similarity level), to a
+    *    fixed point, bands capped at `maxBands`. The 0.45-threshold
+    *    floor honestly degrades (report it with [[hyperplaneRecall]]);
+    *    the scale contract — what check_lsh_recall.py asserts against
+    *    the exact oracle — is the dup-level floor, which this keeps ≥
+    *    1−targetMiss while candidates stay ∝ n, not n². At sf1/sf10
+    *    this lands (102, 14)/(225, 18).
     */
-  def hyperplane(n: Long, threshold: Double = 0.45,
-                 targetMiss: Double = 0.002, occupancy: Int = 50,
-                 maxBands: Int = 128): (Int, Int) = {
-    val bits = math.max(4, math.ceil(math.log(n / occupancy.toDouble) / math.log(2.0)).toInt)
-    val pBand = math.pow(pBit(threshold), bits)
-    val bands = math.min(maxBands,
-      math.max(1, math.ceil(math.log(1.0 / targetMiss) / -math.log1p(-pBand)).toInt))
+  def hyperplane(n: Long, dupSim: Double = 0.85,
+                 targetMiss: Double = 0.001, candPerVec: Int = 200,
+                 smallN: Long = 4000, maxBands: Int = 256): (Int, Int) = {
+    if (n <= smallN) return (32, 4)
+    var bands = 32
+    var bits = 4
+    var i = 0
+    while (i < 8) { // fixed point in ≤4 iterations at any realistic n
+      val newBits = math.max(4,
+        math.ceil(math.log(bands.toDouble * n / candPerVec) / math.log(2.0)).toInt)
+      val pBand = math.pow(pBit(dupSim), newBits)
+      val newBands = math.min(maxBands,
+        math.max(1, math.ceil(math.log(1.0 / targetMiss) / -math.log1p(-pBand)).toInt))
+      if (newBits == bits && newBands == bands) i = 8
+      else { bits = newBits; bands = newBands; i += 1 }
+    }
     (bands, bits)
   }
 }

@@ -104,7 +104,15 @@ object Similarity {
     */
   def embeddingNearDupsLsh(embeddings: DataFrame, threshold: Double = 0.45,
                            bands: Int = 32, bitsPerBand: Int = 4): DataFrame = {
+    // Repartition BEFORE the per-row signature kernel: its cost is
+    // planes×dims per vector, and scan parallelism is otherwise file
+    // parallelism — a corpus that arrives as one modest parquet file
+    // (20k vectors ≈ 20 MB at sf1) would run the whole kernel in ONE
+    // task (measured: ~2 min single-core at the sf1 geometry). The
+    // shuffle moves id+vector once — trivia next to the kernel — and
+    // on a real many-file corpus it is a cheap no-op-shaped rebalance.
     val base = prepared(embeddings)
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
     val buckets = base.select(col("vec_id"),
       explode(VectorOps.hyperplaneBands(col("v"), bands, bitsPerBand)).as("bucket"))
     val pairs = buckets.as("a")
@@ -112,11 +120,21 @@ object Similarity {
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
+    // Verification joins are HINTED shuffle-hash: the probe side is the
+    // candidate-pair stream (ids only, 16 bytes/row), the build side the
+    // vector table. Left to itself Spark picks sort-merge once the
+    // vector side outgrows the broadcast threshold (~20k × 256-dim was
+    // enough), and an SMJ must SORT the candidate stream WITH its 2 KB
+    // vector payloads — measured as ~100 GB of sort spill at sf1, 12+
+    // minutes for this one query. Shuffle-hash moves each candidate id
+    // once and each vector once, never sorts payloads; that is the
+    // shape that survives 100 TB (where the vector side is partitioned,
+    // not broadcastable).
     pairs
       .join(base.select(col("vec_id").as("a_id"), col("v").as("va"),
-        col("norm2").as("na2")), Seq("a_id"))
+        col("norm2").as("na2")).hint("shuffle_hash"), Seq("a_id"))
       .join(base.select(col("vec_id").as("b_id"), col("v").as("vb"),
-        col("norm2").as("nb2")), Seq("b_id"))
+        col("norm2").as("nb2")).hint("shuffle_hash"), Seq("b_id"))
       .withColumn("cos_raw", cosRaw(col("va"), col("vb"), col("na2"), col("nb2")))
       .filter(col("cos_raw") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos_raw"), 4).as("cos_sim"))
@@ -124,17 +142,17 @@ object Similarity {
   }
 
   /** [[embeddingNearDupsLsh]] with (bands, bitsPerBand) DERIVED from
-    * the corpus size ([[LshGeometry.hyperplane]]): bits grow
-    * log₂(n/occupancy) so bucket occupancy — and with it the n²/2^bits
-    * background candidate mass — stays bounded; bands are re-derived
-    * for the recall target at the threshold under the per-vector cost
-    * cap. At driver-gate sizes (≤ ~800 vectors) this is exactly the
-    * legacy (32, 4), so the strict oracle gates are unchanged; at
-    * sf0.1/sf1/sf10 it is (81, 6)/(128, 9)/(128, 12). Past the bands
-    * cap the floor at the 0.45 THRESHOLD honestly degrades (LSH
-    * exponent ρ ≈ 0.63 there) while the floor at the 0.85+ true-dup
-    * level stays ≈ 1 — the sf1 recall gate asserts the dup-level
-    * floor against the exact oracle (tools/check_lsh_recall.py).
+    * the corpus size ([[LshGeometry.hyperplane]]): up to 4k vectors
+    * the legacy (32, 4) — driver-gate corpora (which hold genuinely
+    * threshold-adjacent pairs) keep their strict-equality behavior
+    * bit-for-bit; above it, bits grow ~log₂ n to bound background
+    * candidates (∝ n, not n²) and bands are re-derived for the
+    * dup-level (0.85 cosine) recall floor — (102, 14) at sf1,
+    * (225, 18) at sf10. The 0.45-threshold floor honestly degrades at
+    * scale (ρ ≈ 0.63 makes it cost ~n^1.63 — the measured
+    * threshold-targeted geometry produced 26% of ALL pairs as
+    * candidates); the scale contract is the dup-level floor, asserted
+    * against the exact oracle by tools/check_lsh_recall.py.
     */
   def embeddingNearDupsLshAuto(embeddings: DataFrame,
                                threshold: Double = 0.45): DataFrame = {

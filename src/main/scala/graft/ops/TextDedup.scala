@@ -98,7 +98,12 @@ object TextDedup {
     */
   def minhashLsh(documents: DataFrame, bands: Int = 16, rows: Int = 4,
                  threshold: Double = 0.5): DataFrame = {
+    // repartition before the signature kernel: scan parallelism is file
+    // parallelism, and a corpus arriving as one parquet file would run
+    // the whole minhash computation in one task (see the embedding-LSH
+    // twin for the measured cost of that at sf1)
     val withShingles = documents
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
       .withColumn("shingles", hashedShingles(3))
       .filter(size(col("shingles")) > 0)
       .select(col("doc_id"), col("shingles"))
@@ -116,9 +121,16 @@ object TextDedup {
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
+    // shuffle-hash-hinted verify joins: the probe side is the id-only
+    // candidate stream, the build side the shingle table; an SMJ here
+    // would sort candidates WITH their shingle-array payloads (the
+    // failure mode measured on the embedding twin at sf1 — ~100 GB of
+    // sort spill). Shuffle-hash moves ids once and shingle sets once.
     pairs
-      .join(withShingles.select(col("doc_id").as("a_id"), col("shingles").as("sh_a")), Seq("a_id"))
-      .join(withShingles.select(col("doc_id").as("b_id"), col("shingles").as("sh_b")), Seq("b_id"))
+      .join(withShingles.select(col("doc_id").as("a_id"), col("shingles").as("sh_a"))
+        .hint("shuffle_hash"), Seq("a_id"))
+      .join(withShingles.select(col("doc_id").as("b_id"), col("shingles").as("sh_b"))
+        .hint("shuffle_hash"), Seq("b_id"))
       .withColumn("jaccard_raw",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -163,6 +175,7 @@ object TextDedup {
 
   def buildDedupIndex(corpus: DataFrame, bands: Int = 16, rows: Int = 4): DedupIndex = {
     val sh = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .withColumn("shingles", hashedShingles(3))
       .filter(size(col("shingles")) > 0)
       .select(col("doc_id"), col("shingles"))

@@ -58,9 +58,17 @@ class JoinPlanSpec extends SparkSpec {
           case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
         }
       } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // The locked invariant is the CANDIDATE-DEDUP shuffle: its output is
+    // exactly (a_id, b_id) and must carry no payload — candidate volume
+    // is the collision count, potentially ≫ output, so a payload there
+    // multiplies the worst-case shuffle. The VERIFY joins after the
+    // dedup are hinted shuffle-hash (r10: the unhinted planner picked a
+    // payload-sorting SMJ at sf1 — ~100 GB of spill) and legitimately
+    // move one vector copy per SURVIVING candidate — the standard LSH
+    // cost model; AQE converts them to broadcast when the corpus is
+    // small. With AQE off here, those exchanges are visible and exempt.
     val pairDedupExchanges = exchanges.filter { e =>
-      val out = e.output.map(_.name).toSet
-      out.contains("a_id") && out.contains("b_id")
+      e.output.map(_.name).toSet == Set("a_id", "b_id")
     }
     assert(pairDedupExchanges.nonEmpty,
       exchanges.map(e => e.output.map(a => s"${a.name}:${a.dataType.typeName}").mkString("[", ",", "]")).mkString(" | "))

@@ -39,36 +39,42 @@ class LshGeometrySpec extends SparkSpec {
     assert(probs.last < probs.head / 4, s"two-decade suppression too weak: $probs")
   }
 
-  test("hyperplane geometry: legacy (32,4) at gate sizes, derived growth at scale") {
+  test("hyperplane geometry: legacy (32,4) through the strict-gate regime, derived at scale") {
     assert(LshGeometry.hyperplane(200) === (32, 4), "sf0.01")
-    assert(LshGeometry.hyperplane(800) === (32, 4), "anchor edge")
-    assert(LshGeometry.hyperplane(2000) === (81, 6), "sf0.1")
-    assert(LshGeometry.hyperplane(20000) === (128, 9), "sf1 (bands capped)")
-    assert(LshGeometry.hyperplane(200000) === (128, 12), "sf10 (bands capped)")
+    assert(LshGeometry.hyperplane(2000) === (32, 4), "sf0.1 (strict-equality regime)")
+    assert(LshGeometry.hyperplane(4000) === (32, 4), "anchor edge")
+    assert(LshGeometry.hyperplane(20000) === (102, 14), "sf1")
+    assert(LshGeometry.hyperplane(200000) === (225, 18), "sf10")
   }
 
-  test("hyperplane floors: threshold floor holds until the cap; dup-level floor stays ~1 at scale") {
-    // uncapped sizes: the 0.45-threshold floor meets the target
-    for (n <- Seq(200L, 2000L)) {
-      val (b, k) = LshGeometry.hyperplane(n)
-      assert(LshGeometry.hyperplaneRecall(0.45, b, k) >= 0.998,
-        s"n=$n ($b,$k)")
-    }
-    // capped sizes: the dup-level (0.85) floor — what the scale recall
-    // gate asserts — stays essentially 1 even as the threshold floor
-    // honestly degrades
+  test("hyperplane floors: dup-level floor >= 0.999 at every scale geometry") {
+    // the scale contract (what check_lsh_recall.py asserts): recall at
+    // the corpus's true-dup similarity level
     for (n <- Seq(20000L, 200000L)) {
       val (b, k) = LshGeometry.hyperplane(n)
       assert(LshGeometry.hyperplaneRecall(0.85, b, k) >= 0.999,
         s"n=$n ($b,$k) dup floor")
+      assert(LshGeometry.hyperplaneRecall(0.92, b, k) >= 0.9999,
+        s"n=$n ($b,$k) primary near-dup floor")
     }
+    // past the bands cost cap (~2M vectors) the 0.85 floor relaxes a
+    // little by design (LSH theory: bands ~ n^0.28 for this gap; the
+    // cap bounds per-vector cost) — the 0.92 primary-dup floor holds
+    val (b2, k2) = LshGeometry.hyperplane(2000000L)
+    assert(LshGeometry.hyperplaneRecall(0.85, b2, k2) >= 0.97, s"($b2,$k2)")
+    assert(LshGeometry.hyperplaneRecall(0.92, b2, k2) >= 0.9999, s"($b2,$k2)")
   }
 
-  test("hyperplane bucket occupancy stays bounded: 2^bits grows at least with n/100") {
-    for (n <- Seq(2000L, 20000L, 200000L, 2000000L)) {
-      val (_, k) = LshGeometry.hyperplane(n)
-      assert(math.pow(2, k) >= n / 100.0,
-        s"n=$n bits=$k: expected bucket occupancy must stay bounded")
+  test("hyperplane background candidates stay ~linear: bands*n/2^bits bounded per vector") {
+    // a background (orthogonal) pair collides per band w.p. ~2^-bits,
+    // so expected bg candidates per vector ~ bands*n/2^bits — the
+    // quantity that made the fixed 32x4 geometry degenerate to
+    // near-all-pairs at sf1. The derived geometry holds it ~flat.
+    for (n <- Seq(20000L, 200000L, 2000000L)) {
+      val (b, k) = LshGeometry.hyperplane(n)
+      val bgPerVec = b.toDouble * n / math.pow(2, k)
+      assert(bgPerVec <= 400.0,
+        s"n=$n ($b,$k): $bgPerVec background candidates/vector")
     }
   }
 

@@ -342,20 +342,25 @@ class SimilaritySpec extends SparkSpec {
   test("recall report scores every served family with consistent counts and sane floors") {
     import graft.ops.AnnServing
     val r = AnnServing.recallReport(spark, sfDir)
-      .as[(String, Long, Long, Long, Double)].collect()
+      .as[(String, Long, Long, Long, Double, Double, Boolean)].collect()
     val kinds = r.map(_._1).toSet
     assert(kinds === Set("lsh", "ivf", "ivf_sq8", "ivf_pq"))
     assert(r.length === 40) // 4 families × 10 queries
-    r.foreach { case (_, _, nExact, nHits, recall) =>
+    r.foreach { case (_, _, nExact, nHits, recall, famRecall, ok) =>
       assert(nExact === 5L)
       assert(nHits >= 0 && nHits <= nExact)
       assert(math.abs(recall - nHits.toDouble / nExact) < 1e-9)
+      assert(ok, s"family recall $famRecall below its gated floor")
     }
-    // smoke floors only — the strict per-family gates live in the
-    // dedicated recall specs above (this report is the dashboard view)
+    // the r10 gate columns: family_recall is the family mean, and
+    // recall_ok asserts the per-family floor IN THE DRIVER-VISIBLE
+    // OUTPUT (not only in CI)
     kinds.foreach { kind =>
-      val rs = r.filter(_._1 == kind).map(_._5)
-      assert(rs.sum / rs.length > 0.2, s"$kind mean recall ${rs.sum / rs.length}")
+      val rs = r.filter(_._1 == kind)
+      val mean = rs.map(_._5).sum / rs.length
+      assert(math.abs(rs.head._6 - mean) < 1e-3,
+        s"$kind family_recall ${rs.head._6} != mean $mean")
+      assert(mean > 0.2, s"$kind mean recall $mean")
     }
   }
 
@@ -475,13 +480,33 @@ class SimilaritySpec extends SparkSpec {
 
   test("served-IVF rebuild flips the serving layer to the new quantizer") {
     import graft.ops.AnnServing
-    val e = Tables.embeddings(spark, sfDir)
+    import java.nio.file.{Files, Path, Paths}
+    // ISOLATED corpus home: since round 10 serving layouts are stable
+    // ACROSS processes (ServingLayouts), so publishing retrained
+    // versions into the shared sfDir store would leak a non-v1
+    // quantizer into every later test RUN (the cell-stats determinism
+    // spec compares the served index against a fresh seeded build).
+    // Rebuild-lifecycle tests therefore get their own corpus copy.
+    val corpus = Files.createTempDirectory("graft_rebuild_corpus")
+    def copyRec(src: Path, dst: Path): Unit = {
+      if (Files.isDirectory(src)) {
+        Files.createDirectories(dst)
+        val s = Files.list(src)
+        try s.toArray.toSeq.map(_.asInstanceOf[Path])
+          .foreach(c => copyRec(c, dst.resolve(c.getFileName)))
+        finally s.close()
+      } else Files.copy(src, dst)
+    }
+    copyRec(Paths.get(sfDir, "embeddings.parquet"),
+      corpus.resolve("embeddings.parquet"))
+    val dir = corpus.toString
+    val e = Tables.embeddings(spark, dir)
     // serve first (16 cells), then act on the drift signal: retrain to 8
-    val before = AnnServing.ivfCellStats(spark, sfDir).count()
+    val before = AnnServing.ivfCellStats(spark, dir).count()
     assert(before > 8L && before <= 16L)
-    val v = AnnServing.rebuildServedIvf(spark, sfDir, nCells = 8)
+    val v = AnnServing.rebuildServedIvf(spark, dir, nCells = 8)
     assert(v >= 2L, "rebuild must publish a NEW version of the serving store")
-    val statsAfter = AnnServing.ivfCellStats(spark, sfDir)
+    val statsAfter = AnnServing.ivfCellStats(spark, dir)
       .as[(Long, Long, Double)].collect()
     assert(statsAfter.length <= 8, "cell stats must reflect the rebuilt quantizer")
     assert(statsAfter.map(_._2).sum === e.count(), "rebuild preserves the corpus")
@@ -489,7 +514,7 @@ class SimilaritySpec extends SparkSpec {
     val exact = Similarity.knnBruteForce(e)
       .as[(Long, Long, Double, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val served = AnnServing.knnIvf(spark, sfDir)
+    val served = AnnServing.knnIvf(spark, dir)
       .as[(Long, Long, Double, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val recalls = exact.map { case (qid, nbrs) =>
@@ -497,11 +522,5 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(recalls.sum / recalls.size >= 0.8,
       s"served recall after rebuild ${recalls.sum / recalls.size}")
-    // restore the served geometry for any later consumer in this JVM
-    // (the refit runs on the stored vectors, whose partitioning differs
-    // from the original source read, so the exact nonempty-cell count
-    // may differ from `before` — geometry class is what matters here)
-    AnnServing.rebuildServedIvf(spark, sfDir, nCells = 16)
-    assert(AnnServing.ivfCellStats(spark, sfDir).count() > 8L)
   }
 }

@@ -10,17 +10,17 @@ invariants at any SF are:
   2. recall:     |lsh| / |exact| >= the floor DERIVED from the band
      geometry at the corpus's true-pair similarity level.
 
-Since round 10 the geometry is size-derived (graft.ops.LshGeometry:
-bits = max(4, ceil(log2(n/50))), bands from the 0.998 recall target at
-the 0.45 threshold, capped at 128). The floor to assert is
-1-(1-p_bit(s)^bits)^bands at the corpus's dup similarity s:
-
-  - Heaps-corpus (sf1+, ScaleUp-generated) pairs >= 0.45 are the
-    injected dups at cos ~0.85/0.92/1.0 -> floor(0.85; 128,9) ~
-    1-2e-11; default min_recall 0.999 is conservative under it.
-  - the driver's isotropic sf0.1 corpus has threshold-adjacent pairs;
-    there floor(0.45; 81,6) = 0.998 applies (pass it explicitly if
-    gating that corpus with this script instead of strict equality).
+Since round 10 the geometry is size-derived (graft.ops.LshGeometry):
+corpora <= 4k vectors keep the legacy (32,4) whose ~0.998
+threshold-level floor backs the strict-equality gates; above that,
+bits grow ~log2(n) to bound background candidates and bands target a
+>= 0.999 recall floor at the DUP similarity level (0.85 cosine) -
+(102,14) at sf1, (225,18) at sf10. The floor to assert here is the
+dup-level one: in the Heaps scale corpora every pair >= 0.45 is
+injected dup structure at cos ~0.85/0.92/1.0 (plus a handful of
+borderline micro-cluster pairs ~4 sigma above the 0.2 cluster
+coherence), so the default min_recall 0.995 sits safely under the
+geometry's >= 0.999 dup floor while tolerating the borderline tail.
 
 Usage: check_lsh_recall.py <verify_out_dir> [min_recall]
 Reads <dir>/dedup_embedding (exact) and <dir>/dedup_embedding_lsh.
@@ -38,7 +38,7 @@ def pairs(con, pattern):
         con.execute(f"SELECT a_id, b_id FROM read_parquet({files!r})").fetchall())
 
 
-def main(outdir, min_recall=0.999):
+def main(outdir, min_recall=0.995):
     con = duckdb.connect()
     exact = pairs(con, f"{outdir}/dedup_embedding/*.parquet")
     lsh = pairs(con, f"{outdir}/dedup_embedding_lsh/*.parquet")
@@ -59,4 +59,4 @@ def main(outdir, min_recall=0.999):
 
 if __name__ == "__main__":
     args = sys.argv[1:]
-    sys.exit(main(args[0], float(args[1]) if len(args) > 1 else 0.999))
+    sys.exit(main(args[0], float(args[1]) if len(args) > 1 else 0.995))

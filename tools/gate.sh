@@ -23,3 +23,8 @@ for sf in sf0.001 sf0.01 sf0.1; do
   python3 tools/check_oracle.py "/root/testdata/$sf" "$out"
 done
 echo "== tri-SF gate green =="
+if [ "${SPARK_GRAFT_SOAK:-0}" = "1" ]; then
+  echo "== gate: driver soak (retained-heap plateau, ~8 min) =="
+  SPARK_GRAFT_CPUS="$cpus" sbt -batch "runMain graft.Soak /root/testdata/sf0.01 1500"
+  echo "== soak gate green =="
+fi

@@ -323,9 +323,16 @@ object ScaleUp {
       Map("event_id" -> eventBase, "user_id" -> userBase)),
       outDir, "events", "ts", n(events))
 
+    // documents/embeddings get SMALL row targets: their per-row payloads
+    // are large (text / 256-dim vectors) and their downstream operators
+    // run per-row kernels, so scan parallelism matters more than file
+    // count — 50k docs in one 13 MB file is below maxPartitionBytes and
+    // would scan as ONE partition (the r10 single-task LSH finding)
     val nDocs = Tables.documents(spark, srcDir).count() * k
     val nVecs = Tables.embeddings(spark, srcDir).count() * k
-    writeTable(documents(spark, nDocs, seed), outDir, "documents", "doc_id", nDocs)
-    writeTable(embeddings(spark, nVecs, seed = seed), outDir, "embeddings", "vec_id", nVecs)
+    writeTable(documents(spark, nDocs, seed), outDir, "documents", "doc_id", nDocs,
+      targetRowsPerFile = 2000L)
+    writeTable(embeddings(spark, nVecs, seed = seed), outDir, "embeddings", "vec_id", nVecs,
+      targetRowsPerFile = 1000L)
   }
 }

@@ -75,8 +75,17 @@ object Similarity {
     */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
     val base = prepared(embeddings)
+    // The n²/2 scan parallelizes over the STREAMED side's partitions;
+    // a single-parquet-file corpus would run the whole cartesian in
+    // one task (measured: ~15 min single-core at sf1 × 256 dims).
+    // Repartition the streamed side to core parallelism and broadcast
+    // the other (this op is the DECLARED small-scale exact baseline —
+    // the broadcast is its size contract; the scale path is the LSH
+    // twin).
     base.select(col("vec_id").as("a_id"), col("v").as("va"), col("norm2").as("na2"))
-      .join(base.select(col("vec_id").as("b_id"), col("v").as("vb"), col("norm2").as("nb2")),
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+      .join(broadcast(
+        base.select(col("vec_id").as("b_id"), col("v").as("vb"), col("norm2").as("nb2"))),
         col("a_id") < col("b_id"))
       .withColumn("cos_raw", cosRaw(col("va"), col("vb"), col("na2"), col("nb2")))
       .filter(col("cos_raw") >= threshold)

@@ -37,6 +37,10 @@ object TextDedup {
     */
   private def shingleRows(documents: DataFrame, n: Int): DataFrame =
     documents
+      // core parallelism for the shingle kernel + the inverted-index
+      // probe stage downstream — never file parallelism (a one-file
+      // corpus would run the whole Σc² index join in one task)
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
       .withColumn("__sh", hashedShingles(n))
       .select(col("doc_id"), size(col("__sh")).cast("long").as("n_sh"),
         explode(col("__sh")).as("s"))

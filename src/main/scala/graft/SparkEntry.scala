@@ -1250,9 +1250,9 @@ object SparkEntry {
          |WHERE u16 < keep_p * 65536.0 ORDER BY doc_id""".stripMargin,
     "doc_lm_score" ->
       s"""WITH t AS (SELECT doc_id, list_filter($wsSql, x -> x != '') AS ws FROM documents),
-         | b AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
-         |   i -> struct_pack(w1 := ws[i], bigram := ws[i] || ' ' || ws[i+1]))) AS p FROM t),
-         | br AS (SELECT doc_id, p.w1 AS w1, p.bigram AS bigram FROM b),
+         | b AS (SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws)+1)) AS pos FROM t),
+         | br AS (SELECT a.doc_id, a.w AS w1, a.w || ' ' || bb.w AS bigram
+         |   FROM b a JOIN b bb ON bb.doc_id = a.doc_id AND bb.pos = a.pos + 1),
          | c2 AS (SELECT bigram, count(*) AS c2 FROM br GROUP BY 1),
          | c1 AS (SELECT w1, count(*) AS c1 FROM
          |   (SELECT unnest(ws) AS w1 FROM t) u GROUP BY 1),
@@ -1353,9 +1353,9 @@ object SparkEntry {
     // identically.
     "perplexity_buckets" ->
       s"""WITH t AS (SELECT doc_id, list_filter($wsSql, x -> x != '') AS ws FROM documents),
-         | b AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
-         |   i -> struct_pack(w1 := ws[i], bigram := ws[i] || ' ' || ws[i+1]))) AS p FROM t),
-         | br AS (SELECT doc_id, p.w1 AS w1, p.bigram AS bigram FROM b),
+         | b AS (SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws)+1)) AS pos FROM t),
+         | br AS (SELECT a.doc_id, a.w AS w1, a.w || ' ' || bb.w AS bigram
+         |   FROM b a JOIN b bb ON bb.doc_id = a.doc_id AND bb.pos = a.pos + 1),
          | c2 AS (SELECT bigram, count(*) AS c2 FROM br GROUP BY 1),
          | c1 AS (SELECT w1, count(*) AS c1 FROM
          |   (SELECT unnest(ws) AS w1 FROM t) u GROUP BY 1),

@@ -57,6 +57,13 @@ def fetch_df(res):
 
 def main(sfdir, outdir):
     con = duckdb.connect()
+    # Bound the checker: DuckDB's default memory_limit is ~80% of RAM,
+    # and at sf1 the bigram-CTE oracles (doc_lm_score family) grew to
+    # 130 GB RSS and drew the OOM killer. 24 GB + an explicit temp dir
+    # makes it spill instead (the oracle is the slow side at scale by
+    # design - SCALE.md).
+    con.execute(f"SET memory_limit='{os.environ.get('ORACLE_MEM', '24GB')}'")
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_tmp'")
     for t in TABLES:
         # driver layout: single file <t>.parquet; ScaleUp layout (sf1+):
         # a DIRECTORY <t>.parquet/ of range-partitioned part files
@@ -65,8 +72,15 @@ def main(sfdir, outdir):
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # ORACLE_ONLY / ORACLE_SKIP: comma-separated name filters, for
+    # resuming an interrupted sfN sweep without re-running hours of
+    # already-green oracles.
+    only = {x for x in os.environ.get("ORACLE_ONLY", "").split(",") if x}
+    skip = {x for x in os.environ.get("ORACLE_SKIP", "").split(",") if x}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
+        if (only and name not in only) or name in skip:
+            continue
         try:
             ocols, orows = fetch_df(con.execute(sql))
         except Exception as e:

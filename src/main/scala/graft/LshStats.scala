@@ -16,6 +16,8 @@ import graft.ops.{LshGeometry, Similarity, TextDedup}
   *     index vs verified pairs at Jaccard ≥ 0.5, plus docs-per-shingle
   *     (the Heaps-law flatness witness — the r8 corpus measured 9.6 →
   *     95.2 across one decade; a Heaps corpus must stay ~flat);
+  *   - simhash: distinct candidate pairs from the derived blocked-
+  *     pigeonhole tables vs verified pairs at hamming ≤ 3;
   *   - hyperplane: distinct candidate pairs from the derived geometry
   *     vs verified pairs at cosine ≥ 0.45.
   *
@@ -61,6 +63,22 @@ object LshStats {
       .distinct().count()
     val mTrue = TextDedup.minhashLsh(docs, mBands, mRows).count()
 
+    // ---- simhash side (r10: blocked-pigeonhole geometry) ----
+    val sBlocks = LshGeometry.simhashBlocks(nDocs)
+    def simhashCand(blocks: Option[Int]): Long = {
+      val k = TextDedup.simhashBuckets(docs, blocks = blocks)
+      k.as("a")
+        .join(k.as("b"),
+          col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct().count()
+    }
+    val sCand = simhashCand(None)
+    // legacy fixed 4×16-bit chunks — the before-picture the derived
+    // geometry is graded against (skipped when it IS the derived one)
+    val sCandLegacy = if (sBlocks == 4) sCand else simhashCand(Some(4))
+    val sTrue = TextDedup.simhashNearDups(docs).count()
+
     // ---- hyperplane side ----
     val emb = Tables.embeddings(spark, sfDir)
     val nVecs = emb.count()
@@ -82,6 +100,9 @@ object LshStats {
       s""""minhash_true":$mTrue,"minhash_cand_per_true":${f"${ratio(mCand, mTrue)}%.1f"},""" +
       s""""docs_per_shingle":${f"${docsPerShingle.getDouble(0)}%.2f"},""" +
       s""""distinct_shingles":${docsPerShingle.getLong(1)},""" +
+      s""""simhash_blocks":$sBlocks,"simhash_candidates":$sCand,""" +
+      s""""simhash_candidates_legacy4":$sCandLegacy,""" +
+      s""""simhash_true":$sTrue,"simhash_cand_per_true":${f"${ratio(sCand, sTrue)}%.1f"},""" +
       s""""n_vecs":$nVecs,"hyperplane_geometry":[$hBands,$hBits],""" +
       s""""hyperplane_candidates":$hCand,"hyperplane_true":$hTrue,""" +
       s""""hyperplane_cand_per_true":${f"${ratio(hCand, hTrue)}%.1f"}}"""

@@ -72,6 +72,36 @@ object LshGeometry {
     (bands, rows)
   }
 
+  /** Number of simhash blocks B for an n-document corpus under the
+    * blocked-pigeonhole scheme (Manku/Jain/Das Sarma, WWW'07 §3): split
+    * the 64-bit fingerprint into B blocks; a pair within hamming k
+    * differs in ≤ k blocks, so it agrees on SOME (B−k)-block subset,
+    * and C(B, k) tables keyed on each such subset catch every pair
+    * exactly. The knob is the key width 64·(B−k)/B: B = 4 (the r1–r9
+    * geometry — 4 tables on single 16-bit blocks) keys only 16 bits,
+    * and on Zipfian text, where head-word mass correlates fingerprint
+    * bits across UNRELATED documents, 16-bit buckets go hot and the
+    * within-bucket self-join is the one super-linear curve left in the
+    * r10 scale sweep (14.5× for ×10 data). Growing B widens the key
+    * (B = 6 → 3-block ≈ 32-bit keys, 20 tables) so bucket occupancy
+    * shrinks exponentially while table count grows only C(B, k) —
+    * candidate mass ∝ n, the table factor a constant.
+    *
+    * Rule: smallest B with key bits ⌊64(B−k)/B⌋ ≥ log₂ n + `marginBits`
+    * (margin absorbs the sub-1-bit entropy of correlated fingerprint
+    * bits), floored at the legacy B = 4 below ~4k docs so driver-gate
+    * corpora keep their r1–r9 candidate sets bit-for-bit, capped at 10
+    * (120 tables, 44-bit keys — past any realistic single-table n).
+    */
+  def simhashBlocks(n: Long, maxHamming: Int = 3,
+                    marginBits: Int = 13, smallN: Long = 4096): Int = {
+    if (n <= smallN) return 4
+    val need = math.log(n.toDouble) / math.log(2.0) + marginBits
+    var b = maxHamming + 2 // B must exceed k for a nonempty key
+    while (b < 10 && 64 * (b - maxHamming) / b < need) b += 1
+    b
+  }
+
   /** (bands, bitsPerBand) for an n-vector corpus. Two regimes, because
     * hyperplane LSH at a 0.45 cosine threshold has exponent
     * ρ = ln(1/p₁)/ln(1/p₂) ≈ 0.63 — maintaining near-1 recall AT the

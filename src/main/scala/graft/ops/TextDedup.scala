@@ -293,22 +293,30 @@ object TextDedup {
   }
 
   /** SimHash near-dups: one-pass 64-bit simhash (custom codegen
-    * expression), banded into 4×16-bit chunks — two docs within hamming
-    * distance 3 must share at least one chunk — then exact hamming
-    * verification on candidates.
+    * expression), bucketed by the blocked-pigeonhole scheme (Manku/
+    * Jain/Das Sarma, WWW'07 §3; [[LshGeometry.simhashBlocks]]) — the
+    * fingerprint splits into B blocks and a table is built per
+    * (B−maxHamming)-block subset, so two docs within hamming distance
+    * `maxHamming` MUST share a full table key — then exact hamming
+    * verification (one XOR+popcount) on candidates. The candidate set
+    * is a guaranteed superset of the answer at every B, so geometry
+    * only moves cost, never output.
+    *
+    * Scale: B = 4 (the legacy 4×16-bit chunks) keys just 16 bits, and
+    * Zipf-correlated fingerprints make those buckets HOT — the one
+    * remaining super-linear curve in the r10 sf0.1→sf1 sweep (14.5×).
+    * Above ~4k docs the derived B widens keys to ≈32+ bits (B = 6 →
+    * C(6,3) = 20 tables): per-bucket occupancy collapses exponentially
+    * while the table factor stays constant, so candidates — and the
+    * self-join's shuffle — return to ∝ n. Table id is packed into the
+    * key's high bits, so all tables join in ONE equi-join on a single
+    * long column.
     */
   def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = documents
-      .withColumn("sim", Hashes.simhash64(split(normText, " ")))
-      .select(col("doc_id"), col("sim"))
-    val chunked = sh.select(col("doc_id"), col("sim"),
-      posexplode(array((0 until 4).map { c =>
-        shiftrightunsigned(col("sim"), c * 16).bitwiseAND(lit(0xffffL))
-      }: _*)).as(Seq("chunk", "ckey")))
-    chunked.as("a")
-      .join(chunked.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
-          col("a.doc_id") < col("b.doc_id"))
+    val keyed = simhashBuckets(documents, maxHamming)
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
       .dropDuplicates("a_id", "b_id")
@@ -316,6 +324,46 @@ object TextDedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** The blocked-pigeonhole bucket table behind [[simhashNearDups]]:
+    * (doc_id, sim, bkey), one row per (doc, table), table id packed
+    * into the key's high bits. Public so the scale diagnostics
+    * (graft.LshStats) measure the operator's REAL candidate shuffle,
+    * not a proxy.
+    */
+  def simhashBuckets(documents: DataFrame, maxHamming: Int = 3,
+                     blocks: Option[Int] = None): DataFrame = {
+    val nBlocks = blocks.getOrElse(
+      LshGeometry.simhashBlocks(documents.count(), maxHamming))
+    simhashKeysFor(
+      documents
+        .withColumn("sim", Hashes.simhash64(split(normText, " ")))
+        .select(col("doc_id"), col("sim")),
+      maxHamming, nBlocks)
+  }
+
+  /** The pure keying step of the blocked-pigeonhole scheme, applied to
+    * a frame that already carries a 64-bit `sim` fingerprint: explodes
+    * each row into C(blocks, maxHamming) (doc_id, sim, bkey) rows, one
+    * per (blocks−maxHamming)-block subset, the table id packed into the
+    * key's high bits so every table joins through ONE long column.
+    * Split out from [[simhashBuckets]] so the pigeonhole completeness
+    * property is spec-testable on planted fingerprints.
+    */
+  def simhashKeysFor(simmed: DataFrame, maxHamming: Int, blocks: Int): DataFrame = {
+    val widths = Array.tabulate(blocks)(i => 64 / blocks + (if (i < 64 % blocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val subsets = (0 until blocks).combinations(blocks - maxHamming).toSeq
+    val keyCols = subsets.zipWithIndex.map { case (subset, t) =>
+      subset.foldLeft(lit(t.toLong)) { (acc, b) =>
+        shiftleft(acc, widths(b)).bitwiseOR(
+          shiftrightunsigned(col("sim"), offsets(b))
+            .bitwiseAND(lit((1L << widths(b)) - 1)))
+      }
+    }
+    simmed.select(col("doc_id"), col("sim"),
+      explode(array(keyCols: _*)).as("bkey"))
   }
 
   /** Repeated-SPAN removal (the C4/RefinedWeb intra-corpus rewrite, cf.

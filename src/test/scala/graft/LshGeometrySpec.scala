@@ -90,4 +90,58 @@ class LshGeometrySpec extends SparkSpec {
     assert(autoE.toSeq === fixedE.toSeq,
       "derived geometry must be the legacy (32,4) at this corpus size")
   }
+
+  test("simhash blocks: legacy B=4 at gate sizes, key width tracks log2 n") {
+    // driver-gate corpora keep the r1-r9 candidate sets bit-for-bit
+    assert(LshGeometry.simhashBlocks(500) === 4, "sf0.01")
+    assert(LshGeometry.simhashBlocks(4096) === 4, "smallN edge")
+    // at scale the key must carry >= log2 n + margin bits
+    assert(LshGeometry.simhashBlocks(50000) === 6, "sf1")
+    assert(LshGeometry.simhashBlocks(500000) === 6, "sf10")
+    assert(LshGeometry.simhashBlocks(5000000L) === 7, "sf100")
+    for (n <- Seq(5000L, 50000L, 500000L, 5000000L, 50000000L)) {
+      val b = LshGeometry.simhashBlocks(n)
+      val keyBits = 64 * (b - 3) / b
+      assert(b == 4 || keyBits >= math.log(n.toDouble) / math.log(2.0),
+        s"n=$n B=$b: $keyBits-bit keys under log2 n")
+      // table count stays a small constant (C(B,3) <= C(10,3) = 120)
+      val tables = (1 to 3).map(i => b - 3 + i).product / 6
+      assert(tables <= 120, s"n=$n B=$b: $tables tables")
+    }
+  }
+
+  test("simhash pigeonhole: every hamming<=3 pair shares a bucket key at any B") {
+    // exhaustive-by-construction check of the blocked-subset scheme:
+    // plant fingerprint pairs at hamming 0..4 with the flips scattered
+    // to land in distinct blocks (the adversarial placement), and
+    // assert every pair <= 3 collides in some table while the scheme
+    // stays a candidate filter (hamming-4 pairs MAY collide, the exact
+    // verify drops them — so only completeness is asserted).
+    import org.apache.spark.sql.functions._
+    val base = 0x5a5a3c3cf0f01234L
+    val rnd = new scala.util.Random(7)
+    val rows = (0 to 4).flatMap { ham =>
+      (0 until 8).map { i =>
+        var fp = base ^ (i.toLong << 48)
+        val bits = rnd.shuffle((0 until 64).toList).take(ham)
+        bits.foreach(b => fp ^= (1L << b))
+        (ham.toLong * 100 + i, fp, ham)
+      }
+    } :+ ((9999L, base ^ (0L << 48), 0))
+    for (b <- Seq(4, 5, 6, 8)) {
+      // drive the keying step directly on the planted fingerprints
+      val simDf = spark.createDataFrame(rows).toDF("doc_id", "sim", "ham")
+      val keyed = TextDedup.simhashKeysFor(simDf, maxHamming = 3, blocks = b)
+      val collide = keyed.as("a").join(keyed.as("b"),
+          col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sims = rows.map(r => r._1 -> r._2).toMap
+      for {
+        (idA, fpA) <- sims; (idB, fpB) <- sims
+        if idA < idB && java.lang.Long.bitCount(fpA ^ fpB) <= 3
+      } assert(collide.contains((idA, idB)),
+        s"B=$b missed pair ($idA,$idB) at hamming ${java.lang.Long.bitCount(fpA ^ fpB)}")
+    }
+  }
 }

@@ -82,7 +82,10 @@ object LshStats {
     // ---- hyperplane side ----
     val emb = Tables.embeddings(spark, sfDir)
     val nVecs = emb.count()
-    val (hBands, hBits) = LshGeometry.hyperplane(nVecs)
+    // derived through the SAME code path the operator uses
+    // (Similarity.hyperplaneGeometryFor), so diagnostics and driver
+    // can never diverge (r10 advisor)
+    val (hBands, hBits) = Similarity.hyperplaneGeometryFor(nVecs)
     val base = Similarity.prepared(emb)
     val vb = base.select(col("vec_id"),
       explode(graft.functions.VectorOps.hyperplaneBands(col("v"), hBands, hBits)).as("bucket"))

@@ -165,9 +165,21 @@ object Similarity {
     */
   def embeddingNearDupsLshAuto(embeddings: DataFrame,
                                threshold: Double = 0.45): DataFrame = {
-    val (bands, bits) = LshGeometry.hyperplane(embeddings.count(), threshold)
+    val (bands, bits) = hyperplaneGeometryFor(embeddings.count())
     embeddingNearDupsLsh(embeddings, threshold, bands, bits)
   }
+
+  /** The ONE derivation path for the auto hyperplane geometry — shared
+    * by [[embeddingNearDupsLshAuto]] and the LshStats diagnostic so the
+    * measured candidate load can never diverge from the operator's
+    * actual shuffle load (r10 advisor: the operator passed its 0.45
+    * verification threshold positionally into `dupSim`, silently
+    * deriving a ~2.7× more expensive geometry than the one LSHSTATS /
+    * LshGeometrySpec recorded). `dupSim` stays at its 0.85 default: the
+    * scale contract is the dup-level recall floor, not the
+    * threshold-level one (see [[LshGeometry.hyperplane]]).
+    */
+  def hyperplaneGeometryFor(n: Long): (Int, Int) = LshGeometry.hyperplane(n)
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     * at web-scale through semantic deduplication"): semantic dedup by

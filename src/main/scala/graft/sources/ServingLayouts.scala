@@ -134,19 +134,68 @@ object ServingLayouts {
           touch(stable.toString)
           stable.toString
         } else {
-          // incomplete debris at the stable path (crashed pre-rename
-          // protocol): try once to clear and claim it, else serve the
-          // private stage rather than overwrite a dir others may read
+          // Incomplete debris at the stable path (crashed pre-rename
+          // protocol). NEVER delete it in place: a concurrent winner's
+          // atomic publish can land between this completeness check and
+          // the delete, and a delete would destroy the freshly-published
+          // layout (r10 advisor). Instead CLAIM the slot by atomically
+          // renaming whatever is there aside, then re-inspect what we
+          // actually claimed:
+          //  - if it turned out to be a winner's just-published complete
+          //    layout (published in the race window), restore it and
+          //    serve it — our stage is discarded;
+          //  - if it really was debris, discard it and publish our stage.
+          // Any rename that loses a further race falls back to serving
+          // whichever complete layout holds the slot, else our private
+          // stage; orphaned `.debris-*` dirs age out via [[vacuum]] like
+          // any stage.
+          val debris = stable.resolveSibling(
+            stable.getFileName.toString + ".debris-" +
+              java.util.UUID.randomUUID().toString.take(8))
           try {
-            deleteRecursively(stable)
-            Files.move(stage, stable, StandardCopyOption.ATOMIC_MOVE)
-            stable.toString
+            Files.move(stable, debris, StandardCopyOption.ATOMIC_MOVE)
+            if (isComplete(debris.toString)) {
+              // we claimed a winner's publish — put it back and serve it
+              try {
+                Files.move(debris, stable, StandardCopyOption.ATOMIC_MOVE)
+                deleteRecursively(stage)
+                touch(stable.toString)
+                stable.toString
+              } catch {
+                case _: java.nio.file.FileSystemException =>
+                  serveStableOrStage(stable, stage)
+              }
+            } else {
+              deleteRecursively(debris)
+              try {
+                Files.move(stage, stable, StandardCopyOption.ATOMIC_MOVE)
+                stable.toString
+              } catch {
+                case _: java.nio.file.FileSystemException =>
+                  serveStableOrStage(stable, stage)
+              }
+            }
           } catch {
-            case _: java.nio.file.FileSystemException => stage.toString
+            case _: java.nio.file.FileSystemException =>
+              // couldn't claim the slot (another claimer beat us):
+              // serve whatever complete layout now holds it, else stage
+              serveStableOrStage(stable, stage)
           }
         }
     }
   }
+
+  /** Last-resort resolution after a lost rename race: serve the stable
+    * path if some racer published a complete layout there, otherwise
+    * serve this builder's own complete private stage (reclaimed later
+    * by [[vacuum]]).
+    */
+  private def serveStableOrStage(stable: Path, stage: Path): String =
+    if (isComplete(stable.toString)) {
+      deleteRecursively(stage)
+      touch(stable.toString)
+      stable.toString
+    } else stage.toString
 
   /** A fresh private staging dir next to the stable path — for builds
     * that must NOT touch the shared layout (e.g. the stored layout

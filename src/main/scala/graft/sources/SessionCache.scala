@@ -24,47 +24,91 @@ object SessionKeys {
   }
 }
 
-/** A serving cache keyed by (session identity, corpus dir) that holds
-  * AT MOST ONE entry per corpus dir — the newest session wins and the
-  * superseded entry is evicted through `onEvict` (where e.g. a pinned
-  * `.cache()` frame gets unpersisted before its blocks become
-  * unreachable garbage in the shared SparkContext). This is the bound
-  * the r9 advisor asked for: session churn in a long-lived JVM (the
-  * `newSession` serving scenario) replaces entries instead of growing
-  * the map, because a cached DataFrame strongly references its session
-  * — so any design that waits for the session to be GC'd while still
-  * holding its frames can never collect anything.
+/** A serving cache keyed by (session identity, corpus dir) holding a
+  * SMALL BOUNDED set of per-session entries per corpus dir.
+  *
+  * The r9 design held AT MOST ONE entry per corpus (newest session
+  * wins), which the r10 advisor showed thrashes when two LIVE sessions
+  * alternately serve the same corpus: each call rebuilds and unpersists
+  * a cached frame the other session is still using mid-query (correct —
+  * Spark recomputes — but the cache stops caching). Here eviction is
+  * liveness-first:
+  *
+  *  - an entry whose session's SparkContext is STOPPED is evicted on
+  *    the next touch of its corpus (its pinned frames are dead weight
+  *    in the shared JVM — this is the bound the r9 advisor asked for:
+  *    session churn replaces entries instead of growing the map,
+  *    because a cached DataFrame strongly references its session, so
+  *    waiting for GC while holding its frames can never collect
+  *    anything);
+  *  - among LIVE sessions, up to [[SessionCache.MaxLivePerCorpus]]
+  *    entries coexist (multi-session serving of one corpus no longer
+  *    thrashes); past the cap the LEAST-RECENTLY-SERVED live entry is
+  *    evicted. The cap bounds pinned-block growth when a pathological
+  *    caller churns many concurrently-live sessions over one corpus.
+  *
+  * Holding the session strongly inside an entry adds no pinning beyond
+  * what the cached value V already does (V's frames reference their
+  * session); it exists so eviction can ask `isStopped`.
   *
   * Values are built inside `compute`, so concurrent callers for the
   * same corpus serialize on the map bin exactly like the previous
   * `computeIfAbsent` protocol.
   */
 final class SessionCache[V](onEvict: V => Unit = (_: V) => ()) {
-  private val m = new ConcurrentHashMap[String, (Long, V)]()
+  import SessionCache.MaxLivePerCorpus
+
+  /** Per-corpus entries, most-recently-served LAST. */
+  private val m = new ConcurrentHashMap[String, List[(Long, SparkSession, V)]]()
 
   private def safeEvict(v: V): Unit =
     try onEvict(v) catch { case scala.util.control.NonFatal(_) => () }
 
+  private def dead(s: SparkSession): Boolean =
+    try s.sparkContext.isStopped catch { case scala.util.control.NonFatal(_) => true }
+
   def getOrBuild(spark: SparkSession, corpusDir: String)(build: => V): V = {
     val sid = SessionKeys.idOf(spark)
-    val cur = m.get(corpusDir)
-    if (cur != null && cur._1 == sid) cur._2
-    else m.compute(corpusDir, (_, old) => {
-      if (old != null && old._1 == sid) old
-      else {
-        if (old != null) safeEvict(old._2)
-        (sid, build)
+    var out: Option[V] = None
+    m.compute(corpusDir, (_, old) => {
+      val prev = if (old == null) Nil else old
+      val (deadE, live) = prev.partition(e => dead(e._2))
+      deadE.foreach(e => safeEvict(e._3))
+      live.find(_._1 == sid) match {
+        case Some(hit) =>
+          out = Some(hit._3)
+          // move-to-back = most recently served
+          live.filterNot(_._1 == sid) :+ hit
+        case None =>
+          val v = build
+          out = Some(v)
+          val appended = live :+ ((sid, spark, v))
+          val over = appended.length - MaxLivePerCorpus
+          if (over > 0) {
+            val (evict, keep) = appended.splitAt(over)
+            evict.foreach(e => safeEvict(e._3))
+            keep
+          } else appended
       }
-    })._2
+    })
+    out.get
   }
 
-  /** Drop (and evict) the entry for `corpusDir` — used when a serve
+  /** Drop (and evict) every entry for `corpusDir` — used when a serve
     * detects its on-disk layout vanished (e.g. a vacuum raced a
     * long-lived server), so the next call rebuilds instead of failing
     * forever off a dead cached frame.
     */
   def invalidate(corpusDir: String): Unit = {
     val old = m.remove(corpusDir)
-    if (old != null) safeEvict(old._2)
+    if (old != null) old.foreach(e => safeEvict(e._3))
   }
+}
+
+object SessionCache {
+  /** Max concurrently-live sessions cached per corpus dir. Small on
+    * purpose: the supported pattern is a handful of serving sessions
+    * over a shared SparkContext, not unbounded session churn.
+    */
+  val MaxLivePerCorpus = 4
 }

@@ -91,6 +91,21 @@ class LshGeometrySpec extends SparkSpec {
       "derived geometry must be the legacy (32,4) at this corpus size")
   }
 
+  test("auto hyperplane path derives the DEFAULT dup-level geometry at scale sizes") {
+    // r10 advisor: the auto operator passed its 0.45 verification
+    // threshold positionally into dupSim, deriving (256,15) at sf1
+    // instead of the documented/measured (102,14). The gate-size
+    // equality test above cannot catch this (both regimes collapse to
+    // (32,4) below 4k vectors), so lock the SCALE sizes to the shared
+    // derivation path with defaults.
+    for (n <- Seq(20000L, 200000L, 2000000L)) {
+      assert(Similarity.hyperplaneGeometryFor(n) === LshGeometry.hyperplane(n),
+        s"auto path must use hyperplane(n) with the dupSim DEFAULT at n=$n")
+    }
+    assert(Similarity.hyperplaneGeometryFor(20000L) === (102, 14), "sf1")
+    assert(Similarity.hyperplaneGeometryFor(200000L) === (225, 18), "sf10")
+  }
+
   test("simhash blocks: legacy B=4 at gate sizes, key width tracks log2 n") {
     // driver-gate corpora keep the r1-r9 candidate sets bit-for-bit
     assert(LshGeometry.simhashBlocks(500) === 4, "sf0.01")

@@ -132,6 +132,48 @@ class ServingLayoutsSpec extends SparkSpec {
     }
   }
 
+  test("acquire claims incomplete debris by rename-aside, never delete-in-place") {
+    // pre-protocol debris: a non-empty stable dir with NO complete marker
+    // (a crashed build-in-place from before the staged protocol). r10
+    // advisor: the old fallback DELETED the stable path after a
+    // completeness check, destroying any winner whose atomic publish
+    // landed in the check→delete window. The new path renames the slot
+    // aside (atomic claim), re-inspects what it claimed, and publishes.
+    val corpus = Files.createTempDirectory("graft_sl_debris").toString
+    val stable = ServingLayouts.dirFor("dbr", corpus)
+    Files.write(Paths.get(stable, "junk"), "half-built".getBytes)
+    val served = ServingLayouts.acquire("dbr", corpus) { stage =>
+      Files.write(Paths.get(stage, "data"), "fresh".getBytes)
+    }
+    assert(served === stable, "the claimed slot must hold the fresh publish")
+    assert(ServingLayouts.isComplete(served))
+    assert(Files.exists(Paths.get(served, "data")), "fresh layout served")
+    assert(!Files.exists(Paths.get(served, "junk")), "debris content must not leak into the layout")
+    // the claimed debris was recognized as junk and discarded
+    val leftovers = {
+      val s = Files.list(Paths.get(stable).getParent)
+      try s.toArray.toSeq.map(_.toString).filter(_.contains(".debris-"))
+      finally s.close()
+    }
+    assert(leftovers.isEmpty, s"claimed debris must be discarded: $leftovers")
+  }
+
+  test("acquire restores (not destroys) a complete layout it claimed from the stable slot") {
+    // simulate the advisor's race outcome: by the time this builder's
+    // fallback runs, the stable path holds a WINNER'S complete layout.
+    // acquire must serve it intact — the old delete-in-place destroyed it.
+    val corpus = Files.createTempDirectory("graft_sl_winner").toString
+    val stable = ServingLayouts.dirFor("win", corpus)
+    Files.write(Paths.get(stable, "data"), "winner".getBytes)
+    ServingLayouts.markComplete(stable)
+    val served = ServingLayouts.acquire("win", corpus) { _ =>
+      fail("a complete published layout must be reused, not rebuilt")
+    }
+    assert(served === stable)
+    assert(new String(Files.readAllBytes(Paths.get(served, "data"))) === "winner",
+      "the winner's published layout must survive intact")
+  }
+
   test("acquire reuses a completed layout without re-running the build") {
     val corpus = Files.createTempDirectory("graft_sl_reuse").toString
     var builds = 0

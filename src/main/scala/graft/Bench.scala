@@ -40,10 +40,7 @@ object Bench {
     //    plan descriptions + per-stage metrics even with the UI off;
     //    complex plans (the dedup/curation family) make each entry
     //    plan-string-sized. Retention caps bound them.
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+    val spark = GraftSession.builder(defaultCpus = cpus)
       .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.sql.ui.retainedExecutions", "16")
       .config("spark.ui.retainedJobs", "100")

@@ -16,11 +16,7 @@ object Explain {
     val showPlan = !args.contains("--no-plan")
     val reps = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_REPS", "1").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val spark = GraftSession.builder(defaultCpus = cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val targets =

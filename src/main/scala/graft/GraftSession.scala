@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The one place the driver mains build their SparkSession, so the
+  * execution topology is an ENV knob instead of a code edit:
+  *
+  *   - `SPARK_GRAFT_MASTER` — any Spark master URL. The load-bearing
+  *     value is `local-cluster[W,C,MB]` (W worker processes, C cores
+  *     and MB MiB each): unlike `local[N]`, every shuffle block,
+  *     broadcast, custom Catalyst expression and physical plan must
+  *     SERIALIZE across a real process boundary, and every lazy
+  *     per-JVM cache (codegen'd sign tables, kryo registrations)
+  *     initializes executor-side. That is the first thing a 1000-
+  *     executor cluster tests and the one thing `local[N]` can never
+  *     test (r10 verdict's top gap). Default: `local[$SPARK_GRAFT_CPUS]`.
+  *   - `SPARK_GRAFT_CPUS` — thread/shuffle-partition parallelism
+  *     (default per-main).
+  *
+  * Under a `local-cluster` master the executor JVMs are launched by a
+  * standalone-mode worker from $SPARK_HOME and know nothing about this
+  * project's classes, so the helper forwards the driver's classpath
+  * (`java.class.path` — sbt's forked-JVM classpath with the repo's
+  * compiled classes and the spark jars) via
+  * `spark.executor.extraClassPath`, sets `spark.executor.memory` to
+  * the worker size from the master string (the standalone default of
+  * 1g would waste the worker allocation), and passes the JDK-17
+  * `--add-opens` set executor-side (same list build.sbt injects into
+  * the forked driver; Spark's own launcher adds these for
+  * spark-submit-launched JVMs, but belt-and-braces costs nothing and
+  * duplicate --add-opens are harmless).
+  */
+object GraftSession {
+
+  /** The JDK-17 module openings Spark 4 needs when a JVM is created
+    * outside spark-submit — mirrors
+    * org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions()
+    * and the list in build.sbt.
+    */
+  val jdk17AddOpens: String = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+
+  def master(defaultCpus: String): String = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
+    sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+  }
+
+  /** Builder with master/parallelism resolved from the env and the
+    * cross-JVM classpath/memory/module plumbing applied whenever the
+    * master is a `local-cluster`. Callers add their own configs on top.
+    */
+  def builder(defaultCpus: String): SparkSession.Builder =
+    builderFor(master(defaultCpus),
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus))
+
+  /** [[builder]] with the master forced programmatically — for harnesses
+    * (ClusterCheck) that run the SAME queries under two masters in one
+    * process and compare.
+    */
+  def builderFor(m: String, cpus: String): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .master(m)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    if (m.startsWith("local-cluster")) {
+      ensureScalaVersionEnv()
+      // local-cluster[W,C,MB] — executors are real child processes
+      val memMb = m.stripPrefix("local-cluster[").stripSuffix("]")
+        .split(",").map(_.trim).lift(2).getOrElse("1024")
+      b.config("spark.executor.extraClassPath",
+          sys.props.getOrElse("java.class.path", ""))
+        .config("spark.executor.memory", s"${memMb}m")
+        .config("spark.executor.extraJavaOptions", jdk17AddOpens)
+    } else b
+  }
+
+  /** The standalone worker's executor-command builder calls
+    * `AbstractCommandBuilder.getScalaVersion`, which needs either the
+    * `SPARK_SCALA_VERSION` env var (normally exported by
+    * load-spark-env.sh when a worker starts via sbin scripts) or a
+    * source-tree `launcher/target` directory; a `local-cluster` worker
+    * lives inside THIS driver JVM, where neither holds, and every
+    * executor fails with "Cannot find any build directories". The
+    * command builder reads the env of this JVM, so injecting the var
+    * into the JVM's cached env map (module-opened `java.util` — the
+    * same openings Spark itself needs on JDK 17) makes
+    * SPARK_GRAFT_MASTER a one-knob experience. Falls back to a loud
+    * hint if the env is already set or the injection is impossible.
+    */
+  private def ensureScalaVersionEnv(): Unit = {
+    if (sys.env.contains("SPARK_SCALA_VERSION")) return
+    try {
+      val env = System.getenv()
+      val f = env.getClass.getDeclaredField("m")
+      f.setAccessible(true)
+      f.get(env).asInstanceOf[java.util.Map[String, String]]
+        .put("SPARK_SCALA_VERSION", scalaBinaryVersion)
+      // ProcessEnvironment's own case-sensitive map (used by
+      // ProcessBuilder inheritance on Linux) is a different object;
+      // the launcher reads System.getenv, which is what we patched.
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          "[GraftSession] could not inject SPARK_SCALA_VERSION " +
+            s"(export SPARK_SCALA_VERSION=$scalaBinaryVersion before a " +
+            s"local-cluster run): $e")
+    }
+  }
+
+  private def scalaBinaryVersion: String =
+    scala.util.Properties.versionNumberString.split("\\.").take(2).mkString(".")
+}

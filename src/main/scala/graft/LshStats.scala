@@ -29,12 +29,7 @@ import graft.ops.{LshGeometry, Similarity, TextDedup}
 object LshStats {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val spark = GraftSession.builder(defaultCpus = "8")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -65,14 +60,12 @@ object LshStats {
 
     // ---- simhash side (r10: blocked-pigeonhole geometry) ----
     val sBlocks = LshGeometry.simhashBlocks(nDocs)
-    def simhashCand(blocks: Option[Int]): Long = {
-      val k = TextDedup.simhashBuckets(docs, blocks = blocks)
-      k.as("a")
-        .join(k.as("b"),
-          col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct().count()
-    }
+    // through the operator's own candidate stage (incl. the hot-bucket
+    // sub-pigeonhole refinement), so the measured load IS the shuffle
+    // the driver path pays — the same no-proxy rule as the hyperplane
+    // side (r10 advisor)
+    def simhashCand(blocks: Option[Int]): Long =
+      TextDedup.simhashCandidates(docs, blocks = blocks).count()
     val sCand = simhashCand(None)
     // legacy fixed 4×16-bit chunks — the before-picture the derived
     // geometry is graded against (skipped when it IS the derived one)

@@ -12,11 +12,7 @@ object ScaleGen {
     val Array(srcDir, outDir, kStr) = args.take(3)
     val seed = if (args.length > 3) args(3).toLong else 42L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val spark = GraftSession.builder(defaultCpus = cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.ops.ScaleUp.scaleCorpus(spark, srcDir, outDir, kStr.toInt, seed)

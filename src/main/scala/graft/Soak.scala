@@ -51,10 +51,7 @@ object Soak {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "soak_out.json")
     val growthTol = sys.env.getOrElse("SPARK_GRAFT_SOAK_TOL", "0.15").toDouble
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+    val spark = GraftSession.builder(defaultCpus = cpus)
       // the posture under test — the r8 OOM fix
       .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.sql.ui.retainedExecutions", "16")

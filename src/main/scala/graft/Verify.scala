@@ -6,12 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_MASTER=local-cluster[2,8,4096] runs this same
+    // contract with real executor processes — the cross-JVM gate
+    val spark = GraftSession.builder(defaultCpus = "4")
       // long-running-driver posture, same rationale as Bench: 127
       // heavy queries in one JVM need the ContextCleaner backlog
       // drained promptly and the status stores bounded

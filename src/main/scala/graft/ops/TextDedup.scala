@@ -312,18 +312,75 @@ object TextDedup {
     * key's high bits, so all tables join in ONE equi-join on a single
     * long column.
     */
-  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val keyed = simhashBuckets(documents, maxHamming)
-    keyed.as("a")
-      .join(keyed.as("b"),
-        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
-      .dropDuplicates("a_id", "b_id")
+  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3,
+                      hotCap: Int = DefaultSimhashHotCap): DataFrame = {
+    simhashCandidates(documents, maxHamming, hotCap = hotCap)
       .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Per-bucket occupancy above which [[simhashCandidates]] switches a
+    * bucket from the direct self-join to the sub-pigeonhole refinement.
+    * 256 keeps the worst direct bucket at ≤ 32k candidate pairs (sub-
+    * second) while the refined path only ever pays its 4× keying on the
+    * few Zipf-hot buckets.
+    */
+  val DefaultSimhashHotCap = 256
+
+  /** The candidate-pair stage of [[simhashNearDups]], exposed so the
+    * scale diagnostics (graft.LshStats) and the hot-bucket spec measure
+    * the operator's REAL shuffle load. Returns distinct
+    * (a_id, b_id, sim_a, sim_b) BEFORE hamming verification — a
+    * guaranteed superset of the hamming ≤ `maxHamming` pairs at any
+    * (blocks, hotCap), so geometry and cap move cost, never output.
+    *
+    * Hot-bucket bound (round 11 — the r10 scale sweep's one remaining
+    * super-linear curve): on Zipfian text, head-word mass correlates
+    * fingerprint bits across UNRELATED documents, so a few bucket keys
+    * go hot and the within-bucket self-join grows ~occupancy². For
+    * buckets at occupancy ≤ `hotCap` the direct self-join is kept
+    * (bit-for-bit the legacy candidate set — every driver-gate corpus
+    * stays on this path end-to-end). A HOT bucket's members all agree
+    * on the table's kept blocks, so a true pair's ≤ `maxHamming`
+    * differing bits ALL lie in the table's `maxHamming` EXCLUDED
+    * blocks; pigeonholing those excluded bits into `maxHamming`+1
+    * sub-fields means a true pair agrees exactly on at least one
+    * sub-field ([[Hashes]]-free integer arithmetic, computed during the
+    * same keying explode). Hot buckets therefore self-join on
+    * (bkey, skey) — occupancy per refined key collapses ~2^subWidth-
+    * fold — and completeness is preserved per bucket (both members of
+    * a within-bucket pair see the same occupancy tag). The r10
+    * alternative (Manku §4 sorted-prefix probing) prunes the same
+    * comparisons but needs a per-table sort; this stays one equi-join.
+    */
+  def simhashCandidates(documents: DataFrame, maxHamming: Int = 3,
+                        blocks: Option[Int] = None,
+                        hotCap: Int = DefaultSimhashHotCap): DataFrame =
+    candidatesFromKeys(simhashBuckets(documents, maxHamming, blocks), hotCap)
+
+  private[graft] def candidatesFromKeys(keyed: DataFrame, hotCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one shuffle by bkey tags every row with its bucket's occupancy;
+    // the same partitioning feeds both self-joins below
+    val tagged = keyed.withColumn("__c",
+      count(lit(1)).over(Window.partitionBy("bkey")))
+    val small = tagged.filter(col("__c") <= hotCap)
+      .select(col("doc_id"), col("sim"), col("bkey"))
+    val hot = tagged.filter(col("__c") > hotCap)
+      .select(col("doc_id"), col("sim"), col("bkey"),
+        explode(col("skeys")).as("skey"))
+    def pairs(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val cond = keys.map(k => col(s"a.$k") === col(s"b.$k"))
+        .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
+      df.as("a").join(df.as("b"), cond)
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+    }
+    pairs(small, Seq("bkey"))
+      .unionByName(pairs(hot, Seq("bkey", "skey")))
+      .dropDuplicates("a_id", "b_id")
   }
 
   /** The blocked-pigeonhole bucket table behind [[simhashNearDups]]:
@@ -355,15 +412,41 @@ object TextDedup {
     val widths = Array.tabulate(blocks)(i => 64 / blocks + (if (i < 64 % blocks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     val subsets = (0 until blocks).combinations(blocks - maxHamming).toSeq
-    val keyCols = subsets.zipWithIndex.map { case (subset, t) =>
-      subset.foldLeft(lit(t.toLong)) { (acc, b) =>
+    val nSub = maxHamming + 1
+    val tableCols = subsets.zipWithIndex.map { case (subset, t) =>
+      val bkey = subset.foldLeft(lit(t.toLong)) { (acc, b) =>
         shiftleft(acc, widths(b)).bitwiseOR(
           shiftrightunsigned(col("sim"), offsets(b))
             .bitwiseAND(lit((1L << widths(b)) - 1)))
       }
+      // The table's EXCLUDED blocks, packed into one value: within a
+      // bucket of this table every differing bit of a true pair lives
+      // here, so pigeonholing it into nSub = maxHamming+1 sub-fields
+      // guarantees a true pair matches on >=1 skey (see
+      // [[simhashCandidates]]). The sub id rides in fixed high bits
+      // (exWidth <= 64-bucket widths < 56) so sub-fields of different
+      // widths can never alias across sub ids. Unused skeys are pruned
+      // by Catalyst, so corpora with no hot buckets never compute them.
+      val excluded = (0 until blocks).filterNot(subset.contains)
+      val exWidth = excluded.map(widths).sum
+      val exVal = excluded.foldLeft(lit(0L)) { (acc, b) =>
+        shiftleft(acc, widths(b)).bitwiseOR(
+          shiftrightunsigned(col("sim"), offsets(b))
+            .bitwiseAND(lit((1L << widths(b)) - 1)))
+      }
+      val subWidths = Array.tabulate(nSub)(i => exWidth / nSub + (if (i < exWidth % nSub) 1 else 0))
+      val subOffsets = subWidths.scanLeft(0)(_ + _)
+      val skeys = (0 until nSub).map { s =>
+        lit(s.toLong << 56).bitwiseOR(
+          shiftrightunsigned(exVal, subOffsets(s))
+            .bitwiseAND(lit(if (subWidths(s) >= 63) -1L else (1L << subWidths(s)) - 1)))
+      }
+      struct(bkey.as("bkey"), array(skeys: _*).as("skeys"))
     }
     simmed.select(col("doc_id"), col("sim"),
-      explode(array(keyCols: _*)).as("bkey"))
+        explode(array(tableCols: _*)).as("__t"))
+      .select(col("doc_id"), col("sim"),
+        col("__t.bkey").as("bkey"), col("__t.skeys").as("skeys"))
   }
 
   /** Repeated-SPAN removal (the C4/RefinedWeb intra-corpus rewrite, cf.

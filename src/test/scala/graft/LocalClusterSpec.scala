@@ -1,0 +1,46 @@
+package graft
+
+/** CI gate for cross-JVM execution (r10 verdict item 1): forks
+  * `graft.ClusterCheck` as a SEPARATE process (its own driver JVM,
+  * which itself spawns `local-cluster[2,4,2048]` executor processes)
+  * and asserts every kernel-heavy query produces identical results
+  * under real process-boundary serialization and under `local[N]`.
+  *
+  * A subprocess — not an in-suite session — because the suite JVM
+  * already holds a shared `local[4]` SparkContext (one context per JVM)
+  * and because a forked driver is exactly the topology a user gets.
+  * SPARK_GRAFT_CLUSTER_FRESH=1 vacuums serving layouts first so the
+  * executor-side BUILD path runs, not just the reload path.
+  */
+class LocalClusterSpec extends SparkSpec {
+
+  test("kernel-heavy subset matches bit-for-bit between local-cluster and local masters") {
+    val javaBin = java.nio.file.Paths.get(
+      sys.props("java.home"), "bin", "java").toString
+    val out = java.io.File.createTempFile("graft_cluster_check", ".json")
+    out.deleteOnExit()
+    val cmd: Seq[String] =
+      Seq(javaBin) ++
+        GraftSession.jdk17AddOpens.split(" ").toSeq ++
+        Seq(
+          "-Xmx4g",
+          "-Dspark.ui.enabled=false",
+          "-Dspark.sql.session.timeZone=UTC",
+          "-cp", sys.props("java.class.path"),
+          "graft.ClusterCheck", sfDir)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_CPUS", "4")
+    pb.environment().put("SPARK_GRAFT_CLUSTER_FRESH", "1")
+    pb.environment().put("SPARK_GRAFT_CLUSTER_OUT", out.getAbsolutePath)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val log = new String(proc.getInputStream.readAllBytes())
+    val finished = proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
+    if (!finished) { proc.destroyForcibly(); fail(s"ClusterCheck timed out.\n${log.takeRight(4000)}") }
+    assert(proc.exitValue() === 0,
+      s"ClusterCheck reported mismatches or crashed:\n${log.takeRight(4000)}")
+    val json = new String(java.nio.file.Files.readAllBytes(out.toPath))
+    assert(json.contains("\"failures\":0"), s"artifact shows failures: $json")
+    assert(json.contains("\"queries_checked\":" + ClusterCheck.DefaultSubset.length))
+  }
+}

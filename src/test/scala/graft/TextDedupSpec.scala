@@ -46,6 +46,64 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).contains((1L, 2L)))
   }
 
+  test("simhash hot-bucket refinement: identical output, bounded within-bucket candidates") {
+    // Zipf-hot adversarial corpus: ONE planted near-dup pair inside a
+    // crowd of documents engineered to share fingerprint-correlated
+    // head words (the r10 scale sweep's super-linear shape). The direct
+    // self-join's candidates grow ~occupancy² on the hot bucket; the
+    // sub-pigeonhole refinement must (a) keep the OUTPUT bit-identical
+    // at every hotCap — the completeness proof — and (b) cut the
+    // candidate count on the hot corpus.
+    val head = "the of and to in that it is was for on are as with his they at be this"
+    val crowd = (100L until 400L).map { i =>
+      // shared Zipf head + a few per-doc tail words: correlated sign
+      // bits, far in hamming
+      (i, s"$head tail${i} tail${i * 7 % 1000} tail${i * 13 % 1000} tail${i * 31 % 1000}")
+    }
+    val planted = Seq( // identical text → hamming 0, found at ANY geometry
+      (1L, s"$head unique story about a very specific thing entirely"),
+      (2L, s"$head unique story about a very specific thing entirely"))
+    val d = docs((crowd ++ planted): _*)
+    val refined = TextDedup.simhashNearDups(d, hotCap = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    val direct = TextDedup.simhashNearDups(d, hotCap = Int.MaxValue)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(refined === direct,
+      "hot-bucket refinement must move cost, never output")
+    assert(refined.exists(p => p._1 == 1L && p._2 == 2L), "planted pair found")
+    val candRefined = TextDedup.simhashCandidates(d, hotCap = 8).count()
+    val candDirect = TextDedup.simhashCandidates(d, hotCap = Int.MaxValue).count()
+    assert(candRefined < candDirect,
+      s"refinement must cut hot-bucket candidates: $candRefined vs $candDirect")
+  }
+
+  test("simhash candidates are a superset of the answer at every (blocks, hotCap)") {
+    // randomized fingerprint-level completeness: pairs planted at
+    // hamming 0..4 with flips scattered adversarially; every <=3 pair
+    // must appear in the candidate stage under refinement forced on
+    // (hotCap=0 puts EVERY bucket on the sub-pigeonhole path).
+    val rnd = new scala.util.Random(11)
+    val base = 0x0123456789abcdefL
+    val rows = (0 until 40).map { i =>
+      var fp = base ^ (rnd.nextLong() & 0xffff) // cluster: hot-ish buckets
+      val ham = i % 5
+      rnd.shuffle((0 until 64).toList).take(ham).foreach(b => fp ^= (1L << b))
+      (i.toLong, fp)
+    }
+    for (b <- Seq(4, 6)) {
+      val simDf = spark.createDataFrame(rows).toDF("doc_id", "sim")
+      val keyed = TextDedup.simhashKeysFor(simDf, maxHamming = 3, blocks = b)
+      val cand = TextDedup.candidatesFromKeys(keyed, hotCap = 0)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      val sims = rows.toMap
+      for {
+        (ia, fa) <- sims; (ib, fb) <- sims
+        if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= 3
+      } assert(cand.contains((ia, ib)),
+        s"B=$b hotCap=0 missed hamming-${java.lang.Long.bitCount(fa ^ fb)} pair ($ia,$ib)")
+    }
+  }
+
   test("ngram jaccard of planted pairs is high and symmetric-free (a<b)") {
     val out = TextDedup.ngramJaccard(Tables.documents(spark, sfDir))
       .as[(Long, Long, Double)].collect()

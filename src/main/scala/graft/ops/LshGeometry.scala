@@ -128,6 +128,60 @@ object LshGeometry {
     *    1−targetMiss while candidates stay ∝ n, not n². At sf1/sf10
     *    this lands (102, 14)/(225, 18).
     */
+  /** (nCells, nProbe) for an n-vector IVF corpus — the coarse-quantizer
+    * twin of the banding rules above, same anchoring discipline:
+    * `(16, 4)` up to `smallN` (the r1–r10 hand geometry — every strict
+    * driver-gate corpus is below it, so gate behavior is bit-for-bit
+    * unchanged), and above it nCells grows ~√n (power of two, capped)
+    * with nProbe = nCells/8. Why these shapes:
+    *
+    *  - cells ∝ √n keeps per-cell occupancy ∝ √n — the knob
+    *    [[Similarity.semDedup]]'s quadratic-budget argument and
+    *    ivf_cell_stats' balance dashboard both ride on (FAISS's nlist
+    *    rule of thumb for flat-scanned cells);
+    *  - a FIXED probe fraction (1/8) holds measured recall ~stable
+    *    across decades — the r11 sf1 measurement showed the fixed
+    *    (16, 4) geometry collapsing ivf_pq family recall to 0.22 at
+    *    10× the anchor corpus, which is exactly the
+    *    fixed-geometry-at-scale failure the minhash/hyperplane
+    *    derivations exist to prevent. Candidates per query are n/8 of
+    *    ids but only code-bytes of I/O on the PQ/SQ8 paths — the probe
+    *    fraction is the deployment's latency/recall dial, and the
+    *    serving floors are defined AT this derived config.
+    */
+  def ivf(n: Long, smallN: Long = 4000, maxCells: Int = 4096): (Int, Int) = {
+    if (n <= smallN) return (16, 4)
+    val cells = math.min(maxCells,
+      math.max(32, Integer.highestOneBit(math.sqrt(n.toDouble).toInt)))
+    (cells, ivfProbe(cells))
+  }
+
+  /** nProbe for a served index with `nCells` cells (derived from the
+    * STORED layout's centroid count, so a loaded index is always
+    * queried at the geometry it was built for): the legacy 4 at the
+    * legacy 16 cells, else the fixed 1/8 probe fraction.
+    */
+  def ivfProbe(nCells: Int): Int =
+    if (nCells <= 16) 4 else math.max(8, nCells / 8)
+
+  /** (kCentroids, rerank) for an n-vector PQ layout: the legacy
+    * (32, 50) at gate sizes; at scale the full 8-bit codebooks (256 —
+    * the standard PQ code width: finer codebooks are what keep ADC
+    * ranking faithful as cells grow) and a 200-deep exact rerank.
+    */
+  def pq(n: Long, smallN: Long = 4000): (Int, Int) =
+    if (n <= smallN) (32, 50) else (256, 200)
+
+  /** Query-side exact-rerank depth for a served PQ layout, keyed off
+    * the layout's own cell count (like [[ivfProbe]] — the stored
+    * geometry, not a fresh derivation, decides how it is queried).
+    * 500 at scale: measured at sf1, rerank 200 recovered only 0.40 of
+    * the probe set's 0.60 recall ceiling (ADC ordering loses
+    * threshold-adjacent neighbors); 500 exact re-scores are still a
+    * point-lookup-sized touch of the float corpus per query.
+    */
+  def pqRerank(nCells: Int): Int = if (nCells <= 16) 50 else 500
+
   def hyperplane(n: Long, dupSim: Double = 0.85,
                  targetMiss: Double = 0.001, candPerVec: Int = 200,
                  smallN: Long = 4000, maxBands: Int = 256): (Int, Int) = {

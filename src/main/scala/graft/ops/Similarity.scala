@@ -267,7 +267,15 @@ object Similarity {
     * scale `assigned` is written out partitioned by cell so a probe
     * reads only its cells' files.
     */
-  case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
+  case class IvfIndex(centroids: DataFrame, assigned: DataFrame) {
+    /** The SERVED geometry — read from the (broadcast-sized) centroid
+      * frame itself, so a loaded layout is always queried at the
+      * geometry it was built with, never at whatever today's derivation
+      * would pick (derive-once: geometry is baked at build time).
+      * Counted once per instance; serving caches hold the instance.
+      */
+    lazy val nCells: Int = centroids.count().toInt
+  }
 
   /** Index-build phase: KMeans coarse quantizer over the corpus, one
     * assignment pass. Centroids are nCells × dim — always
@@ -794,7 +802,15 @@ object AnnServing {
   // ServingLayouts-stable paths, so a second PROCESS also reuses them.
   private val ivfCache = new SessionCache[(String, IvfIndex)]()
   private val sq8Cache = new SessionCache[(String, IvfIndex)]()
-  private val pqCache  = new SessionCache[(String, (DataFrame, PqModel, DataFrame))]()
+
+  /** A loaded PQ serving layout; like [[Similarity.IvfIndex]], the
+    * served geometry is read back from the stored centroid frame once
+    * per cached instance.
+    */
+  private case class PqLayout(centroids: DataFrame, pq: PqModel, codes: DataFrame) {
+    lazy val nCells: Int = centroids.count().toInt
+  }
+  private val pqCache  = new SessionCache[(String, PqLayout)]()
   private val exactCache = new SessionCache[DataFrame](df =>
     df.unpersist(blocking = false)) // drop pinned blocks when an entry is superseded
 
@@ -839,13 +855,32 @@ object AnnServing {
   private def ivfStore(sfDir: String): String =
     ServingLayouts.dirFor("ivf", sfDir) + "/ivf"
 
+  /** BUILD-time geometry: explicit nCells wins; the ≤0 sentinel derives
+    * from the corpus size ([[graft.ops.LshGeometry.ivf]] — the one
+    * `count()` on the whole serving path, paid only when a layout is
+    * actually built; serving always reads geometry back from the stored
+    * layout itself, [[Similarity.IvfIndex.nCells]]).
+    */
+  private def cellsForBuild(spark: SparkSession, sfDir: String, nCells: Int): Int =
+    if (nCells > 0) nCells
+    else graft.ops.LshGeometry.ivf(graft.Tables.embeddings(spark, sfDir).count())._1
+
+  /** QUERY-time probe width: explicit nProbe wins; the ≤0 sentinel
+    * derives from the SERVED index's cell count, so a loaded layout is
+    * probed at the geometry it was built for regardless of what a
+    * fresh derivation would pick today.
+    */
+  private def probeFor(nProbe: Int, servedCells: Int): Int =
+    if (nProbe > 0) nProbe else graft.ops.LshGeometry.ivfProbe(servedCells)
+
   private def servedIvf(spark: SparkSession, sfDir: String, nCells: Int): IvfIndex =
     servedValidated(ivfCache, spark, sfDir) { () =>
       val home = ServingLayouts.dirFor("ivf", sfDir)
       val store = home + "/ivf"
       if (Similarity.ivfVersions(spark, store).isEmpty)
         try Similarity.writeIvfVersioned(
-          Similarity.buildIvf(graft.Tables.embeddings(spark, sfDir), nCells), store)
+          Similarity.buildIvf(graft.Tables.embeddings(spark, sfDir),
+            cellsForBuild(spark, sfDir, nCells)), store)
         catch {
           // a concurrent cold-start won the version-1 publish: serve its index
           case NonFatal(e) if Similarity.ivfVersions(spark, store).isEmpty => throw e
@@ -862,10 +897,10 @@ object AnnServing {
     * call after the flip serves the rebuilt quantizer. Returns the
     * published version.
     */
-  def rebuildServedIvf(spark: SparkSession, sfDir: String, nCells: Int = 16): Long = {
+  def rebuildServedIvf(spark: SparkSession, sfDir: String, nCells: Int = -1): Long = {
     servedIvf(spark, sfDir, nCells) // ensure the store exists
     val store = ivfStore(sfDir)
-    val v = Similarity.rebuildIvf(spark, store, nCells)
+    val v = Similarity.rebuildIvf(spark, store, cellsForBuild(spark, sfDir, nCells))
     ivfCache.invalidate(sfDir) // next serve loads the freshly published version
     servedIvf(spark, sfDir, nCells)
     v
@@ -880,22 +915,24 @@ object AnnServing {
     * spec proves the layout round-trips exactly).
     */
   def knnIvf(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5,
-             nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+             nCells: Int = -1, nProbe: Int = -1): DataFrame = {
     val index = servedIvf(spark, sfDir, nCells)
     val queries = queriesOf(Similarity.prepared(graft.Tables.embeddings(spark, sfDir)), nQueries)
-    Similarity.queryIvf(index, queries, k, nProbe, excludeSelf = true)
+    Similarity.queryIvf(index, queries, k, probeFor(nProbe, index.nCells),
+      excludeSelf = true)
   }
 
   /** IVF-SQ8 served from the persisted index over the int8-dequantized
     * corpus; queries keep full float precision (see [[Similarity.knnIvfSq8]]).
     */
   def knnIvfSq8(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5,
-                nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+                nCells: Int = -1, nProbe: Int = -1): DataFrame = {
     val index = servedValidated(sq8Cache, spark, sfDir) { () =>
       makeLayout("sq8", sfDir) { stage =>
         val deq = Similarity.quantizeInt8(graft.Tables.embeddings(spark, sfDir))
           .select(col("vec_id"), expr("transform(codes, c -> c * scale)").as("embedding"))
-        Similarity.writeIvfPartitioned(Similarity.buildIvf(deq, nCells), stage)
+        Similarity.writeIvfPartitioned(
+          Similarity.buildIvf(deq, cellsForBuild(spark, sfDir, nCells)), stage)
         ()
       } { dir =>
         IvfIndex(spark.read.parquet(s"$dir/centroids"),
@@ -903,7 +940,8 @@ object AnnServing {
       }
     }
     val queries = queriesOf(Similarity.prepared(graft.Tables.embeddings(spark, sfDir)), nQueries)
-    Similarity.queryIvf(index, queries, k, nProbe, excludeSelf = true)
+    Similarity.queryIvf(index, queries, k, probeFor(nProbe, index.nCells),
+      excludeSelf = true)
   }
 
   /** IVF-PQ served from the persisted code layout: the hot path scans m
@@ -912,21 +950,30 @@ object AnnServing {
     * [[Similarity.knnIvfPq]] (the persisted-≡-in-memory spec).
     */
   def knnIvfPq(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5,
-               nCells: Int = 16, nProbe: Int = 4, mSubs: Int = 8,
-               kCentroids: Int = 32, rerank: Int = 50): DataFrame = {
-    val (centroids, pqm, codes) = servedValidated(pqCache, spark, sfDir) { () =>
+               nCells: Int = -1, nProbe: Int = -1, mSubs: Int = 8,
+               kCentroids: Int = -1, rerank: Int = -1): DataFrame = {
+    val layout = servedValidated(pqCache, spark, sfDir) { () =>
       makeLayout("ivfpq", sfDir) { stage =>
         val emb = graft.Tables.embeddings(spark, sfDir)
-        val index = Similarity.buildIvf(emb, nCells)
-        val pq = Similarity.trainPq(emb, mSubs, kCentroids)
+        // one count() pays for both build-time derivations (cells +
+        // codebook width); serving reads geometry back from the layout
+        val n = emb.count()
+        val cells = if (nCells > 0) nCells else graft.ops.LshGeometry.ivf(n)._1
+        val kc = if (kCentroids > 0) kCentroids else graft.ops.LshGeometry.pq(n)._1
+        val index = Similarity.buildIvf(emb, cells)
+        val pq = Similarity.trainPq(emb, mSubs, kc)
         Similarity.writeIvfPq(index, pq, stage)
       } { dir =>
-        Similarity.loadIvfPq(spark, dir)
+        val (c, p, cd) = Similarity.loadIvfPq(spark, dir)
+        PqLayout(c, p, cd)
       }
     }
     val base = Similarity.prepared(graft.Tables.embeddings(spark, sfDir))
-    Similarity.queryIvfPq(centroids, pqm, codes, queriesOf(base, nQueries), base,
-      k, nProbe, rerank, excludeSelf = true)
+    Similarity.queryIvfPq(layout.centroids, layout.pq, layout.codes,
+      queriesOf(base, nQueries), base, k,
+      probeFor(nProbe, layout.nCells),
+      if (rerank > 0) rerank else graft.ops.LshGeometry.pqRerank(layout.nCells),
+      excludeSelf = true)
   }
 
   /** Serving scoreboard: per-query recall@k of every ANN family against
@@ -970,9 +1017,15 @@ object AnnServing {
     // driver's rows-only check sees recall_ok=false rows the moment a
     // serving index regresses below its family's floor — the r8
     // verdict's "promote the monitoring report to a gate" ask. Floors
-    // are the spec-locked levels at the report's serving config
-    // (nProbe=4 of 16 cells; LSH's low floor is the geometry's honest
-    // low-similarity-neighbor behavior, SimilaritySpec:174).
+    // are the spec-locked levels at the report's serving config — the
+    // SIZE-DERIVED geometry (LshGeometry.ivf/pq: the legacy 4-of-16
+    // probes at gate sizes, √n cells at 1/8 probe fraction + 8-bit PQ
+    // codebooks and 200-deep rerank at scale; r11 measured the fixed
+    // gate geometry collapsing ivf_pq to 0.22 family recall at sf1,
+    // and the derived geometry restoring every family above its floor
+    // at sf1 — the scale gate asserts recall_ok there). LSH's low
+    // floor is the geometry's honest low-similarity-neighbor behavior
+    // (SimilaritySpec:174).
     val floors = typedLit(Map(
       "lsh" -> 0.2, "ivf" -> 0.5, "ivf_sq8" -> 0.5, "ivf_pq" -> 0.45))
     val byFamily = Window.partitionBy(col("index_kind"))
@@ -996,7 +1049,7 @@ object AnnServing {
     * histogram's determinism claim (two independent seeded builds agree
     * cell-for-cell) is carried by the SimilaritySpec gate instead.
     */
-  def ivfCellStats(spark: SparkSession, sfDir: String, nCells: Int = 16): DataFrame = {
+  def ivfCellStats(spark: SparkSession, sfDir: String, nCells: Int = -1): DataFrame = {
     val index = servedIvf(spark, sfDir, nCells)
     val total = index.assigned.agg(count(lit(1)).as("__n"))
     index.assigned

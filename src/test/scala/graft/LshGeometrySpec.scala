@@ -106,6 +106,26 @@ class LshGeometrySpec extends SparkSpec {
     assert(Similarity.hyperplaneGeometryFor(200000L) === (225, 18), "sf10")
   }
 
+  test("IVF/PQ serving geometry: legacy anchors at gate sizes, derived growth at scale") {
+    // driver-gate corpora (<= 4000 vectors): the r1-r10 hand geometry,
+    // bit-for-bit — every strict-oracle and equivalence spec stays on it
+    assert(LshGeometry.ivf(200) === (16, 4), "sf0.01")
+    assert(LshGeometry.ivf(2000) === (16, 4), "sf0.1")
+    assert(LshGeometry.pq(200) === (32, 50))
+    // scale: cells ~ sqrt(n) (pow2, capped), probe fraction fixed at 1/8,
+    // full 8-bit PQ codebooks + deep rerank (the r11 sf1 measurement:
+    // fixed gate geometry collapsed ivf_pq family recall to 0.22)
+    assert(LshGeometry.ivf(20000) === (128, 16), "sf1")
+    assert(LshGeometry.ivf(200000) === (256, 32), "sf10")
+    assert(LshGeometry.ivf(20000000) === (4096, 512), "cells capped")
+    assert(LshGeometry.pq(20000) === (256, 200))
+    // query-side derivations key off the SERVED layout's cell count
+    assert(LshGeometry.ivfProbe(16) === 4, "legacy layout probed at legacy width")
+    assert(LshGeometry.ivfProbe(128) === 16)
+    assert(LshGeometry.pqRerank(16) === 50)
+    assert(LshGeometry.pqRerank(128) === 500)
+  }
+
   test("simhash blocks: legacy B=4 at gate sizes, key width tracks log2 n") {
     // driver-gate corpora keep the r1-r9 candidate sets bit-for-bit
     assert(LshGeometry.simhashBlocks(500) === 4, "sf0.01")

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.sources.{ResultCache, ServingLayouts, SnapshotTable}
+
+/** The ONE operational maintenance entry point — the cron loop a
+  * deployment of this library runs (r10 verdict: every retention GC in
+  * the repo was spec-tested but nothing operational CALLED them, so
+  * stage debris and superseded layouts accumulated until someone did).
+  * One invocation sweeps, in dependency order:
+  *
+  *   1. '''versioned IVF stores''' inside live serving-layout homes
+  *      ([[graft.ops.Similarity.vacuumIvfVersions]]): all but the
+  *      newest `keepVersions` quantizer versions + crashed-rebuild
+  *      `.tmp-*` stagings — swept BEFORE the layout vacuum so version
+  *      GC never races the reclamation of its own parent directory;
+  *   2. '''serving layouts''' ([[ServingLayouts.vacuum]]): dedup/ANN
+  *      layout homes no process has served from within the retention
+  *      window, plus crashed builders' `.stage-*`/`.debris-*` dirs;
+  *   3. '''snapshot tables''' ([[SnapshotTable.vacuum]], per `--snapshot`
+  *      path): manifests beyond the newest `keepVersions` and every
+  *      unreferenced data file;
+  *   4. '''result caches''' ([[ResultCache.sweep]], per `--cache-root`
+  *      path): keys whose every generation is expired, superseded
+  *      generations, torn stagings.
+  *
+  * Usage (all flags optional):
+  * {{{
+  *   runMain graft.Maintain <corpusDir>
+  *     [--layout-age-ms N]     retention for serving layouts (default 7d)
+  *     [--keep-ivf N]          IVF versions kept (default 2)
+  *     [--snapshot <path>]...  snapshot tables to vacuum (keep 2)
+  *     [--cache-root <path>]   result-cache roots to sweep (TTL 300s)
+  *     [--cache-ttl-ms N]
+  * }}}
+  *
+  * Prints ONE JSON line of reclaimed counts. Liveness contract: every
+  * swept store is revalidated by its serving path on each serve
+  * (markers are touched per serve; caches rebuild on a vanished
+  * layout), so a sweep racing a live server costs a rebuild, never a
+  * wrong answer — the same trade each vacuum documents individually.
+  */
+object Maintain {
+
+  case class Report(ivfVersions: Int, layouts: Int, snapshots: Int, cacheDirs: Int) {
+    def json(corpusDir: String): String =
+      s"""{"metric":"maintain","corpus":"$corpusDir","ivf_versions_reclaimed":$ivfVersions,""" +
+        s""""layouts_reclaimed":$layouts,"snapshot_files_reclaimed":$snapshots,""" +
+        s""""cache_dirs_reclaimed":$cacheDirs}"""
+  }
+
+  /** The sweep itself, callable from specs. */
+  def run(spark: SparkSession, corpusDir: String,
+          layoutAgeMs: Long = 7L * 24 * 3600 * 1000,
+          keepIvfVersions: Int = 2,
+          snapshotPaths: Seq[String] = Nil,
+          snapshotKeep: Int = 2,
+          cacheRoots: Seq[String] = Nil,
+          cacheTtlMs: Long = 300000L): Report = {
+    // (1) versioned IVF stores live INSIDE the "ivf" layout home —
+    // probe without creating, and only sweep a store that exists
+    val ivfReclaimed = ServingLayouts.existingDirFor("ivf", corpusDir) match {
+      case Some(home) =>
+        val store = home + "/ivf"
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(store)))
+          graft.ops.Similarity.vacuumIvfVersions(spark, store, keepIvfVersions)
+        else 0
+      case None => 0
+    }
+    val layoutsReclaimed = ServingLayouts.vacuum(layoutAgeMs)
+    val snapReclaimed = snapshotPaths.map(p =>
+      SnapshotTable.vacuum(spark, p, snapshotKeep)).sum
+    val cacheReclaimed = cacheRoots.map(r =>
+      ResultCache.sweep(spark, r, cacheTtlMs)).sum
+    Report(ivfReclaimed, layoutsReclaimed, snapReclaimed, cacheReclaimed)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: graft.Maintain <corpusDir> [flags]")
+    val corpusDir = args(0)
+    var layoutAgeMs = 7L * 24 * 3600 * 1000
+    var keepIvf = 2
+    var snapshots = Vector.empty[String]
+    var cacheRoots = Vector.empty[String]
+    var cacheTtlMs = 300000L
+    var i = 1
+    while (i < args.length) {
+      args(i) match {
+        case "--layout-age-ms" => layoutAgeMs = args(i + 1).toLong; i += 2
+        case "--keep-ivf" => keepIvf = args(i + 1).toInt; i += 2
+        case "--snapshot" => snapshots :+= args(i + 1); i += 2
+        case "--cache-root" => cacheRoots :+= args(i + 1); i += 2
+        case "--cache-ttl-ms" => cacheTtlMs = args(i + 1).toLong; i += 2
+        case other => sys.error(s"unknown flag: $other")
+      }
+    }
+    val spark = GraftSession.builder(defaultCpus = "4").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val report = run(spark, corpusDir, layoutAgeMs, keepIvf,
+      snapshots, 2, cacheRoots, cacheTtlMs)
+    println(report.json(corpusDir))
+    spark.stop()
+  }
+}

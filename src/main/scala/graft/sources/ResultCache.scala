@@ -192,6 +192,54 @@ object ResultCache {
       keys.foreach(k => invalidate(spark, cacheRoot, k))
     }
 
+  /** Maintenance sweep (the [[graft.Maintain]] cadence): the serving
+    * path only GCs a key's generations when that key is REFRESHED
+    * ([[getOrCompute]]'s publish-side GC), so keys that stop being
+    * queried keep their last generations forever. This reclaims,
+    * without serving anything:
+    *
+    *  - whole key dirs in which EVERY generation's stamp is older than
+    *    `ttlMs + gcGraceMs` (or stripped): nothing can serve from them
+    *    — the next call recomputes regardless — and no reader can have
+    *    passed a freshness check within the grace window;
+    *  - superseded (non-latest) generations past the same cutoff under
+    *    keys that remain live — the same rule the publish-side GC
+    *    applies;
+    *  - torn `.tmp-*` stagings older than the grace window (a crashed
+    *    publish's debris).
+    *
+    * Returns the number of directories reclaimed. Same retention trade
+    * as every vacuum in the repo: don't run with readers draining
+    * frames older than ttl + grace.
+    */
+  def sweep(spark: SparkSession, cacheRoot: String, ttlMs: Long,
+            gcGraceMs: Long = 30000L,
+            nowMs: () => Long = () => System.currentTimeMillis()): Int = {
+    val fs = fsOf(spark, cacheRoot)
+    val root = new Path(cacheRoot)
+    if (!fs.exists(root)) return 0
+    var deleted = 0
+    val cutoff = nowMs() - ttlMs - gcGraceMs
+    fs.listStatus(root).filter(_.isDirectory).foreach { keyStatus =>
+      val keyDir = keyStatus.getPath
+      // torn stagings first, so an all-stale key dir deletes cleanly
+      fs.listStatus(keyDir)
+        .filter(s => s.getPath.getName.startsWith(".tmp-")
+          && s.getModificationTime < nowMs() - gcGraceMs)
+        .foreach { s => fs.delete(s.getPath, true); deleted += 1 }
+      val gens = generationsOf(fs, keyDir)
+      val stale = gens.map(g => stampOf(spark, g).forall(_ < cutoff))
+      if (gens.nonEmpty && stale.forall(identity)) {
+        fs.delete(keyDir, true); deleted += 1
+      } else {
+        gens.drop(1).zip(stale.drop(1)).foreach { case (g, isStale) =>
+          if (isStale) { fs.delete(g, true); deleted += 1 }
+        }
+      }
+    }
+    deleted
+  }
+
   /** Drop everything under the cache root (including torn stagings).
     * Destructive — unlike [[invalidate]] this does yank data out from
     * under in-flight readers; it is the operator's reset button, not

@@ -100,6 +100,15 @@ object ServingLayouts {
     d.toString
   }
 
+  /** The stable layout dir for (kind, corpusDir) only if it already
+    * exists — maintenance probes ([[graft.Maintain]]) must not
+    * manufacture empty layout homes as a side effect of checking.
+    */
+  def existingDirFor(kind: String, corpusDir: String): Option[String] = {
+    val d = stablePathOf(kind, corpusDir)
+    if (Files.isDirectory(d)) Some(d.toString) else None
+  }
+
   /** Get-or-build with cross-process safety: returns a directory that
     * holds a COMPLETE layout. If the stable path is already complete,
     * it is touched and reused. Otherwise `build` runs against a unique

@@ -173,10 +173,12 @@ object CorpusStream {
   def ingestOnce(spark: SparkSession, srcDir: String,
                  index: TextDedup.DedupIndex, destPath: String,
                  checkpointDir: String, threshold: Double = 0.5,
-                 statsPath: String = ""): Unit = {
+                 statsPath: String = "", maxFilesPerTrigger: Int = 0): Unit = {
     val schema = spark.read.parquet(srcDir).schema
-    spark.readStream
-      .schema(schema)
+    val reader = spark.readStream.schema(schema)
+    (if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    else reader)
       .parquet(srcDir)
       .writeStream
       .outputMode("append")

@@ -32,10 +32,12 @@ object EmbeddingStream {
     * DAG and checkpoint.
     */
   def ingestOnce(spark: SparkSession, srcDir: String, indexPath: String,
-                 checkpointDir: String): Unit = {
+                 checkpointDir: String, maxFilesPerTrigger: Int = 0): Unit = {
     val schema = spark.read.parquet(srcDir).schema
-    spark.readStream
-      .schema(schema)
+    val reader = spark.readStream.schema(schema)
+    (if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    else reader)
       .parquet(srcDir)
       .writeStream
       .outputMode("append")

@@ -1,0 +1,98 @@
+package graft
+
+import graft.sources.{ResultCache, ServingLayouts, SnapshotTable}
+import graft.ops.Similarity
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+/** The operational maintenance loop (r10 verdict item 5): one entry
+  * point reclaims debris across every retention system — stale serving
+  * layouts + crashed stages, superseded IVF quantizer versions,
+  * vacuumed snapshot versions, expired result-cache keys — while LIVE
+  * stores survive untouched.
+  */
+class MaintainSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("one sweep reclaims debris in all four systems; live stores survive") {
+    // ---- serving layouts: one stale, one hot, one crashed stage ----
+    val staleCorpus = Files.createTempDirectory("graft_mt_stale").toString
+    val hotCorpus = Files.createTempDirectory("graft_mt_hot").toString
+    val staleDir = ServingLayouts.dirFor("mt", staleCorpus)
+    val hotDir = ServingLayouts.dirFor("mt", hotCorpus)
+    Files.write(Paths.get(staleDir, "data"), "x".getBytes)
+    Files.write(Paths.get(hotDir, "data"), "y".getBytes)
+    ServingLayouts.markComplete(staleDir)
+    ServingLayouts.markComplete(hotDir)
+    Files.setLastModifiedTime(Paths.get(staleDir, "_layout_complete"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10_000_000))
+    ServingLayouts.touch(hotDir)
+    val crashedStage = ServingLayouts.privateStage("mt", hotCorpus)
+    Files.setLastModifiedTime(Paths.get(crashedStage),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10_000_000))
+
+    // ---- versioned IVF store with superseded versions, inside the
+    // live ivf layout home of a corpus ----
+    val ivfCorpus = Files.createTempDirectory("graft_mt_ivf").toString
+    val ivfHome = ServingLayouts.dirFor("ivf", ivfCorpus)
+    val store = ivfHome + "/ivf"
+    val emb = Tables.embeddings(spark, sfDir)
+    val index = Similarity.buildIvf(emb, 4)
+    Similarity.writeIvfVersioned(index, store)
+    Similarity.writeIvfVersioned(index, store)
+    Similarity.writeIvfVersioned(index, store)
+    ServingLayouts.markComplete(ivfHome)
+    ServingLayouts.touch(ivfHome)
+    assert(Similarity.ivfVersions(spark, store).length === 3)
+
+    // ---- snapshot table whose history contains an UNREFERENCED file:
+    // the upsert rewrites partition a, orphaning v1's a-file ----
+    val snap = Files.createTempDirectory("graft_mt_snap").toString + "/t"
+    SnapshotTable.create(spark, snap,
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "p", "ord"), Seq("p"))
+    SnapshotTable.upsertKeepLast(spark, snap,
+      Seq((1L, "a", 2L), (3L, "a", 2L)).toDF("k", "p", "ord"), Seq("k"), "ord")
+    SnapshotTable.append(spark, snap, Seq((4L, "c", 3L)).toDF("k", "p", "ord"))
+
+    // ---- result cache: one expired key, one fresh key ----
+    val cacheRoot = Files.createTempDirectory("graft_mt_rc").toString
+    val longAgo = System.currentTimeMillis() - 10_000_000
+    ResultCache.getOrCompute(spark, cacheRoot, "expiredkey", ttlMs = 1000L,
+      nowMs = () => longAgo)(Seq(1L).toDF("v"))
+    ResultCache.getOrCompute(spark, cacheRoot, "freshkey", ttlMs = 1000000L)(
+      Seq(2L).toDF("v"))
+
+    // ---- the sweep ----
+    val report = Maintain.run(spark, ivfCorpus,
+      layoutAgeMs = 1_000_000,
+      keepIvfVersions = 1,
+      snapshotPaths = Seq(snap), snapshotKeep = 1,
+      cacheRoots = Seq(cacheRoot), cacheTtlMs = 1000L)
+
+    assert(report.ivfVersions === 2, "two superseded quantizer versions reclaimed")
+    assert(Similarity.ivfVersions(spark, store) === Seq(3L), "latest version survives")
+    assert(report.layouts >= 2, "stale layout + crashed stage reclaimed")
+    assert(!Files.exists(Paths.get(staleDir)), "stale layout gone")
+    assert(!Files.exists(Paths.get(crashedStage)), "crashed stage gone")
+    assert(Files.exists(Paths.get(hotDir, "data")), "recently-served layout survives")
+    assert(Files.exists(Paths.get(ivfHome)), "the live ivf home survives its version GC")
+    assert(report.snapshots > 0, "snapshot vacuum reclaimed the orphaned a-partition file")
+    assert(SnapshotTable.read(spark, snap).select("k").as[Long].collect().toSet
+      === Set(1L, 2L, 3L, 4L),
+      "latest snapshot version reads intact after vacuum")
+    assert(report.cacheDirs >= 1, "expired cache key reclaimed")
+    assert(!Files.exists(Paths.get(cacheRoot, "expiredkey")), "expired key gone")
+    assert(ResultCache.getOrCompute(spark, cacheRoot, "freshkey", ttlMs = 1000000L)(
+      sys.error("fresh key must still serve from cache")).count() === 1)
+  }
+
+  test("sweep of a corpus with no serving state reclaims nothing and creates nothing") {
+    val empty = Files.createTempDirectory("graft_mt_none").toString
+    val before = ServingLayouts.existingDirFor("ivf", empty)
+    val report = Maintain.run(spark, empty, layoutAgeMs = Long.MaxValue)
+    assert(before.isEmpty)
+    assert(ServingLayouts.existingDirFor("ivf", empty).isEmpty,
+      "a maintenance probe must not manufacture layout homes")
+    assert(report.ivfVersions === 0 && report.snapshots === 0 && report.cacheDirs === 0)
+  }
+}

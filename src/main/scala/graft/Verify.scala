@@ -20,11 +20,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Dev-loop filter: SPARK_GRAFT_ONLY=a,b,c restricts the dump (and the
-    // emitted oracle set) to named queries. Unset for the driver's run.
+    // Dev-loop filters: SPARK_GRAFT_ONLY=a,b,c restricts the dump (and
+    // the emitted oracle set) to named queries; SPARK_GRAFT_SKIP drops
+    // named queries (the sfN sweeps exclude the declared quadratic
+    // all-pairs baselines, infeasible at 500k docs by definition).
+    // Both unset for the driver's run.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    def keep(name: String) = only.forall(_.contains(name))
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    def keep(name: String) = only.forall(_.contains(name)) && !skip.contains(name)
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -49,10 +49,16 @@ object ServingLayouts {
 
   private val Marker = "_layout_complete"
 
-  /** Per-user root — deterministic across processes. */
+  /** Per-user root — deterministic across processes. `GRAFT_SERVE_ROOT`
+    * overrides it for harnesses that need an ISOLATED layout universe
+    * (the cross-JVM CI spec's forked ClusterCheck builds/vacuums under
+    * its own root so it can never reclaim layouts the concurrently
+    * running test suites are serving from).
+    */
   def root: Path =
-    Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft-serve-" + sys.props.getOrElse("user.name", "anon"))
+    sys.env.get("GRAFT_SERVE_ROOT").map(Paths.get(_)).getOrElse(
+      Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        "graft-serve-" + sys.props.getOrElse("user.name", "anon")))
 
   private def digest(s: String): String =
     java.security.MessageDigest.getInstance("MD5")

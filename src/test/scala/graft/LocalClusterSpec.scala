@@ -30,7 +30,13 @@ class LocalClusterSpec extends SparkSpec {
           "graft.ClusterCheck", sfDir)
     val pb = new ProcessBuilder(cmd: _*)
     pb.environment().put("SPARK_GRAFT_CPUS", "4")
-    pb.environment().put("SPARK_GRAFT_CLUSTER_FRESH", "1")
+    // an ISOLATED serving-layout root: every layout is BUILT by the
+    // subprocess's remote executors (nothing to reload), and its
+    // builds/vacuums can never touch layouts the concurrently-running
+    // suites in THIS process are serving from (suite parallelism
+    // shares the per-user root)
+    val serveRoot = java.nio.file.Files.createTempDirectory("graft_cluster_serve")
+    pb.environment().put("GRAFT_SERVE_ROOT", serveRoot.toString)
     pb.environment().put("SPARK_GRAFT_CLUSTER_OUT", out.getAbsolutePath)
     pb.redirectErrorStream(true)
     val proc = pb.start()

@@ -63,8 +63,11 @@ class MaintainSpec extends SparkSpec {
       Seq(2L).toDF("v"))
 
     // ---- the sweep ----
+    // retention chosen WAY above any live suite's marker age (suites
+    // share the layout root and run in parallel): only the two dirs
+    // this test aged by 10_000_000 ms can cross the threshold
     val report = Maintain.run(spark, ivfCorpus,
-      layoutAgeMs = 1_000_000,
+      layoutAgeMs = 5_000_000,
       keepIvfVersions = 1,
       snapshotPaths = Seq(snap), snapshotKeep = 1,
       cacheRoots = Seq(cacheRoot), cacheTtlMs = 1000L)

@@ -49,11 +49,14 @@ class ServingLayoutsSpec extends SparkSpec {
     Files.write(Paths.get(hotDir, "data"), "y".getBytes)
     ServingLayouts.markComplete(oldDir)
     ServingLayouts.markComplete(hotDir)
-    // age the idle layout's marker well past retention; touch the hot one
+    // age the idle layout's marker well past retention; touch the hot
+    // one. Retention sits far above any live suite's marker age (the
+    // layout root is shared by concurrently-running suites — only dirs
+    // this test aged can cross the threshold).
     Files.setLastModifiedTime(Paths.get(oldDir, "_layout_complete"),
-      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 1000000))
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10000000))
     ServingLayouts.touch(hotDir)
-    val n = ServingLayouts.vacuum(maxAgeMs = 500000)
+    val n = ServingLayouts.vacuum(maxAgeMs = 5000000)
     assert(n >= 1)
     assert(!Files.exists(Paths.get(oldDir)), "idle layout reclaimed")
     assert(Files.exists(Paths.get(hotDir, "data")), "recently-served layout survives")
@@ -188,20 +191,37 @@ class ServingLayoutsSpec extends SparkSpec {
   }
 
   test("DedupServing touches the marker on EVERY serve and rebuilds if the layout is vacuumed under it") {
-    val first = DedupServing.dedupIncremental(spark, sfDir)
+    // ISOLATED corpus copy: the vacuum-under-server simulation must
+    // reclaim only THIS test's layout — suites run in parallel in one
+    // JVM and share the per-user layout root, so a global
+    // vacuum(maxAgeMs = -1) here can yank a layout another suite is
+    // mid-serve on (seen as a flaky build-count/FileNotFound failure
+    // in the r11 full-suite run)
+    val corpus = Files.createTempDirectory("graft_sl_vac_corpus").toString
+    Tables.documents(spark, sfDir).write.parquet(s"$corpus/documents.parquet")
+    val first = DedupServing.dedupIncremental(spark, corpus)
       .select("doc_id").as[Long].collect().toSet
-    val dir = ServingLayouts.dirFor("dedup", sfDir)
+    val dir = ServingLayouts.dirFor("dedup", corpus)
     // simulate a long-idle marker, then a cache-hit serve: liveness must refresh
     Files.setLastModifiedTime(Paths.get(dir, "_layout_complete"),
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10000000))
-    DedupServing.dedupIncremental(spark, sfDir).count()
+    DedupServing.dedupIncremental(spark, corpus).count()
     val age = System.currentTimeMillis() -
       Files.getLastModifiedTime(Paths.get(dir, "_layout_complete")).toMillis
     assert(age < 5000000, "a cache-hit serve must refresh the vacuum-liveness marker")
-    // simulate a vacuum racing the live server: files gone, marker gone
-    ServingLayouts.vacuum(maxAgeMs = -1) // everything is 'idle'
+    // simulate a vacuum racing the live server: exactly this layout's
+    // files and marker vanish (what vacuum would do to an aged dir)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.toArray.toSeq.foreach(c => rmTree(c.asInstanceOf[java.nio.file.Path]))
+        finally s.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    rmTree(Paths.get(dir))
     assert(!Files.exists(Paths.get(dir)), "vacuum reclaimed the layout")
-    val rebuilt = DedupServing.dedupIncremental(spark, sfDir)
+    val rebuilt = DedupServing.dedupIncremental(spark, corpus)
       .select("doc_id").as[Long].collect().toSet
     assert(rebuilt === first, "a vacuumed layout must be rebuilt, not served from dead frames")
   }

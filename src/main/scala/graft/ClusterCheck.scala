@@ -45,8 +45,12 @@ object ClusterCheck {
     * plan, persisted serving layouts (dedup_incremental, knn_ivf_pq,
     * dsir_sample), bloom runtime filter (split_leakage_bloom),
     * broadcast-heavy TPC-H joins (q9), two-level prefix scans
-    * (seq_pack), binary multimodal columns, and the ingest pipeline's
-    * DLQ union.
+    * (seq_pack), binary multimodal columns, the ingest pipeline's
+    * DLQ union — and the STREAMING engine: micro-batch execution with
+    * executor-side state stores (windowed agg + stream dedup via the
+    * staged pipeline) plus keyed arbitrary state whose custom tuple
+    * encoders serialize across the process boundary
+    * (mapGroupsWithState / flatMapGroupsWithState).
     */
   val DefaultSubset: Seq[String] = Seq(
     "q1_agg", "q9_profit_proxy", "q18_big_orders",
@@ -58,6 +62,50 @@ object ClusterCheck {
     "knn_bruteforce", "knn_ivf_pq",
     "split_leakage_bloom", "seq_pack",
     "doc_lm_score", "dsir_sample", "multimodal_features",
+    "stream_hourly_by_type", "stream_latest_state", "stream_gap_state",
+  )
+
+  /** Streaming checks beyond the driver-gated entry: run the REAL
+    * micro-batch engine against the staged file source with state
+    * stores living in executor processes. `stream_latest_state`
+    * (mapGroupsWithState, update-mode memory sink reduced to the final
+    * per-key state — batch-boundary-insensitive) and `stream_gap_state`
+    * (flatMapGroupsWithState, append-mode emissions ≡ batch gaps by
+    * StreamingSpec) both carry tuple state through custom encoders —
+    * exactly the serialization a single-JVM run never exercises.
+    */
+  val StreamChecks: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "stream_latest_state" -> ((s: SparkSession, sfDir: String) => {
+      import graft.streaming.EventStream
+      val dir = EventStream.stagedEventsDir(s, sfDir)
+      val q = EventStream.latestPerKeyStream(s, EventStream.source(s, dir))
+        .writeStream.outputMode("update").format("memory")
+        .queryName("cc_latest_state").start()
+      q.processAllAvailable(); q.stop()
+      val sink = s.table("cc_latest_state")
+      val out = sink.groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.struct("ts", "event_id", "value")).as("m"))
+        .select(org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("m.event_id"),
+          org.apache.spark.sql.functions.col("m.ts"),
+          org.apache.spark.sql.functions.col("m.value"))
+      val materialized = s.createDataFrame(out.collectAsList(), out.schema)
+      s.catalog.dropTempView("cc_latest_state")
+      materialized
+    }),
+    "stream_gap_state" -> ((s: SparkSession, sfDir: String) => {
+      import graft.streaming.EventStream
+      val dir = EventStream.stagedEventsDir(s, sfDir)
+      val q = EventStream.gapDetectStream(s, EventStream.source(s, dir))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("cc_gap_state").start()
+      q.processAllAvailable(); q.stop()
+      val sink = s.table("cc_gap_state")
+      val materialized = s.createDataFrame(sink.collectAsList(), sink.schema)
+      s.catalog.dropTempView("cc_gap_state")
+      materialized
+    }),
   )
 
   /** Canonical, order-insensitive fingerprint of a result. */
@@ -81,8 +129,9 @@ object ClusterCheck {
 
   private def runAll(spark: SparkSession, sfDir: String,
                      names: Seq[String]): Map[String, Either[String, (Long, String)]] = {
+    val resolve = StreamChecks.orElse(SparkEntry.queries)
     names.map { n =>
-      n -> (try Right(fingerprint(SparkEntry.queries(n)(spark, sfDir).collect()))
+      n -> (try Right(fingerprint(resolve(n)(spark, sfDir).collect()))
       catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") })
     }.toMap
   }

@@ -548,12 +548,19 @@ object EventStream {
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def stagedPipeline(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = stagedDirs.computeIfAbsent(sfDir, { sf =>
+  /** The events table staged once as a file-stream source directory
+    * (JVM-cached per sfDir) — shared by [[stagedPipeline]] and the
+    * cross-JVM streaming checks in [[graft.ClusterCheck]].
+    */
+  def stagedEventsDir(spark: SparkSession, sfDir: String): String =
+    stagedDirs.computeIfAbsent(sfDir, { sf =>
       val d = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
       graft.Tables.events(spark, sf).coalesce(2).write.mode("overwrite").parquet(d)
       d
     })
+
+  def stagedPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedEventsDir(spark, sfDir)
     // Size the STATE partitioning to the state volume, not to the batch
     // default: every shuffle partition owns a state store per stateful
     // operator, and each store pays commit I/O per micro-batch. With two

@@ -64,6 +64,15 @@ def main(sfdir, outdir):
     # design - SCALE.md).
     con.execute(f"SET memory_limit='{os.environ.get('ORACLE_MEM', '24GB')}'")
     con.execute("SET temp_directory='/tmp/duckdb_oracle_tmp'")
+    # Both sides are row-sorted before compare (canon), so result order
+    # is irrelevant — and keeping insertion order makes DuckDB buffer
+    # whole pipelines, which at sf10 pushed the big-join/shingle oracles
+    # past this host's ~70 GB of free disk in temp spill. Dropping it
+    # (and letting ORACLE_THREADS trade parallel partitions for temp)
+    # keeps the checker runnable at x100.
+    con.execute("SET preserve_insertion_order=false")
+    if os.environ.get("ORACLE_THREADS"):
+        con.execute(f"SET threads={int(os.environ['ORACLE_THREADS'])}")
     for t in TABLES:
         # driver layout: single file <t>.parquet; ScaleUp layout (sf1+):
         # a DIRECTORY <t>.parquet/ of range-partitioned part files

@@ -313,7 +313,7 @@ object TextDedup {
     * long column.
     */
   def simhashNearDups(documents: DataFrame, maxHamming: Int = 3,
-                      hotCap: Int = DefaultSimhashHotCap): DataFrame = {
+                      hotCap: Int = AutoHotCap): DataFrame = {
     simhashCandidates(documents, maxHamming, hotCap = hotCap)
       .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
       .filter(col("hamming") <= maxHamming)
@@ -328,6 +328,25 @@ object TextDedup {
     * few Zipf-hot buckets.
     */
   val DefaultSimhashHotCap = 256
+
+  /** Sentinel for `hotCap`: derive it from the corpus size — corpora of
+    * ≤ [[SimhashDirectMaxDocs]] docs run the pure direct self-join
+    * (no occupancy pass at all), larger ones the hot-bucket-refined
+    * plan with [[DefaultSimhashHotCap]].
+    */
+  val AutoHotCap: Int = -1
+
+  /** Corpus size below which the occupancy machinery costs more than it
+    * saves: the refined plan's occupancy window is a full extra
+    * sort-shuffle of the keyed table (measured ~2× on the 50k-doc
+    * sf0.1 corpus, where the r10 direct join was already 1.2 s), while
+    * hot-bucket blowup is what the ×10 corpus exhibits (19 s at 500k
+    * docs, 14.5× for ×10 — SCALE.md §6). Output is identical on both
+    * paths by the superset-plus-exact-hamming construction; the gate
+    * moves only cost. 100k sits between the last known-good decade and
+    * the first known-bad one.
+    */
+  val SimhashDirectMaxDocs = 100000L
 
   /** The candidate-pair stage of [[simhashNearDups]], exposed so the
     * scale diagnostics (graft.LshStats) and the hot-bucket spec measure
@@ -357,25 +376,44 @@ object TextDedup {
     */
   def simhashCandidates(documents: DataFrame, maxHamming: Int = 3,
                         blocks: Option[Int] = None,
-                        hotCap: Int = DefaultSimhashHotCap): DataFrame =
-    candidatesFromKeys(simhashBuckets(documents, maxHamming, blocks), hotCap)
+                        hotCap: Int = AutoHotCap): DataFrame = {
+    // one count() feeds both driver-side decisions (block geometry and
+    // the direct-vs-refined plan choice)
+    lazy val n = documents.count()
+    val nBlocks = blocks.getOrElse(LshGeometry.simhashBlocks(n, maxHamming))
+    val cap =
+      if (hotCap != AutoHotCap) hotCap
+      else if (n <= SimhashDirectMaxDocs) Int.MaxValue
+      else DefaultSimhashHotCap
+    candidatesFromKeys(simhashBuckets(documents, maxHamming, Some(nBlocks)), cap)
+  }
 
   private[graft] def candidatesFromKeys(keyed: DataFrame, hotCap: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // ONE plan, not a small/hot union (a first cut filtered `tagged`
-    // twice, which re-keyed and re-windowed the whole table per branch
-    // — ~1.4× on corpora with no hot buckets at all): every row joins
-    // on (bkey, skey), where skey is the CONSTANT 0 in a small bucket
+    // hotCap == Int.MaxValue: no bucket can be hot — emit the pure
+    // direct plan with NO occupancy pass (the legacy bkey equi-join,
+    // bit-for-bit). Otherwise ONE refined plan, not a small/hot union
+    // (a first cut filtered `tagged` twice, which re-keyed and
+    // re-windowed the whole table per branch — ~1.4× on corpora with no
+    // hot buckets; a second cut derived the hot set from a separate
+    // groupBy-and-broadcast-back, which recomputed the simhash keying
+    // kernel for both branches — ~1.8×): every row joins on
+    // (bkey, skey), where skey is the CONSTANT 0 in a small bucket
     // (join collapses to the legacy bkey equi-join, candidate set
     // bit-for-bit) and the exploded sub-pigeonhole keys in a hot one.
     // Small and hot rows can never pair: same bkey ⇒ same occupancy ⇒
     // same regime. Cost: one occupancy window by bkey, one explode
     // (1 element/row when small — no row growth), one equi-join.
-    val tagged = keyed.withColumn("__c",
-      count(lit(1)).over(Window.partitionBy("bkey")))
-    val k2 = tagged.select(col("doc_id"), col("sim"), col("bkey"),
-      explode(when(col("__c") <= hotCap, array(lit(0L)))
-        .otherwise(col("skeys"))).as("skey"))
+    import org.apache.spark.sql.expressions.Window
+    val k2 =
+      if (hotCap == Int.MaxValue)
+        keyed.select(col("doc_id"), col("sim"), col("bkey"), lit(0L).as("skey"))
+      else {
+        val tagged = keyed.withColumn("__c",
+          count(lit(1)).over(Window.partitionBy("bkey")))
+        tagged.select(col("doc_id"), col("sim"), col("bkey"),
+          explode(when(col("__c") <= hotCap, array(lit(0L)))
+            .otherwise(col("skeys"))).as("skey"))
+      }
     k2.as("a")
       .join(k2.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.skey") === col("b.skey") &&

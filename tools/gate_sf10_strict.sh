@@ -32,7 +32,12 @@ SPARK_GRAFT_SKIP=dedup_ngram_jaccard,dedup_embedding \
   sbt -batch "runMain graft.Verify $sf10 $out" >/dev/null
 
 echo "== sf10 gate: strict oracle ($(date -u +%H:%M:%S)) =="
+# ORACLE_THREADS=4: at x100 the default thread count makes the oracle
+# buffer per-thread out-of-core partitions — the corpus-sized queries
+# then spill more temp than this host's free disk. Thread-bounded, the
+# whole sweep runs with zero spill (SCALE.md §6).
 ORACLE_MEM="${ORACLE_MEM:-48GB}" \
+ORACLE_THREADS="${ORACLE_THREADS:-4}" \
 ORACLE_SKIP="dedup_embedding_lsh${ORACLE_SKIP:+,$ORACLE_SKIP}" \
   python3 tools/check_oracle.py "$sf10" "$out"
 

@@ -192,17 +192,36 @@ object CorpusStream {
         // diff so pre-existing pins (the index's own caches) survive
         val sc = spark.sparkContext
         val before = sc.getPersistentRDDs.keySet
+        // Redelivery guard (StreamCrashCheck-gated): a driver that dies
+        // after this append lands but before the engine's commit log
+        // records the batch gets the SAME batch replayed on restart —
+        // foreachBatch is at-least-once, the sink must be idempotent.
+        // Anti-join on the already-ingested doc_ids (a columnar
+        // id-only scan of dest, like the embedding ingest's vec_id
+        // guard); a live deployment folds accepted docs into the
+        // incremental dedup index, which subsumes this — here the
+        // backlog-drain entry point guards against its own output.
+        def dedupAgainstDest(accepted: DataFrame): DataFrame =
+          try accepted.join(spark.read.parquet(destPath).select("doc_id"),
+            Seq("doc_id"), "left_anti")
+          catch { case _: org.apache.spark.sql.AnalysisException => accepted }
         if (statsPath.isEmpty) {
-          acceptBatch(index, batch, threshold)
+          dedupAgainstDest(acceptBatch(index, batch, threshold))
             .write.mode("append").parquet(destPath)
         } else {
           val (accepted, report) = acceptBatchWithReport(index, batch, threshold)
-          accepted.write.mode("append").parquet(destPath)
-          report.withColumn("batch_id", lit(batchId))
-            .coalesce(1).write.mode("append").parquet(statsPath)
+          dedupAgainstDest(accepted).write.mode("append").parquet(destPath)
+          // same guard for the funnel history, keyed by batch id
+          val newReport = report.withColumn("batch_id", lit(batchId))
+          val guardedReport =
+            try newReport.join(spark.read.parquet(statsPath).select("batch_id"),
+              Seq("batch_id"), "left_anti")
+            catch { case _: org.apache.spark.sql.AnalysisException => newReport }
+          guardedReport.coalesce(1).write.mode("append").parquet(statsPath)
         }
         sc.getPersistentRDDs.filterNot { case (id, _) => before.contains(id) }
           .foreach { case (_, rdd) => rdd.unpersist(false) }
+        FaultInjection.maybeHalt(batchId)
       }
       .start()
       .awaitTermination()

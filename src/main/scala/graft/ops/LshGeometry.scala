@@ -159,10 +159,36 @@ object LshGeometry {
   /** nProbe for a served index with `nCells` cells (derived from the
     * STORED layout's centroid count, so a loaded index is always
     * queried at the geometry it was built for): the legacy 4 at the
-    * legacy 16 cells, else the fixed 1/8 probe fraction.
+    * legacy 16 cells; the 1/8 probe fraction through 128 cells; 1/4
+    * beyond. The step is MEASURED, not assumed (graft.AnnTune at sf10,
+    * 256 cells over 200k vectors, 250 hit samples): at 1/8 recall@5
+    * fell through the 0.50 floor (ivf 0.45, sq8 0.52) because finer
+    * partitions slice weak-margin neighborhoods across more cells,
+    * while 1/4 restores 0.73/0.73 — recall lost to the fraction, not
+    * to n. The schedule is corpus-measured; a deployment watches
+    * ann_recall_report (the floors ride in its output) and turns the
+    * exposed nProbe knob, exactly as it would with any IVF serving
+    * stack.
     */
   def ivfProbe(nCells: Int): Int =
-    if (nCells <= 16) 4 else math.max(8, nCells / 8)
+    if (nCells <= 16) 4
+    else if (nCells <= 128) math.max(8, nCells / 8)
+    else math.max(32, nCells / 4)
+
+  /** PQ sub-quantizer count for a `dim`-dimensional corpus: the legacy
+    * 8 at gate sizes; at scale one sub-quantizer per 8 dimensions (the
+    * standard PQ operating point). Measured at sf10 (graft.AnnTune):
+    * with m=8 over 128 dims, per-subspace distortion dominates the
+    * weak cos-margins of threshold-adjacent neighbors and ADC ranking
+    * caps recall ~0.57 even at rerank 5000; m=16 (8 dims/sub, 16 B/vec
+    * — 16x not 32x compression) restores the ADC ordering. Stored
+    * layouts carry their own m (loadIvfPq reads it back from the
+    * codebooks), so this only shapes NEW builds.
+    */
+  def pqSubs(dim: Int, n: Long, smallN: Long = 4000): Int =
+    if (n <= smallN) 8
+    // largest m ≤ dim/8 that divides dim (trainPq slices evenly)
+    else (math.max(8, dim / 8) to 1 by -1).find(dim % _ == 0).getOrElse(8)
 
   /** (kCentroids, rerank) for an n-vector PQ layout: the legacy
     * (32, 50) at gate sizes; at scale the full 8-bit codebooks (256 —
@@ -175,12 +201,16 @@ object LshGeometry {
   /** Query-side exact-rerank depth for a served PQ layout, keyed off
     * the layout's own cell count (like [[ivfProbe]] — the stored
     * geometry, not a fresh derivation, decides how it is queried).
-    * 500 at scale: measured at sf1, rerank 200 recovered only 0.40 of
-    * the probe set's 0.60 recall ceiling (ADC ordering loses
-    * threshold-adjacent neighbors); 500 exact re-scores are still a
-    * point-lookup-sized touch of the float corpus per query.
+    * Measured anchors (graft.AnnTune): at 128 cells/sf1, rerank 200
+    * recovered only 0.40 of the probe set's 0.60 ceiling, 500 holds
+    * the floor; at 256 cells/sf10 the probed pool is ~50k codes/query
+    * and 500 keeps only 0.47 even at m=16 — 2000 (4% of the pool)
+    * reaches 0.62. Rerank stays CONSTANT per tier, not ∝ pool: at a
+    * billion vectors the ADC ordering must carry the shortlist, which
+    * is why [[pqSubs]] widens m rather than letting rerank grow.
     */
-  def pqRerank(nCells: Int): Int = if (nCells <= 16) 50 else 500
+  def pqRerank(nCells: Int): Int =
+    if (nCells <= 16) 50 else if (nCells <= 128) 500 else 2000
 
   def hyperplane(n: Long, dupSim: Double = 0.85,
                  targetMiss: Double = 0.001, candPerVec: Int = 200,

@@ -950,18 +950,21 @@ object AnnServing {
     * [[Similarity.knnIvfPq]] (the persisted-≡-in-memory spec).
     */
   def knnIvfPq(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5,
-               nCells: Int = -1, nProbe: Int = -1, mSubs: Int = 8,
+               nCells: Int = -1, nProbe: Int = -1, mSubs: Int = -1,
                kCentroids: Int = -1, rerank: Int = -1): DataFrame = {
     val layout = servedValidated(pqCache, spark, sfDir) { () =>
       makeLayout("ivfpq", sfDir) { stage =>
         val emb = graft.Tables.embeddings(spark, sfDir)
-        // one count() pays for both build-time derivations (cells +
-        // codebook width); serving reads geometry back from the layout
+        // one count() pays for all build-time derivations (cells +
+        // codebook width + sub-quantizer count); serving reads geometry
+        // back from the layout
         val n = emb.count()
         val cells = if (nCells > 0) nCells else graft.ops.LshGeometry.ivf(n)._1
         val kc = if (kCentroids > 0) kCentroids else graft.ops.LshGeometry.pq(n)._1
+        val dim = Similarity.prepared(emb).select(size(col("v"))).head().getInt(0)
+        val m = if (mSubs > 0) mSubs else graft.ops.LshGeometry.pqSubs(dim, n)
         val index = Similarity.buildIvf(emb, cells)
-        val pq = Similarity.trainPq(emb, mSubs, kc)
+        val pq = Similarity.trainPq(emb, m, kc)
         Similarity.writeIvfPq(index, pq, stage)
       } { dir =>
         val (c, p, cd) = Similarity.loadIvfPq(spark, dir)

@@ -116,14 +116,24 @@ class LshGeometrySpec extends SparkSpec {
     // full 8-bit PQ codebooks + deep rerank (the r11 sf1 measurement:
     // fixed gate geometry collapsed ivf_pq family recall to 0.22)
     assert(LshGeometry.ivf(20000) === (128, 16), "sf1")
-    assert(LshGeometry.ivf(200000) === (256, 32), "sf10")
-    assert(LshGeometry.ivf(20000000) === (4096, 512), "cells capped")
+    // past 128 cells the probe fraction doubles to 1/4 — the r11 sf10
+    // AnnTune measurement: 1/8 fell through the 0.50 recall floor
+    // (0.45), 1/4 restored 0.73
+    assert(LshGeometry.ivf(200000) === (256, 64), "sf10")
+    assert(LshGeometry.ivf(20000000) === (4096, 1024), "cells capped")
     assert(LshGeometry.pq(20000) === (256, 200))
     // query-side derivations key off the SERVED layout's cell count
     assert(LshGeometry.ivfProbe(16) === 4, "legacy layout probed at legacy width")
     assert(LshGeometry.ivfProbe(128) === 16)
     assert(LshGeometry.pqRerank(16) === 50)
     assert(LshGeometry.pqRerank(128) === 500)
+    assert(LshGeometry.pqRerank(256) === 2000, "deep pools need a deeper shortlist")
+    // sub-quantizer width: legacy 8 at gate sizes; 8 dims/sub at scale
+    // (m=16 for the 128-dim corpus — the sf10 ADC-distortion fix),
+    // snapped down to a divisor of dim
+    assert(LshGeometry.pqSubs(128, 2000) === 8, "gate sizes keep m=8")
+    assert(LshGeometry.pqSubs(128, 200000) === 16)
+    assert(LshGeometry.pqSubs(96, 200000) === 12, "m divides dim")
   }
 
   test("simhash blocks: legacy B=4 at gate sizes, key width tracks log2 n") {

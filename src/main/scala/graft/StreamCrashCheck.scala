@@ -108,7 +108,9 @@ object StreamCrashCheck {
     val out = spark.read.parquet(dest)
     val (rows, hash) = ClusterCheck.fingerprint(out.collect())
     val distinctIds = out.select("doc_id").distinct().count()
-    val matches = (rows, hash) == control && distinctIds == rows
+    // control._1 > 0: a zero-row control would make the whole check
+    // vacuous (nothing for the replayed batch to double)
+    val matches = (rows, hash) == control && distinctIds == rows && control._1 > 0
     val json =
       s"""{"metric":"stream_crash_recovery","sf":"$sfDir","n_batches":$nBatches,""" +
         s""""halt_after":$haltAfter,"crashed_mid_stream":$crashed,"resumed":$resumed,""" +

@@ -62,7 +62,8 @@ object FaultCheck {
 
   private def executorPids(appId: String): Seq[Long] = {
     import scala.jdk.CollectionConverters._
-    Files.list(Paths.get("/proc")).iterator().asScala
+    val stream = Files.list(Paths.get("/proc"))
+    try stream.iterator().asScala
       .filter(p => p.getFileName.toString.forall(_.isDigit))
       .flatMap { p =>
         try {
@@ -73,6 +74,7 @@ object FaultCheck {
           else None
         } catch { case _: Throwable => None }
       }.toSeq
+    finally stream.close() // the 50 ms retry loop would leak an fd per poll
   }
 
   def main(args: Array[String]): Unit = {
@@ -120,9 +122,15 @@ object FaultCheck {
       var killedPid = -1L
       while (killedPid < 0 && !fut.isCompleted && System.nanoTime() < deadline) {
         if (taskStarts.get() - startTasks >= killAfter) {
+          // record a kill ONLY if the signal was actually delivered to a
+          // live process — an executor that exited between the /proc
+          // read and the destroy must not count (a false killed:true
+          // would make the gate vacuous for this query)
           executorPids(appId).headOption.foreach { pid =>
-            java.lang.ProcessHandle.of(pid).ifPresent(h => h.destroyForcibly())
-            killedPid = pid
+            val delivered = java.lang.ProcessHandle.of(pid)
+              .map[java.lang.Boolean](h => h.destroyForcibly())
+              .orElse(java.lang.Boolean.FALSE)
+            if (delivered) killedPid = pid
           }
           if (killedPid < 0) Thread.sleep(50)
         } else Thread.sleep(20)

@@ -187,16 +187,22 @@ object LshGeometry {
     */
   def pqSubs(dim: Int, n: Long, smallN: Long = 4000): Int =
     if (n <= smallN) 8
-    // largest m ≤ dim/8 that divides dim (trainPq slices evenly)
-    else (math.max(8, dim / 8) to 1 by -1).find(dim % _ == 0).getOrElse(8)
+    // largest m in [2, dim/8] that divides dim (trainPq slices evenly).
+    // The search must NOT bottom out at m=1 — one codebook over the
+    // whole vector collapses ADC ranking; a divisor-free dim (prime)
+    // degenerates to m=dim instead: per-dimension scalar codebooks,
+    // sq8-fidelity ADC at dim bytes/vector.
+    else (math.max(8, dim / 8) to 2 by -1).find(dim % _ == 0).getOrElse(dim)
 
-  /** (kCentroids, rerank) for an n-vector PQ layout: the legacy
-    * (32, 50) at gate sizes; at scale the full 8-bit codebooks (256 —
-    * the standard PQ code width: finer codebooks are what keep ADC
-    * ranking faithful as cells grow) and a 200-deep exact rerank.
+  /** kCentroids for an n-vector PQ codebook: the legacy 32 at gate
+    * sizes; at scale the full 8-bit codebooks (256 — the standard PQ
+    * code width: finer codebooks are what keep ADC ranking faithful as
+    * cells grow). The query-side rerank depth is NOT derived here —
+    * it keys off the served layout's cell count ([[pqRerank]]), like
+    * every other query-time knob.
     */
-  def pq(n: Long, smallN: Long = 4000): (Int, Int) =
-    if (n <= smallN) (32, 50) else (256, 200)
+  def pq(n: Long, smallN: Long = 4000): Int =
+    if (n <= smallN) 32 else 256
 
   /** Query-side exact-rerank depth for a served PQ layout, keyed off
     * the layout's own cell count (like [[ivfProbe]] — the stored

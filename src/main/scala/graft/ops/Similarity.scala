@@ -960,7 +960,7 @@ object AnnServing {
         // back from the layout
         val n = emb.count()
         val cells = if (nCells > 0) nCells else graft.ops.LshGeometry.ivf(n)._1
-        val kc = if (kCentroids > 0) kCentroids else graft.ops.LshGeometry.pq(n)._1
+        val kc = if (kCentroids > 0) kCentroids else graft.ops.LshGeometry.pq(n)
         val dim = Similarity.prepared(emb).select(size(col("v"))).head().getInt(0)
         val m = if (mSubs > 0) mSubs else graft.ops.LshGeometry.pqSubs(dim, n)
         val index = Similarity.buildIvf(emb, cells)

@@ -220,15 +220,27 @@ object ResultCache {
     if (!fs.exists(root)) return 0
     var deleted = 0
     val cutoff = nowMs() - ttlMs - gcGraceMs
+    // A staging is debris only when it CRASHED, and a live publish may
+    // legitimately write for minutes — so tmp reclamation waits at
+    // least an hour, not the reader-anchored grace (a live writer also
+    // keeps refreshing the dir's mtime as part files land).
+    val tmpCutoff = nowMs() - math.max(gcGraceMs, 3600000L)
     fs.listStatus(root).filter(_.isDirectory).foreach { keyStatus =>
       val keyDir = keyStatus.getPath
       // torn stagings first, so an all-stale key dir deletes cleanly
       fs.listStatus(keyDir)
         .filter(s => s.getPath.getName.startsWith(".tmp-")
-          && s.getModificationTime < nowMs() - gcGraceMs)
+          && s.getModificationTime < tmpCutoff)
         .foreach { s => fs.delete(s.getPath, true); deleted += 1 }
       val gens = generationsOf(fs, keyDir)
-      val stale = gens.map(g => stampOf(spark, g).forall(_ < cutoff))
+      // A STRIPPED stamp (invalidate) must not read as infinitely old:
+      // invalidate's contract is that published data survives for
+      // in-flight readers. Fall back to the generation dir's mtime —
+      // stripping the stamp file refreshes it, so a just-invalidated
+      // generation keeps its full ttl+grace before the sweep may take
+      // it.
+      val stale = gens.map(g => stampOf(spark, g).getOrElse(
+        fs.getFileStatus(g).getModificationTime) < cutoff)
       if (gens.nonEmpty && stale.forall(identity)) {
         fs.delete(keyDir, true); deleted += 1
       } else {

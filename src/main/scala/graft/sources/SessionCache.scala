@@ -51,9 +51,10 @@ object SessionKeys {
   * what the cached value V already does (V's frames reference their
   * session); it exists so eviction can ask `isStopped`.
   *
-  * Values are built inside `compute`, so concurrent callers for the
+  * Values are built inside `compute`, so concurrent BUILDERS for the
   * same corpus serialize on the map bin exactly like the previous
-  * `computeIfAbsent` protocol.
+  * `computeIfAbsent` protocol; HITS return through a lock-free fast
+  * path and never wait behind another session's build.
   */
 final class SessionCache[V](onEvict: V => Unit = (_: V) => ()) {
   import SessionCache.MaxLivePerCorpus
@@ -69,6 +70,21 @@ final class SessionCache[V](onEvict: V => Unit = (_: V) => ()) {
 
   def getOrBuild(spark: SparkSession, corpusDir: String)(build: => V): V = {
     val sid = SessionKeys.idOf(spark)
+    // Lock-free HIT fast path: a cached serve must never block behind
+    // another session's minutes-long layout build in compute's bin lock
+    // (the exact multi-session scenario this cache exists for). The
+    // LRU move-to-back is attempted with one CAS and skipped under
+    // contention — order then just reflects the last uncontended
+    // touch, which is all the small cap needs. Dead-session eviction
+    // stays on the compute path (next miss), where it was anyway.
+    val cur = m.get(corpusDir)
+    if (cur != null) cur.find(_._1 == sid) match {
+      case Some(hit) if !dead(hit._2) =>
+        val reordered = cur.filterNot(_._1 == sid) :+ hit
+        if (reordered != cur) m.replace(corpusDir, cur, reordered)
+        return hit._3
+      case _ => ()
+    }
     var out: Option[V] = None
     m.compute(corpusDir, (_, old) => {
       val prev = if (old == null) Nil else old

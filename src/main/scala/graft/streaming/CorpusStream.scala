@@ -176,6 +176,24 @@ object CorpusStream {
                  statsPath: String = "", maxFilesPerTrigger: Int = 0): Unit = {
     val schema = spark.read.parquet(srcDir).schema
     val reader = spark.readStream.schema(schema)
+    // Redelivery window (StreamCrashCheck-gated): a driver that dies
+    // after a batch's append lands but before the engine's commit log
+    // records it gets the SAME batch replayed on restart — foreachBatch
+    // is at-least-once, the sink must be idempotent. Only the FIRST
+    // batch executed per query start can be such a replay (restart
+    // resumes at the first uncommitted batch; everything after it is
+    // first-time), so only that batch pays the guard: an anti-join on
+    // the already-ingested doc_ids (a columnar id-only scan of dest,
+    // like the embedding ingest's vec_id guard). A live deployment
+    // folds accepted docs into the incremental dedup index, which
+    // subsumes this; the backlog-drain entry guards against its own
+    // output. The funnel history gets the same first-batch guard keyed
+    // by (run_id, batch_id) — run_id is the checkpoint identity, so
+    // re-draining a NEW backlog into a shared statsPath can never
+    // collide with a previous run's batch numbering.
+    val replayWindow = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val runId = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     (if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
     else reader)
@@ -192,17 +210,10 @@ object CorpusStream {
         // diff so pre-existing pins (the index's own caches) survive
         val sc = spark.sparkContext
         val before = sc.getPersistentRDDs.keySet
-        // Redelivery guard (StreamCrashCheck-gated): a driver that dies
-        // after this append lands but before the engine's commit log
-        // records the batch gets the SAME batch replayed on restart —
-        // foreachBatch is at-least-once, the sink must be idempotent.
-        // Anti-join on the already-ingested doc_ids (a columnar
-        // id-only scan of dest, like the embedding ingest's vec_id
-        // guard); a live deployment folds accepted docs into the
-        // incremental dedup index, which subsumes this — here the
-        // backlog-drain entry point guards against its own output.
+        val maybeReplay = replayWindow.getAndSet(false)
         def dedupAgainstDest(accepted: DataFrame): DataFrame =
-          try accepted.join(spark.read.parquet(destPath).select("doc_id"),
+          if (!maybeReplay) accepted
+          else try accepted.join(spark.read.parquet(destPath).select("doc_id"),
             Seq("doc_id"), "left_anti")
           catch { case _: org.apache.spark.sql.AnalysisException => accepted }
         if (statsPath.isEmpty) {
@@ -211,11 +222,13 @@ object CorpusStream {
         } else {
           val (accepted, report) = acceptBatchWithReport(index, batch, threshold)
           dedupAgainstDest(accepted).write.mode("append").parquet(destPath)
-          // same guard for the funnel history, keyed by batch id
-          val newReport = report.withColumn("batch_id", lit(batchId))
+          val newReport = report
+            .withColumn("run_id", lit(runId)).withColumn("batch_id", lit(batchId))
           val guardedReport =
-            try newReport.join(spark.read.parquet(statsPath).select("batch_id"),
-              Seq("batch_id"), "left_anti")
+            if (!maybeReplay) newReport
+            else try newReport.join(
+              spark.read.parquet(statsPath).select("run_id", "batch_id"),
+              Seq("run_id", "batch_id"), "left_anti")
             catch { case _: org.apache.spark.sql.AnalysisException => newReport }
           guardedReport.coalesce(1).write.mode("append").parquet(statsPath)
         }

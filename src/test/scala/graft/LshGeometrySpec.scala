@@ -111,7 +111,7 @@ class LshGeometrySpec extends SparkSpec {
     // bit-for-bit — every strict-oracle and equivalence spec stays on it
     assert(LshGeometry.ivf(200) === (16, 4), "sf0.01")
     assert(LshGeometry.ivf(2000) === (16, 4), "sf0.1")
-    assert(LshGeometry.pq(200) === (32, 50))
+    assert(LshGeometry.pq(200) === 32)
     // scale: cells ~ sqrt(n) (pow2, capped), probe fraction fixed at 1/8,
     // full 8-bit PQ codebooks + deep rerank (the r11 sf1 measurement:
     // fixed gate geometry collapsed ivf_pq family recall to 0.22)
@@ -121,7 +121,7 @@ class LshGeometrySpec extends SparkSpec {
     // (0.45), 1/4 restored 0.73
     assert(LshGeometry.ivf(200000) === (256, 64), "sf10")
     assert(LshGeometry.ivf(20000000) === (4096, 1024), "cells capped")
-    assert(LshGeometry.pq(20000) === (256, 200))
+    assert(LshGeometry.pq(20000) === 256)
     // query-side derivations key off the SERVED layout's cell count
     assert(LshGeometry.ivfProbe(16) === 4, "legacy layout probed at legacy width")
     assert(LshGeometry.ivfProbe(128) === 16)

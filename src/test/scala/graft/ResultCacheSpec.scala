@@ -203,4 +203,34 @@ class ResultCacheSpec extends SparkSpec {
     q("a")
     assert(computes === 3, "clear must empty the cache")
   }
+
+  test("sweep honors the grace of a just-invalidated key and of a live staging") {
+    val dir = root()
+    ResultCache.getOrCompute(spark, dir, "k", ttlMs = 60000L)(Seq(1L).toDF("v"))
+    ResultCache.invalidate(spark, dir, "k")
+    // stripped stamp ≠ infinitely old: invalidate's contract lets
+    // in-flight readers drain published data, so the sweep must grant
+    // the generation its full ttl+grace from the STRIP (dir mtime)
+    assert(ResultCache.sweep(spark, dir, ttlMs = 1000L) === 0,
+      "just-invalidated key must survive the sweep")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "k")))
+    // a staging older than the reader grace but younger than an hour is
+    // a possibly-live publish, not debris
+    val tmp = java.nio.file.Paths.get(dir, "k", ".tmp-live")
+    java.nio.file.Files.createDirectories(tmp)
+    java.nio.file.Files.setLastModifiedTime(tmp,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 120000L))
+    assert(ResultCache.sweep(spark, dir, ttlMs = 1000L) === 0,
+      "2-minute-old staging is possibly a live write, not debris")
+    // once genuinely aged, both the staging and the stripped key go
+    val gen = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "k"))
+      .filter(p => p.getFileName.toString.startsWith("e-")).findFirst().get()
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 10_000_000L)
+    java.nio.file.Files.setLastModifiedTime(gen, old)
+    java.nio.file.Files.setLastModifiedTime(tmp, old)
+    assert(ResultCache.sweep(spark, dir, ttlMs = 1000L) >= 2,
+      "aged stripped key + aged staging reclaimed")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "k")))
+  }
 }

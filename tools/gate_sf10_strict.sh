@@ -72,17 +72,6 @@ assert not bad, f"{bad} pairs below threshold or mis-scored"
 EOF
 
 echo "== sf10 gate: ANN serving recall floors (recall_ok all-true) =="
-python3 - "$out" <<'EOF'
-import sys, duckdb
-rows = duckdb.sql(
-    f"select index_kind, any_value(family_recall), bool_and(recall_ok) "
-    f"from read_parquet('{sys.argv[1]}/ann_recall_report/*.parquet') "
-    f"group by 1 order by 1").fetchall()
-bad = [r for r in rows if not r[2]]
-for kind, recall, ok in rows:
-    print(f"  {kind:8s} family_recall={recall} {'ok' if ok else 'BELOW FLOOR'}")
-assert len(rows) == 4, f"expected 4 ANN families, got {rows}"
-assert not bad, f"ANN family below its serving floor at sf10: {bad}"
-EOF
+python3 tools/check_ann_floors.py "$out" sf10
 
 echo "== sf10 strict gate green ($(date -u +%H:%M:%S)) =="

@@ -77,4 +77,31 @@ class SessionCacheSpec extends SparkSpec {
     assert(cache.getOrBuild(spark, "/corpus/e1") { builds += 1; "z" } === "x")
     assert(builds === 2)
   }
+
+  test("a cached hit never blocks behind another session's in-flight build") {
+    val cache = new SessionCache[String]()
+    val s2 = spark.newSession()
+    cache.getOrBuild(spark, "/corpus/h") { "mine" }
+    val buildStarted = new java.util.concurrent.CountDownLatch(1)
+    val releaseBuild = new java.util.concurrent.CountDownLatch(1)
+    val builder = new Thread(() =>
+      cache.getOrBuild(s2, "/corpus/h") {
+        buildStarted.countDown()
+        // a layout build takes minutes; hold compute's bin lock
+        releaseBuild.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        "theirs"
+      })
+    builder.start()
+    assert(buildStarted.await(10, java.util.concurrent.TimeUnit.SECONDS),
+      "builder thread never entered its build")
+    // the hit must return while the other session's build holds the lock
+    val t0 = System.nanoTime()
+    val hit = cache.getOrBuild(spark, "/corpus/h")(sys.error("hit must not rebuild"))
+    val hitMs = (System.nanoTime() - t0) / 1e6
+    releaseBuild.countDown()
+    builder.join(30000)
+    assert(hit === "mine")
+    assert(hitMs < 5000, f"hit blocked ${hitMs}%.0f ms behind a concurrent build")
+    assert(cache.getOrBuild(s2, "/corpus/h")(sys.error("s2 must be cached")) === "theirs")
+  }
 }

@@ -36,17 +36,6 @@ echo "== scale gate: dedup_embedding_lsh subset+recall =="
 python3 tools/check_lsh_recall.py "$out"
 
 echo "== scale gate: ANN serving recall floors (recall_ok all-true at sf1) =="
-python3 - "$out" <<'EOF'
-import sys, duckdb
-rows = duckdb.sql(
-    f"select index_kind, any_value(family_recall), bool_and(recall_ok) "
-    f"from read_parquet('{sys.argv[1]}/ann_recall_report/*.parquet') "
-    f"group by 1 order by 1").fetchall()
-bad = [r for r in rows if not r[2]]
-for kind, recall, ok in rows:
-    print(f"  {kind:8s} family_recall={recall} {'ok' if ok else 'BELOW FLOOR'}")
-assert len(rows) == 4, f"expected 4 ANN families, got {rows}"
-assert not bad, f"ANN family below its serving floor at sf1: {bad}"
-EOF
+python3 tools/check_ann_floors.py "$out" sf1
 
 echo "== scale gate green =="

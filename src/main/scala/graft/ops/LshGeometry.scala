@@ -133,19 +133,24 @@ object LshGeometry {
     * `(16, 4)` up to `smallN` (the r1–r10 hand geometry — every strict
     * driver-gate corpus is below it, so gate behavior is bit-for-bit
     * unchanged), and above it nCells grows ~√n (power of two, capped)
-    * with nProbe = nCells/8. Why these shapes:
+    * with nProbe from [[ivfProbe]]'s measured stepped schedule —
+    * max(8, cells/8) through 128 cells, max(32, cells/4) beyond (so
+    * small derived cell counts probe a fraction ABOVE 1/8, and fine
+    * partitions double it). Why these shapes:
     *
     *  - cells ∝ √n keeps per-cell occupancy ∝ √n — the knob
     *    [[Similarity.semDedup]]'s quadratic-budget argument and
     *    ivf_cell_stats' balance dashboard both ride on (FAISS's nlist
     *    rule of thumb for flat-scanned cells);
-    *  - a FIXED probe fraction (1/8) holds measured recall ~stable
+    *  - a size-derived probe SCHEDULE holds measured recall ~stable
     *    across decades — the r11 sf1 measurement showed the fixed
     *    (16, 4) geometry collapsing ivf_pq family recall to 0.22 at
-    *    10× the anchor corpus, which is exactly the
-    *    fixed-geometry-at-scale failure the minhash/hyperplane
-    *    derivations exist to prevent. Candidates per query are n/8 of
-    *    ids but only code-bytes of I/O on the PQ/SQ8 paths — the probe
+    *    10× the anchor corpus, and the r11 sf10 measurement showed a
+    *    flat 1/8 fraction falling through the floors at 256 cells
+    *    (see [[ivfProbe]]) — both the fixed-geometry-at-scale failure
+    *    the minhash/hyperplane derivations exist to prevent.
+    *    Candidates per query are a probe-fraction slice of ids but
+    *    only code-bytes of I/O on the PQ/SQ8 paths — the probe
     *    fraction is the deployment's latency/recall dial, and the
     *    serving floors are defined AT this derived config.
     */

@@ -1022,8 +1022,10 @@ object AnnServing {
     // verdict's "promote the monitoring report to a gate" ask. Floors
     // are the spec-locked levels at the report's serving config — the
     // SIZE-DERIVED geometry (LshGeometry.ivf/pq: the legacy 4-of-16
-    // probes at gate sizes, √n cells at 1/8 probe fraction + 8-bit PQ
-    // codebooks and 200-deep rerank at scale; r11 measured the fixed
+    // probes at gate sizes; √n cells with the stepped probe schedule
+    // (cells/8 through 128 cells, cells/4 beyond) + 8-bit PQ codebooks
+    // and the tiered 50/500/2000 rerank of LshGeometry.pqRerank at
+    // scale; r11 measured the fixed
     // gate geometry collapsing ivf_pq to 0.22 family recall at sf1,
     // and the derived geometry restoring every family above its floor
     // at sf1 — the scale gate asserts recall_ok there). LSH's low

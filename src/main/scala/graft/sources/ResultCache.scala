@@ -242,7 +242,25 @@ object ResultCache {
       val stale = gens.map(g => stampOf(spark, g).getOrElse(
         fs.getFileStatus(g).getModificationTime) < cutoff)
       if (gens.nonEmpty && stale.forall(identity)) {
-        fs.delete(keyDir, true); deleted += 1
+        // All-stale is exactly the state a concurrent getOrCompute is
+        // RECOMPUTING at sweep time, so never delete the key dir
+        // wholesale: that would take a `.tmp-*` staging younger than
+        // tmpCutoff (a possibly-live publish the tmp-reclamation step
+        // above deliberately exempts) and any generation published
+        // between our listing and the delete — failing the writer's
+        // rename and breaking the "costs a rebuild, never a failed
+        // call" contract. Reclaim only the listed stale generations;
+        // the key dir itself goes only when verifiably empty, via a
+        // NON-recursive delete that fails harmlessly if anything
+        // landed in the window after the emptiness check.
+        gens.foreach { g => fs.delete(g, true); deleted += 1 }
+        val leftovers = try fs.listStatus(keyDir) catch {
+          case _: java.io.IOException => null
+        }
+        if (leftovers != null && leftovers.isEmpty) {
+          try { if (fs.delete(keyDir, false)) deleted += 1 }
+          catch { case _: java.io.IOException => () }
+        }
       } else {
         gens.drop(1).zip(stale.drop(1)).foreach { case (g, isStale) =>
           if (isStale) { fs.delete(g, true); deleted += 1 }

@@ -188,12 +188,33 @@ object CorpusStream {
     // folds accepted docs into the incremental dedup index, which
     // subsumes this; the backlog-drain entry guards against its own
     // output. The funnel history gets the same first-batch guard keyed
-    // by (run_id, batch_id) — run_id is the checkpoint identity, so
-    // re-draining a NEW backlog into a shared statsPath can never
-    // collide with a previous run's batch numbering.
+    // by (run_id, batch_id) — run_id is the checkpoint's OWN query id
+    // (the uuid the engine persists in <checkpoint>/metadata at first
+    // start): stable across restarts of the same checkpoint, so a
+    // crash-replayed batch keeps its key and the guard dedups it, and
+    // FRESH whenever the path is deleted and reused for a new backlog,
+    // so a new run's batch numbering cannot collide with a previous
+    // run's history in a shared statsPath. Resolved lazily in-batch
+    // because the metadata file exists only once the query has
+    // started; the path hash is only the fallback for a filesystem
+    // that hides the file (same-path reuse then shares run_ids — the
+    // guard may drop the new run's batch-0 report row).
     val replayWindow = new java.util.concurrent.atomic.AtomicBoolean(true)
-    val runId = java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpointDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    lazy val runId: String = {
+      val fallback = java.security.MessageDigest.getInstance("MD5")
+        .digest(checkpointDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      try {
+        val meta = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+        val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(meta)) fallback
+        else {
+          val in = fs.open(meta)
+          val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          """"id"\s*:\s*"([0-9a-fA-F-]+)"""".r.findFirstMatchIn(txt)
+            .map(_.group(1)).getOrElse(fallback)
+        }
+      } catch { case _: java.io.IOException => fallback }
+    }
     (if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
     else reader)

@@ -233,4 +233,37 @@ class ResultCacheSpec extends SparkSpec {
       "aged stripped key + aged staging reclaimed")
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "k")))
   }
+
+  test("all-stale sweep never takes a live staging with the key dir") {
+    // The all-stale key is exactly the key a concurrent getOrCompute is
+    // recomputing at sweep time: its young .tmp-* staging (and the
+    // generation about to be published from it) must survive the sweep,
+    // or the writer's rename fails and a serving call throws — the
+    // advisor-flagged hole in the old whole-key-dir delete.
+    val dir = root()
+    ResultCache.getOrCompute(spark, dir, "k", ttlMs = 60000L)(Seq(1L).toDF("v"))
+    val key = java.nio.file.Paths.get(dir, "k")
+    val gen = java.nio.file.Files.list(key)
+      .filter(p => p.getFileName.toString.startsWith("e-")).findFirst().get()
+    java.nio.file.Files.setLastModifiedTime(gen,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 10_000_000L))
+    // age the stamp too, so EVERY generation reads as stale
+    val stampPath = gen.resolve("_cached_at")
+    java.nio.file.Files.writeString(stampPath,
+      (System.currentTimeMillis() - 10_000_000L).toString)
+    // a young staging: an in-flight publish racing the sweep
+    val tmp = key.resolve(".tmp-inflight")
+    java.nio.file.Files.createDirectories(tmp)
+    java.nio.file.Files.writeString(tmp.resolve("part-0.parquet"), "x")
+    assert(ResultCache.sweep(spark, dir, ttlMs = 1000L) === 1,
+      "exactly the stale generation reclaimed")
+    assert(!java.nio.file.Files.exists(gen), "stale generation gone")
+    assert(java.nio.file.Files.exists(tmp.resolve("part-0.parquet")),
+      "in-flight staging must survive an all-stale sweep")
+    // and the racer's publish still lands: the key dir was not removed
+    val df = ResultCache.getOrCompute(spark, dir, "k", ttlMs = 60000L)(
+      Seq(2L).toDF("v"))
+    assert(df.as[Long].collect().toSeq === Seq(2L))
+  }
 }

@@ -500,6 +500,18 @@ class StreamingSpec extends SparkSpec {
       r.getAs[Long]("n_accepted") === 1L, r.toString)
     CorpusStream.ingestOnce(spark, src, index, dest2, ckpt2, statsPath = stats)
     assert(spark.read.parquet(stats).count() === 1)
+
+    // deleting and REUSING the same checkpoint path for a new drain is a
+    // new run (fresh engine query id in <ckpt>/metadata), so its batch-0
+    // funnel row must land in the shared statsPath despite reproducing
+    // (path, batch_id=0) — the advisor-flagged collision of a
+    // path-derived run_id
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt2))
+    val dest3 = java.nio.file.Files.createTempDirectory("graft_corpus_d3").toString + "/out"
+    CorpusStream.ingestOnce(spark, src, index, dest3, ckpt2, statsPath = stats)
+    val rep2 = spark.read.parquet(stats).select("run_id").as[String].collect()
+    assert(rep2.length === 2, s"new run's report row must survive: ${rep2.toSeq}")
+    assert(rep2.distinct.length === 2, "checkpoint reuse must mint a fresh run_id")
   }
 
   test("span rewrite stream: durable cross-batch first-occurrence = the batch rewrite") {

@@ -1,8 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{Row, SparkSession}
-import java.nio.file.{Files, Paths}
-import java.nio.charset.StandardCharsets
 
 /** Cross-JVM equivalence gate (r10 verdict's top gap: every run of this
   * engine had only ever executed inside one JVM, so no custom Catalyst
@@ -108,24 +106,12 @@ object ClusterCheck {
     }),
   )
 
-  /** Canonical, order-insensitive fingerprint of a result. */
-  def fingerprint(rows: Array[Row]): (Long, String) = {
-    def cell(v: Any): String = v match {
-      case null => "∅"
-      case d: Double => if (d.isNaN) "NaN" else f"$d%.9e"
-      case f: Float => if (f.isNaN) "NaN" else f"${f.toDouble}%.9e"
-      case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
-      case s: scala.collection.Seq[_] => s.map(cell).mkString("[", ",", "]")
-      case m: scala.collection.Map[_, _] =>
-        m.map { case (k, v) => s"${cell(k)}→${cell(v)}" }.toSeq.sorted.mkString("{", ",", "}")
-      case r: Row => r.toSeq.map(cell).mkString("(", ",", ")")
-      case other => other.toString
-    }
-    val rendered = rows.map(_.toSeq.map(cell).mkString("|")).sorted
-    val md = java.security.MessageDigest.getInstance("MD5")
-    rendered.foreach(r => md.update(r.getBytes(StandardCharsets.UTF_8)))
-    (rows.length.toLong, md.digest().map("%02x".format(_)).mkString)
-  }
+  /** Canonical, order-insensitive fingerprint of a result — the shared
+    * [[graft.gates.GateHarness.fingerprint]]; kept as an alias because
+    * every gate and spec referenced it here first.
+    */
+  def fingerprint(rows: Array[Row]): (Long, String) =
+    graft.gates.GateHarness.fingerprint(rows)
 
   private def runAll(spark: SparkSession, sfDir: String,
                      names: Seq[String]): Map[String, Either[String, (Long, String)]] = {
@@ -144,7 +130,6 @@ object ClusterCheck {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val clusterMaster =
       sys.env.getOrElse("SPARK_GRAFT_CLUSTER_MASTER", "local-cluster[2,4,2048]")
-    val outPath = sys.env.get("SPARK_GRAFT_CLUSTER_OUT")
 
     // SPARK_GRAFT_CLUSTER_FRESH=1: vacuum every serving layout first so
     // pass 1 BUILDS them with remote executors (otherwise layouts from
@@ -187,14 +172,11 @@ object ClusterCheck {
       n -> verdict
     }
     val failures = perQuery.count(!_._2.contains("\"match\":true"))
-    val qs = perQuery.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val json =
-      s"""{"metric":"cluster_equivalence","sf":"$sfDir","master":"$clusterMaster",""" +
-        s""""queries_checked":${names.length},"failures":$failures,""" +
-        s""""cluster_sec":${f"$tCluster%.1f"},"local_sec":${f"$tLocal%.1f"},"queries":$qs}"""
-    println(json)
-    outPath.foreach(p => Files.write(Paths.get(p),
-      (json + "\n").getBytes(StandardCharsets.UTF_8)))
-    if (failures > 0) sys.exit(1)
+    graft.gates.GateHarness.artifact("cluster_equivalence")
+      .str("sf", sfDir).str("master", clusterMaster)
+      .num("queries_checked", names.length.toLong).num("failures", failures.toLong)
+      .raw("cluster_sec", f"$tCluster%.1f").raw("local_sec", f"$tLocal%.1f")
+      .queries(perQuery)
+      .emit("SPARK_GRAFT_CLUSTER_OUT", red = failures > 0)
   }
 }

@@ -86,17 +86,9 @@ object FaultCheck {
     val clusterMaster =
       sys.env.getOrElse("SPARK_GRAFT_CLUSTER_MASTER", "local-cluster[2,4,2048]")
     val killAfter = sys.env.getOrElse("SPARK_GRAFT_KILL_AFTER", "4").toInt
-    val outPath = sys.env.get("SPARK_GRAFT_FAULT_OUT")
 
     // control fingerprints: undisturbed single-JVM run
-    val control = {
-      val s = GraftSession.builderFor(s"local[$cpus]", cpus).getOrCreate()
-      s.sparkContext.setLogLevel("ERROR")
-      try names.map(n => n ->
-        ClusterCheck.fingerprint(resolve(n)(s, sfDir).collect())).toMap
-      finally s.stop()
-    }
-    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val control = graft.gates.GateHarness.controlFingerprints(names, cpus, sfDir)(resolve)
 
     val spark = GraftSession.builderFor(clusterMaster, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -125,12 +117,10 @@ object FaultCheck {
           // record a kill ONLY if the signal was actually delivered to a
           // live process — an executor that exited between the /proc
           // read and the destroy must not count (a false killed:true
-          // would make the gate vacuous for this query)
+          // would make the gate vacuous for this query); the delivery
+          // rule is the spec-locked GateHarness.killAcknowledged
           executorPids(appId).headOption.foreach { pid =>
-            val delivered = java.lang.ProcessHandle.of(pid)
-              .map[java.lang.Boolean](h => h.destroyForcibly())
-              .orElse(java.lang.Boolean.FALSE)
-            if (delivered) killedPid = pid
+            if (graft.gates.GateHarness.killAcknowledged(pid)) killedPid = pid
           }
           if (killedPid < 0) Thread.sleep(50)
         } else Thread.sleep(20)
@@ -157,14 +147,11 @@ object FaultCheck {
     }
     val failures = perQuery.count(!_._2.contains("\"match\":true"))
     val kills = results.count(_._3)
-    val qs = perQuery.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val json =
-      s"""{"metric":"fault_tolerance","sf":"$sfDir","master":"$clusterMaster",""" +
-        s""""queries_checked":${names.length},"failures":$failures,"kills":$kills,""" +
-        s""""queries":$qs}"""
-    println(json)
-    outPath.foreach(p => Files.write(Paths.get(p),
-      (json + "\n").getBytes(StandardCharsets.UTF_8)))
-    if (failures > 0 || kills == 0) sys.exit(1)
+    graft.gates.GateHarness.artifact("fault_tolerance")
+      .str("sf", sfDir).str("master", clusterMaster)
+      .num("queries_checked", names.length.toLong).num("failures", failures.toLong)
+      .num("kills", kills.toLong)
+      .queries(perQuery)
+      .emit("SPARK_GRAFT_FAULT_OUT", red = failures > 0 || kills == 0)
   }
 }

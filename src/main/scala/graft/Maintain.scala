@@ -42,11 +42,18 @@ import graft.sources.{ResultCache, ServingLayouts, SnapshotTable}
   */
 object Maintain {
 
-  case class Report(ivfVersions: Int, layouts: Int, snapshots: Int, cacheDirs: Int) {
-    def json(corpusDir: String): String =
+  case class Report(ivfVersions: Int, layouts: Int, snapshots: Int, cacheDirs: Int,
+                    geometryDrift: Option[(Int, Int, Boolean)] = None) {
+    def json(corpusDir: String): String = {
+      val drift = geometryDrift match {
+        case Some((stored, derived, rec)) =>
+          s"""{"stored_cells":$stored,"derived_cells":$derived,"rebuild_recommended":$rec}"""
+        case None => "null"
+      }
       s"""{"metric":"maintain","corpus":"$corpusDir","ivf_versions_reclaimed":$ivfVersions,""" +
         s""""layouts_reclaimed":$layouts,"snapshot_files_reclaimed":$snapshots,""" +
-        s""""cache_dirs_reclaimed":$cacheDirs}"""
+        s""""cache_dirs_reclaimed":$cacheDirs,"ivf_geometry":$drift}"""
+    }
   }
 
   /** The sweep itself, callable from specs. */
@@ -72,7 +79,14 @@ object Maintain {
       SnapshotTable.vacuum(spark, p, snapshotKeep)).sum
     val cacheReclaimed = cacheRoots.map(r =>
       ResultCache.sweep(spark, r, cacheTtlMs)).sum
-    Report(ivfReclaimed, layoutsReclaimed, snapReclaimed, cacheReclaimed)
+    // geometry-drift probe (r11 verdict item 3): REPORT-only here — the
+    // cron loop surfaces a corpus that outgrew its stored quantizer;
+    // acting on it (AnnServing.rebuildServedIvf's versioned publish) is
+    // the operator's explicit, costed decision, not a sweep side effect.
+    // Try: the corpus dir may not carry an embeddings table at all.
+    val drift = scala.util.Try(
+      graft.ops.AnnServing.ivfGeometryDrift(spark, corpusDir)).toOption.flatten
+    Report(ivfReclaimed, layoutsReclaimed, snapReclaimed, cacheReclaimed, drift)
   }
 
   def main(args: Array[String]): Unit = {

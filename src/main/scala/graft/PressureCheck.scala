@@ -1,9 +1,6 @@
 package graft
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-import org.apache.spark.sql.SparkSession
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 import java.util.concurrent.atomic.AtomicLong
 
 /** Memory-pressure (spill) gate. At 100 TB the working set of a
@@ -46,16 +43,9 @@ object PressureCheck {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val pressureMaster =
       sys.env.getOrElse("SPARK_GRAFT_PRESSURE_MASTER", "local-cluster[2,2,640]")
-    val outPath = sys.env.get("SPARK_GRAFT_PRESSURE_OUT")
 
-    val control = {
-      val s = GraftSession.builderFor(s"local[$cpus]", cpus).getOrCreate()
-      s.sparkContext.setLogLevel("ERROR")
-      try names.map(n => n ->
-        ClusterCheck.fingerprint(SparkEntry.queries(n)(s, sfDir).collect())).toMap
-      finally s.stop()
-    }
-    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val control = graft.gates.GateHarness.controlFingerprints(names, cpus, sfDir)(
+      SparkEntry.queries(_))
 
     val spark = GraftSession.builderFor(pressureMaster, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -94,14 +84,12 @@ object PressureCheck {
     }
     val failures = perQuery.count(!_._2.contains("\"match\":true"))
     val totalDiskMb = spilledDisk.get() / 1048576
-    val qs = perQuery.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val json =
-      s"""{"metric":"memory_pressure","sf":"$sfDir","master":"$pressureMaster",""" +
-        s""""queries_checked":${names.length},"failures":$failures,""" +
-        s""""disk_spill_mb":$totalDiskMb,"queries":$qs}"""
-    println(json)
-    outPath.foreach(p => Files.write(Paths.get(p),
-      (json + "\n").getBytes(StandardCharsets.UTF_8)))
-    if (failures > 0 || totalDiskMb == 0) sys.exit(1)
+    graft.gates.GateHarness.artifact("memory_pressure")
+      .str("sf", sfDir).str("master", pressureMaster)
+      .num("queries_checked", names.length.toLong).num("failures", failures.toLong)
+      .num("disk_spill_mb", totalDiskMb)
+      .queries(perQuery)
+      .emit("SPARK_GRAFT_PRESSURE_OUT",
+        red = !graft.gates.GateHarness.spillNonVacuous(failures, totalDiskMb))
   }
 }

@@ -116,12 +116,15 @@ object Soak {
     val rssOk = rssPeak <= rssCapMb
     val ok = plateau && rssOk && failures == 0
 
-    val json =
-      s"""{"metric":"soak_retained_heap_plateau","ok":$ok,"iters":$iters,""" +
-      s""""failures":$failures,"wall_sec":${f"$wallSec%.1f"},""" +
-      s""""retained_mid_mb":${f"$midMean%.0f"},"retained_last_mb":${f"$lastMean%.0f"},""" +
-      s""""growth":${f"$growth%.4f"},"tolerance":$growthTol,""" +
-      s""""rss_peak_mb":$rssPeak,"rss_cap_mb":$rssCapMb,"sf":"$sfDir"}"""
+    // assembled via the shared harness; outPath has a DEFAULT here
+    // (unlike the env-optional gates), so the write stays explicit
+    val json = graft.gates.GateHarness.artifact("soak_retained_heap_plateau")
+      .bool("ok", ok).num("iters", iters.toLong).num("failures", failures.toLong)
+      .raw("wall_sec", f"$wallSec%.1f")
+      .raw("retained_mid_mb", f"$midMean%.0f").raw("retained_last_mb", f"$lastMean%.0f")
+      .raw("growth", f"$growth%.4f").raw("tolerance", growthTol.toString)
+      .num("rss_peak_mb", rssPeak).num("rss_cap_mb", rssCapMb).str("sf", sfDir)
+      .json
     println(json)
     Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()

@@ -82,11 +82,23 @@ object StreamBench {
       concat(col("text"), lit(" streamed suffix")).as("text"))
     val docsSrc = staged(newDocs, "docs_src")
     val corpusTap = new ProgressTap
+    // per-stage attribution (r11 item 5): WHERE a tail batch spends its
+    // time — gate (quality+dedup materialization) vs append vs report
+    val stageTimes = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
     val corpusWall = timed(corpusTap) {
       graft.streaming.CorpusStream.ingestOnce(spark, docsSrc, index,
-        s"$work/docs_dest", s"$work/docs_ckpt", maxFilesPerTrigger = 1)
+        s"$work/docs_dest", s"$work/docs_ckpt", maxFilesPerTrigger = 1,
+        timingSink = (_, stage, ms) => stageTimes.add((stage, ms)))
     }
     val (cRows, cBatches, cRps, cP50, cP99) = stats(corpusTap, corpusWall)
+    val stageJson = {
+      import scala.jdk.CollectionConverters._
+      stageTimes.asScala.toSeq.groupBy(_._1).toSeq.sortBy(_._1).map { case (stage, xs) =>
+        val sorted = xs.map(_._2).sorted
+        def pct(p: Double) = sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+        s""""$stage":{"p50_ms":${f"${pct(0.5)}%.0f"},"p99_ms":${f"${pct(0.99)}%.0f"},"max_ms":${f"${sorted.last}%.0f"}}"""
+      }.mkString("{", ",", "}")
+    }
 
     // ---- workload 2: embedding ingest (append into stored IVF cells) ----
     val emb = graft.ops.Similarity.prepared(Tables.embeddings(spark, sfDir))
@@ -120,6 +132,7 @@ object StreamBench {
     val json =
       s"""{"metric":"stream_bench","sf":"$sfDir","n_batches":$nBatches,""" +
         s""""corpus_ingest":${block(cRows, cBatches, cRps, cP50, cP99, corpusWall)},""" +
+        s""""corpus_stage_ms":$stageJson,""" +
         s""""embedding_ingest":${block(eRows, eBatches, eRps, eP50, eP99, embWall)},""" +
         s""""ann_query":${block(qRows, qBatches, qRps, qP50, qP99, qWall)}}"""
     println(json)

@@ -1,8 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.Files
 
 /** Driver-crash recovery gate for the continuous-ingest path. The
   * StreamingSpec replay proofs run in ONE session: a stream finishes,
@@ -55,20 +54,12 @@ object StreamCrashCheck {
 
   private def fork(extraArgs: Seq[String], cpus: String,
                    crashAfterBatch: Long): (Int, String) = {
-    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
-    val cmd = Seq(javaBin) ++ GraftSession.jdk17AddOpens.split(" ").toSeq ++ Seq(
-      "-Xmx4g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-      "-cp", sys.props("java.class.path"), "graft.StreamCrashCheck", "--child") ++ extraArgs
-    val pb = new ProcessBuilder(cmd: _*)
-    pb.environment().put("SPARK_GRAFT_CPUS", cpus)
-    if (crashAfterBatch >= 0)
-      pb.environment().put("GRAFT_CRASH_AFTER_BATCH", crashAfterBatch.toString)
-    sys.env.get("GRAFT_SERVE_ROOT").foreach(pb.environment().put("GRAFT_SERVE_ROOT", _))
-    pb.redirectErrorStream(true)
-    val proc = pb.start()
-    val log = new String(proc.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
-    proc.waitFor()
-    (proc.exitValue(), log)
+    val env = Map("SPARK_GRAFT_CPUS" -> cpus) ++
+      (if (crashAfterBatch >= 0)
+        Map("GRAFT_CRASH_AFTER_BATCH" -> crashAfterBatch.toString) else Map.empty)
+    val r = graft.gates.GateHarness.fork("graft.StreamCrashCheck",
+      "--child" +: extraArgs, heap = "4g", env = env, timeoutMinutes = 8)
+    (r.exit, r.log)
   }
 
   private def parent(args: Array[String]): Unit = {
@@ -76,7 +67,6 @@ object StreamCrashCheck {
     val nBatches = args.lift(1).map(_.toInt).getOrElse(8)
     val haltAfter = math.max(2, nBatches / 3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val outPath = sys.env.get("SPARK_GRAFT_CRASH_OUT")
     val spark = GraftSession.builderFor(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val work = Files.createTempDirectory("graft_stream_crash").toString
@@ -101,7 +91,8 @@ object StreamCrashCheck {
     // then resume from the same checkpoint in a fresh process
     val dest = s"$work/dest"; val ckpt = s"$work/ckpt"
     val (crashExit, crashLog) = fork(Seq(sfDir, src, dest, ckpt), cpus, haltAfter)
-    val crashed = crashExit == HaltExit && !crashLog.contains("STREAM_CRASH_CHECK_COMPLETED")
+    val crashed = graft.gates.GateHarness.crashedMidStream(
+      crashExit, crashLog, HaltExit, "STREAM_CRASH_CHECK_COMPLETED")
     val (resumeExit, resumeLog) = fork(Seq(sfDir, src, dest, ckpt), cpus, -1L)
     val resumed = resumeExit == 0 && resumeLog.contains("STREAM_CRASH_CHECK_COMPLETED")
 
@@ -111,18 +102,17 @@ object StreamCrashCheck {
     // control._1 > 0: a zero-row control would make the whole check
     // vacuous (nothing for the replayed batch to double)
     val matches = (rows, hash) == control && distinctIds == rows && control._1 > 0
-    val json =
-      s"""{"metric":"stream_crash_recovery","sf":"$sfDir","n_batches":$nBatches,""" +
-        s""""halt_after":$haltAfter,"crashed_mid_stream":$crashed,"resumed":$resumed,""" +
-        s""""rows":$rows,"control_rows":${control._1},"distinct_ids":$distinctIds,""" +
-        s""""match":$matches}"""
-    println(json)
-    outPath.foreach(p => Files.write(Paths.get(p), (json + "\n").getBytes(StandardCharsets.UTF_8)))
     spark.stop()
-    if (!crashed || !resumed || !matches) {
+    val red = !crashed || !resumed || !matches
+    if (red)
       System.err.println(s"crash log tail:\n${crashLog.takeRight(1500)}\n" +
         s"resume log tail:\n${resumeLog.takeRight(1500)}")
-      sys.exit(1)
-    }
+    graft.gates.GateHarness.artifact("stream_crash_recovery")
+      .str("sf", sfDir).num("n_batches", nBatches.toLong)
+      .num("halt_after", haltAfter.toLong)
+      .bool("crashed_mid_stream", crashed).bool("resumed", resumed)
+      .num("rows", rows).num("control_rows", control._1)
+      .num("distinct_ids", distinctIds).bool("match", matches)
+      .emit("SPARK_GRAFT_CRASH_OUT", red = red)
   }
 }

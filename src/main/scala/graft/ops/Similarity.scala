@@ -15,6 +15,16 @@ import graft.functions.VectorOps
   */
 object Similarity {
 
+  /** Base seed for every KMeans fit (coarse quantizer + the per-subspace
+    * PQ codebooks, which use baseSeed + subIndex). Fixed at 42 by
+    * default so all determinism specs and cross-JVM bit-identity gates
+    * hold; `GRAFT_KMEANS_SEED` overrides it for the seed-stability
+    * study ([[graft.SeedCheck]] — one JVM per seed, since layouts cache
+    * under an env-scoped serve root too).
+    */
+  private[graft] def baseSeed: Int =
+    sys.env.get("GRAFT_KMEANS_SEED").map(_.toInt).getOrElse(42)
+
   /** Sequential-order dot product of two array<double> columns —
     * codegen'd custom expression (graft.functions.DotProduct).
     */
@@ -287,14 +297,38 @@ object Similarity {
     val spark = embeddings.sparkSession
     val base = prepared(embeddings)
     val withVec = base.withColumn("fv", array_to_vector(col("v")))
-    val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(withVec)
+    val model = new KMeans().setK(nCells).setSeed(Similarity.baseSeed).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(trainSample(withVec, "vec_id"))
     val assigned = model.transform(withVec).drop("fv")
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cell", "centroid")
     IvfIndex(centroids, assigned)
+  }
+
+  /** Deterministic training sample for quantizer fits (both the coarse
+    * IVF KMeans and the per-subspace PQ codebooks): KMeans quality
+    * saturates at a few hundred training points per centroid — FAISS's
+    * guidance is 39–256·k points, not the corpus — while fit cost is
+    * iterations × input, so at sf100 (2M vectors, 1024 cells) the
+    * full-corpus coarse fit alone was ~15 min of wall-clock build and
+    * at a billion vectors it is simply not runnable. Above `maxTrain`
+    * vectors the fit trains on a hash-sampled ~maxTrain subset
+    * (xxhash64 of the id mod step: deterministic, partition-local, no
+    * extra shuffle); at or below the cap the frame passes through
+    * UNTOUCHED, so every committed gate corpus (sf0.001…sf10, all
+    * ≤ 200k vectors) keeps its builds bit-for-bit. Cell ASSIGNMENT
+    * always covers the full corpus — only the model fit samples.
+    * 262144 = 256·k at the 1024-cell sf100 tier, and ≥ 1000 points
+    * per 256-wide PQ codebook.
+    */
+  private val maxTrainVectors = 262144L
+  private def trainSample(df: DataFrame, idCol: String): DataFrame = {
+    val n = df.count()
+    if (n <= maxTrainVectors) df
+    else df.filter(pmod(xxhash64(col(idCol)), lit(n / maxTrainVectors + 1)) === 0)
   }
 
   /** Nearest-centroid cell assignment with FIXED centroids — the same
@@ -337,9 +371,46 @@ object Similarity {
     index.assigned.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/assigned")
     index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    bumpIvfStamp(spark, path)
     IvfIndex(
       spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/assigned"))
+  }
+
+  /** Change stamp of a flat cell-partitioned layout: a tiny
+    * `_index_version` file the write/append paths bump, so a serving
+    * stream polls ONE file instead of re-listing the (at scale,
+    * million-file) `assigned/` tree every micro-batch — the 100× form
+    * of ingest-while-serving ([[graft.streaming.EmbeddingStream.queryOnce]]
+    * reloads only on a stamp change). Returns -1 for a stampless
+    * layout (pre-stamp builds): a poller must then reload every batch,
+    * which is exactly the legacy behavior.
+    */
+  def ivfStampOf(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path, "_index_version")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      if (!fs.exists(p)) -1L
+      else {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(), "UTF-8").trim.toLong
+        finally in.close()
+      }
+    } catch { case _: java.io.IOException | _: NumberFormatException => -1L }
+  }
+
+  /** Bump the layout's change stamp (single-writer append-owner
+    * discipline, like the append itself: parquet append is already not
+    * safe under concurrent writers). A torn/unreadable stamp reads as
+    * -1, which a poller treats as "changed" — reload, never a wrong
+    * answer.
+    */
+  private def bumpIvfStamp(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "_index_version")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = math.max(0L, ivfStampOf(spark, path)) + 1
+    val out = fs.create(p, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** Append a new batch to a PERSISTED cell-partitioned index
@@ -362,6 +433,7 @@ object Similarity {
     assignCells(centroids,
         prepared(newEmbeddings).join(existing, Seq("vec_id"), "left_anti"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
+    bumpIvfStamp(spark, path)
     IvfIndex(centroids, spark.read.parquet(s"$path/assigned"))
   }
 
@@ -551,7 +623,9 @@ object Similarity {
     val dim = base.select(size(col("v"))).head().getInt(0)
     require(dim % mSubs == 0, s"dim $dim not divisible by mSubs $mSubs")
     val subDim = dim / mSubs
-    val subs = subVectors(base, "vec_id", "v", mSubs, subDim)
+    // codebooks fit on the (hash-sampled past 256k) training subset —
+    // see [[trainSample]]; encodePq later covers the FULL corpus
+    val subs = subVectors(trainSample(base, "vec_id"), "vec_id", "v", mSubs, subDim)
       .withColumn("fv", array_to_vector(col("subv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     subs.count() // m fits share one materialization of the slices
@@ -569,7 +643,7 @@ object Similarity {
           // 5 iterations: recall is iteration-insensitive here (offline
           // prototype: 0.8 at 3/5/10 iters) and each saved iteration is
           // two fewer scheduler round-trips per subspace
-          val model = new KMeans().setK(kCentroids).setSeed(42 + s).setMaxIter(5)
+          val model = new KMeans().setK(kCentroids).setSeed(Similarity.baseSeed + s).setMaxIter(5)
             .setFeaturesCol("fv").setPredictionCol("cid")
             .fit(subs.filter(col("sub") === s))
           model.clusterCenters.zipWithIndex.map { case (c, i) => (s, i, c.toArray) }
@@ -585,17 +659,32 @@ object Similarity {
     * codes reassemble into one array row per vector so the stored
     * layout stays narrow.
     */
-  def encodePq(model: PqModel, base: DataFrame): DataFrame =
+  def encodePq(model: PqModel, base: DataFrame): DataFrame = {
+    // Per-(vector, subspace) argmin WITHOUT the cross-product: the old
+    // plan joined every sub-vector row with all k codebook rows and
+    // window-sorted n·m·k rows to keep rank 1 — 8.2e9 rows at sf100
+    // (2M × 16 × 256), whose sort spilled ~50 GB and killed the build.
+    // Instead each sub's k centroids are packed into ONE broadcast
+    // array row (m rows total) and the nearest cid is computed per
+    // sub-vector row inside a single codegen stage — n·m rows
+    // end-to-end, no sort, no shuffle before the final per-vector
+    // collect. Distance accumulates left-to-right like VectorOps
+    // .vecNorm2 did, and array_min's struct ordering ties on (d2, cid)
+    // exactly as the old (orderBy __d2, cid) — codes are bit-for-bit.
+    val packed = model.codebooks
+      .groupBy(col("sub"))
+      .agg(expr("array_sort(collect_list(struct(cid, centroid)))").as("cents"))
     subVectors(base, "vec_id", "v", model.mSubs, model.subDim)
-      .join(broadcast(model.codebooks), Seq("sub"))
-      .withColumn("__d2", VectorOps.vecNorm2(zip_with(col("subv"), col("centroid"),
-        (a: Column, b: Column) => a - b)))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("vec_id"), col("sub")).orderBy(col("__d2"), col("cid"))))
-      .filter(col("__rn") === 1)
+      .join(broadcast(packed), Seq("sub"))
+      .withColumn("cid", expr(
+        """array_min(transform(cents, c -> named_struct(
+          |  'd2', aggregate(zip_with(subv, c.centroid, (a, b) -> (a - b) * (a - b)),
+          |                  cast(0.0 as double), (acc, x) -> acc + x),
+          |  'cid', c.cid))).cid""".stripMargin))
       .groupBy(col("vec_id"))
       .agg(expr("transform(array_sort(collect_list(struct(sub, cid))), p -> p.cid)")
         .as("codes"))
+  }
 
   /** IVF-PQ ANN — the billion-vector serving configuration (FAISS's
     * IVFx,PQy): coarse IVF cells prune I/O to nProbe/nCells, PQ codes
@@ -898,9 +987,21 @@ object AnnServing {
     * published version.
     */
   def rebuildServedIvf(spark: SparkSession, sfDir: String, nCells: Int = -1): Long = {
-    servedIvf(spark, sfDir, nCells) // ensure the store exists
+    // Refit from the CORPUS, not from the stored assigned frame, and
+    // publish into the store at the CURRENT corpus stamp (ivfStore
+    // resolves it — after corpus growth that is a fresh rotated home,
+    // the drift-flag case; the prior-stamp home stays for in-flight
+    // readers until vacuum). Corpus-refit for two reasons: (1) the
+    // rebuild must INCORPORATE corpus changes — that is what the drift
+    // flag asked for; (2) determinism — seeded KMeans is reproducible
+    // only over the same frame in the same order, and a refit from the
+    // cell-partitioned assigned frame produces a different (valid but
+    // non-reproducible) quantizer, which the cross-process hammer
+    // caught as a fingerprint flip between two correct drivers.
     val store = ivfStore(sfDir)
-    val v = Similarity.rebuildIvf(spark, store, cellsForBuild(spark, sfDir, nCells))
+    val v = Similarity.writeIvfVersioned(
+      Similarity.buildIvf(graft.Tables.embeddings(spark, sfDir),
+        cellsForBuild(spark, sfDir, nCells)), store)
     ivfCache.invalidate(sfDir) // next serve loads the freshly published version
     servedIvf(spark, sfDir, nCells)
     v
@@ -1056,12 +1157,52 @@ object AnnServing {
     */
   def ivfCellStats(spark: SparkSession, sfDir: String, nCells: Int = -1): DataFrame = {
     val index = servedIvf(spark, sfDir, nCells)
+    // Geometry-drift columns (r11 verdict item 3): a layout correctly
+    // serves at its STORED geometry forever, so nothing used to report
+    // when the corpus had grown past it — the exact failure ANNRECALL
+    // caught twice in r11, found only because a human re-ran the gate
+    // at a new SF. stored_cells is the served quantizer's geometry;
+    // derived_cells is what LshGeometry.ivf would pick for TODAY's
+    // corpus; a mismatch flips rebuild_recommended, and
+    // [[rebuildServedIvf]] is the versioned-publish op that acts on it
+    // (grow→flag→rebuild→flag-clears is spec-driven). One extra corpus
+    // count() per report — maintenance-cadence cost.
+    val stored = index.nCells
+    val derived = graft.ops.LshGeometry.ivf(
+      graft.Tables.embeddings(spark, sfDir).count())._1
     val total = index.assigned.agg(count(lit(1)).as("__n"))
     index.assigned
       .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
       .join(broadcast(total))
       .select(col("cell").cast("long").as("cell"), col("n_vecs"),
-        round(col("n_vecs").cast("double") / col("__n"), 4).as("share"))
+        round(col("n_vecs").cast("double") / col("__n"), 4).as("share"),
+        lit(stored.toLong).as("stored_cells"),
+        lit(derived.toLong).as("derived_cells"),
+        lit(stored != derived).as("rebuild_recommended"))
       .orderBy(col("cell"))
   }
+
+  /** Stored-vs-derived geometry for `corpusDir`'s served IVF store,
+    * WITHOUT building or serving anything: None when no store has ever
+    * been published. The passive twin of [[ivfCellStats]]'s drift
+    * columns — what [[graft.Maintain]] reports on its cron cadence, so
+    * a corpus that quietly outgrew its quantizer geometry surfaces on
+    * the operational loop instead of waiting for someone to re-run the
+    * recall gate. Returns (storedCells, derivedCells, rebuildRecommended).
+    */
+  def ivfGeometryDrift(spark: SparkSession, corpusDir: String): Option[(Int, Int, Boolean)] =
+    // homesFor, not existingDirFor: home names hash the corpus CONTENT
+    // stamp, so after the corpus changes, the home a long-lived server
+    // is still pinned to is a PRIOR-stamp one — exactly the layout the
+    // drift report must judge. Newest-first; the first home holding a
+    // published store is the one being served.
+    ServingLayouts.homesFor("ivf", corpusDir).iterator
+      .map(_ + "/ivf")
+      .find(store => Similarity.ivfVersions(spark, store).nonEmpty)
+      .map { store =>
+        val stored = Similarity.loadIvfVersioned(spark, store).nCells
+        val derived = graft.ops.LshGeometry.ivf(
+          graft.Tables.embeddings(spark, corpusDir).count())._1
+        (stored, derived, stored != derived)
+      }
 }

@@ -103,7 +103,58 @@ object ServingLayouts {
   def dirFor(kind: String, corpusDir: String): String = {
     val d = stablePathOf(kind, corpusDir)
     Files.createDirectories(d)
+    writeCorpusMeta(d, corpusDir)
     d.toString
+  }
+
+  /** Every layout home records WHICH corpus it serves (`_corpus` meta,
+    * written by the build paths since r12): the home's NAME hashes
+    * (corpus, content-stamp), so when the corpus changes, new resolves
+    * rotate to a fresh home — but a long-lived server session stays
+    * pinned to the old one, which is exactly the stale-geometry
+    * exposure the drift report exists for. The meta is what lets
+    * [[homesFor]] find those prior-stamp homes; pre-meta homes are
+    * invisible to it (and age out via [[vacuum]] like any idle layout).
+    */
+  private val CorpusMeta = "_corpus"
+  private def writeCorpusMeta(d: Path, corpusDir: String): Unit = {
+    val f = d.resolve(CorpusMeta)
+    if (!Files.exists(f))
+      try Files.write(f, corpusDir.getBytes("UTF-8"))
+      catch { case _: java.io.IOException => () } // racer wrote it — same content
+  }
+
+  /** Every existing layout home of `kind` recorded (via `_corpus`
+    * meta) as serving `corpusDir`, NEWEST-marker first — across
+    * content stamps, which is the point: the head is the home current
+    * resolves use (or the most recently live one), the tail are
+    * prior-stamp homes long-lived servers may still be pinned to.
+    */
+  def homesFor(kind: String, corpusDir: String): Seq[String] = {
+    if (!Files.isDirectory(root)) return Nil
+    val s = Files.list(root)
+    val dirs = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toSeq
+        .filter(p => Files.isDirectory(p)
+          && p.getFileName.toString.startsWith(s"$kind-")
+          && !p.getFileName.toString.contains(".stage-")
+          && !p.getFileName.toString.contains(".debris-"))
+        .filter { p =>
+          try new String(Files.readAllBytes(p.resolve(CorpusMeta)), "UTF-8") == corpusDir
+          catch { case _: java.io.IOException => false }
+        }
+    } finally s.close()
+    // newest SERVE first: the completion marker's mtime is what every
+    // serve touches, so it orders homes by last service, not by when
+    // the directory happened to be created
+    dirs.sortBy { p =>
+      try Files.getLastModifiedTime(p.resolve(Marker)).toMillis
+      catch { case _: java.io.IOException =>
+        try Files.getLastModifiedTime(p).toMillis
+        catch { case _: java.io.IOException => 0L }
+      }
+    }(Ordering[Long].reverse).map(_.toString)
   }
 
   /** The stable layout dir for (kind, corpusDir) only if it already
@@ -134,6 +185,7 @@ object ServingLayouts {
     Files.createDirectories(stage)
     try {
       build(stage.toString)
+      writeCorpusMeta(stage, corpusDir)
       markComplete(stage.toString)
     } catch {
       case e: Throwable => deleteRecursively(stage); throw e
@@ -220,6 +272,7 @@ object ServingLayouts {
   def privateStage(kind: String, corpusDir: String): String = {
     val d = newStage(stablePathOf(kind, corpusDir))
     Files.createDirectories(d)
+    writeCorpusMeta(d, corpusDir)
     d.toString
   }
 

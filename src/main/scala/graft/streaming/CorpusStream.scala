@@ -170,10 +170,22 @@ object CorpusStream {
     * tagged with the batch id — the ingest-health history a crawl
     * operator dashboards.
     */
+  /** `timingSink(batchId, stage, ms)` — optional per-batch stage
+    * attribution for the bench/ops loop (stages: "gate" = quality +
+    * dedup-vs-index incl. the eager survivor materialization inside
+    * dedupIncremental; "append" = the destination write, which on the
+    * first batch also carries the redelivery-guard anti-join;
+    * "report" = the funnel-stats write when statsPath is set). No-op
+    * by default: production pays nothing, StreamBench aggregates the
+    * p50/p99 per stage so a latency tail is attributable instead of
+    * guessed at (r11: corpus-ingest p99 was 2.6× p50, attributed only
+    * by hypothesis).
+    */
   def ingestOnce(spark: SparkSession, srcDir: String,
                  index: TextDedup.DedupIndex, destPath: String,
                  checkpointDir: String, threshold: Double = 0.5,
-                 statsPath: String = "", maxFilesPerTrigger: Int = 0): Unit = {
+                 statsPath: String = "", maxFilesPerTrigger: Int = 0,
+                 timingSink: (Long, String, Double) => Unit = (_, _, _) => ()): Unit = {
     val schema = spark.read.parquet(srcDir).schema
     val reader = spark.readStream.schema(schema)
     // Redelivery window (StreamCrashCheck-gated): a driver that dies
@@ -237,12 +249,21 @@ object CorpusStream {
           else try accepted.join(spark.read.parquet(destPath).select("doc_id"),
             Seq("doc_id"), "left_anti")
           catch { case _: org.apache.spark.sql.AnalysisException => accepted }
+        def timedMs[T](stage: String)(f: => T): T = {
+          val t0 = System.nanoTime()
+          val r = f
+          timingSink(batchId, stage, (System.nanoTime() - t0) / 1e6)
+          r
+        }
         if (statsPath.isEmpty) {
-          dedupAgainstDest(acceptBatch(index, batch, threshold))
-            .write.mode("append").parquet(destPath)
+          val accepted = timedMs("gate")(acceptBatch(index, batch, threshold))
+          timedMs("append")(
+            dedupAgainstDest(accepted).write.mode("append").parquet(destPath))
         } else {
-          val (accepted, report) = acceptBatchWithReport(index, batch, threshold)
-          dedupAgainstDest(accepted).write.mode("append").parquet(destPath)
+          val (accepted, report) =
+            timedMs("gate")(acceptBatchWithReport(index, batch, threshold))
+          timedMs("append")(
+            dedupAgainstDest(accepted).write.mode("append").parquet(destPath))
           val newReport = report
             .withColumn("run_id", lit(runId)).withColumn("batch_id", lit(batchId))
           val guardedReport =
@@ -251,7 +272,8 @@ object CorpusStream {
               spark.read.parquet(statsPath).select("run_id", "batch_id"),
               Seq("run_id", "batch_id"), "left_anti")
             catch { case _: org.apache.spark.sql.AnalysisException => newReport }
-          guardedReport.coalesce(1).write.mode("append").parquet(statsPath)
+          timedMs("report")(
+            guardedReport.coalesce(1).write.mode("append").parquet(statsPath))
         }
         sc.getPersistentRDDs.filterNot { case (id, _) => before.contains(id) }
           .foreach { case (_, rdd) => rdd.unpersist(false) }

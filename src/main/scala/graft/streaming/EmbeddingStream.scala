@@ -55,33 +55,54 @@ object EmbeddingStream {
     * index: QUERY vectors land as files, each micro-batch probes the
     * stored cell-partitioned index ([[graft.ops.Similarity.queryIvf]] —
     * centroids broadcast, only probed `cell=` partitions read) and the
-    * top-k neighbor rows append to `destPath`. The index is RE-READ per
-    * batch from its path, so vectors appended by [[ingestOnce]] between
-    * micro-batches are visible to the next batch — the
-    * ingest-while-serving loop a vector store runs, with the index
-    * directory as the only coupling. A query's result depends on
-    * nothing but itself and the index snapshot, so batching never
-    * changes any row (spec: drained stream ≡ batch query set when the
-    * index is quiescent). Results land in per-`batch_id=` directories
-    * written with overwrite: a replayed batch (mid-commit crash, lost
-    * offset) rewrites its directory instead of appending duplicates.
+    * top-k neighbor rows append to `destPath`. The index is reloaded
+    * ONLY when its change stamp moves ([[graft.ops.Similarity.ivfStampOf]]
+    * — every [[ingestOnce]] append bumps it): an unchanged-stamp batch
+    * reuses the held reader, so steady-state serving pays one tiny
+    * stamp read per micro-batch instead of re-listing the (at scale,
+    * million-file) `assigned/` tree — the 100× form of the
+    * ingest-while-serving loop, with the index directory the only
+    * coupling. Appends are visible at the NEXT micro-batch after their
+    * bump, exactly as with the old per-batch re-read; a stampless
+    * legacy layout reads as -1, which never matches a held stamp, so
+    * it conservatively reloads every batch (the old behavior). A
+    * query's result depends on nothing but itself and the index
+    * snapshot, so batching never changes any row (spec: drained
+    * stream ≡ batch query set when the index is quiescent). Results
+    * land in per-`batch_id=` directories written with overwrite: a
+    * replayed batch (mid-commit crash, lost offset) rewrites its
+    * directory instead of appending duplicates.
+    *
+    * Returns the number of index (re)loads performed — the stamp-poll
+    * spec's observable (1 for a fully quiescent drain).
     */
   def queryOnce(spark: SparkSession, srcDir: String, indexPath: String,
                 destPath: String, checkpointDir: String, k: Int = 5,
-                nProbe: Int = 4, maxFilesPerTrigger: Int = 0): Unit = {
+                nProbe: Int = 4, maxFilesPerTrigger: Int = 0): Int = {
     val schema = spark.read.parquet(srcDir).schema
     val reader = spark.readStream.schema(schema)
     val src = (if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
     else reader).parquet(srcDir)
+    // foreachBatch runs on the driver, sequentially per batch — plain
+    // vars are safe and live for this query run only
+    var servedStamp = Long.MinValue
+    var served: Similarity.IvfIndex = null
+    var loads = 0
     src.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val index = Similarity.IvfIndex(
-          spark.read.parquet(s"$indexPath/centroids"),
-          spark.read.parquet(s"$indexPath/assigned"))
+        val stamp = Similarity.ivfStampOf(spark, indexPath)
+        if (served == null || stamp < 0 || stamp != servedStamp) {
+          served = Similarity.IvfIndex(
+            spark.read.parquet(s"$indexPath/centroids"),
+            spark.read.parquet(s"$indexPath/assigned"))
+          servedStamp = stamp
+          loads += 1
+        }
+        val index = served
         val queries = Similarity.prepared(batch)
           .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
             org.apache.spark.sql.functions.col("v").as("qv"),
@@ -91,5 +112,6 @@ object EmbeddingStream {
       }
       .start()
       .awaitTermination()
+    loads
   }
 }

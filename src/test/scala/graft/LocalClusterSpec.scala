@@ -15,36 +15,23 @@ package graft
 class LocalClusterSpec extends SparkSpec {
 
   test("kernel-heavy subset matches bit-for-bit between local-cluster and local masters") {
-    val javaBin = java.nio.file.Paths.get(
-      sys.props("java.home"), "bin", "java").toString
     val out = java.io.File.createTempFile("graft_cluster_check", ".json")
     out.deleteOnExit()
-    val cmd: Seq[String] =
-      Seq(javaBin) ++
-        GraftSession.jdk17AddOpens.split(" ").toSeq ++
-        Seq(
-          "-Xmx4g",
-          "-Dspark.ui.enabled=false",
-          "-Dspark.sql.session.timeZone=UTC",
-          "-cp", sys.props("java.class.path"),
-          "graft.ClusterCheck", sfDir)
-    val pb = new ProcessBuilder(cmd: _*)
-    pb.environment().put("SPARK_GRAFT_CPUS", "4")
     // an ISOLATED serving-layout root: every layout is BUILT by the
     // subprocess's remote executors (nothing to reload), and its
     // builds/vacuums can never touch layouts the concurrently-running
     // suites in THIS process are serving from (suite parallelism
     // shares the per-user root)
     val serveRoot = java.nio.file.Files.createTempDirectory("graft_cluster_serve")
-    pb.environment().put("GRAFT_SERVE_ROOT", serveRoot.toString)
-    pb.environment().put("SPARK_GRAFT_CLUSTER_OUT", out.getAbsolutePath)
-    pb.redirectErrorStream(true)
-    val proc = pb.start()
-    val log = new String(proc.getInputStream.readAllBytes())
-    val finished = proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
-    if (!finished) { proc.destroyForcibly(); fail(s"ClusterCheck timed out.\n${log.takeRight(4000)}") }
-    assert(proc.exitValue() === 0,
-      s"ClusterCheck reported mismatches or crashed:\n${log.takeRight(4000)}")
+    val r = graft.gates.GateHarness.fork("graft.ClusterCheck", Seq(sfDir),
+      heap = "4g", timeoutMinutes = 10,
+      env = Map(
+        "SPARK_GRAFT_CPUS" -> "4",
+        "GRAFT_SERVE_ROOT" -> serveRoot.toString,
+        "SPARK_GRAFT_CLUSTER_OUT" -> out.getAbsolutePath))
+    if (r.timedOut) fail(s"ClusterCheck timed out.\n${r.log.takeRight(4000)}")
+    assert(r.exit === 0,
+      s"ClusterCheck reported mismatches or crashed:\n${r.log.takeRight(4000)}")
     val json = new String(java.nio.file.Files.readAllBytes(out.toPath))
     assert(json.contains("\"failures\":0"), s"artifact shows failures: $json")
     assert(json.contains("\"queries_checked\":" + ClusterCheck.DefaultSubset.length))

@@ -395,7 +395,7 @@ class SimilaritySpec extends SparkSpec {
     import graft.ops.AnnServing
     val e = Tables.embeddings(spark, sfDir)
     val s = AnnServing.ivfCellStats(spark, sfDir)
-      .as[(Long, Long, Double)].collect()
+      .select("cell", "n_vecs", "share").as[(Long, Long, Double)].collect()
     assert(s.length <= 16 && s.nonEmpty)
     assert(s.map(_._2).sum === e.count())
     assert(s.forall(x => x._2 > 0 && x._3 >= 0.0 && x._3 <= 1.0))
@@ -507,7 +507,7 @@ class SimilaritySpec extends SparkSpec {
     val v = AnnServing.rebuildServedIvf(spark, dir, nCells = 8)
     assert(v >= 2L, "rebuild must publish a NEW version of the serving store")
     val statsAfter = AnnServing.ivfCellStats(spark, dir)
-      .as[(Long, Long, Double)].collect()
+      .select("cell", "n_vecs", "share").as[(Long, Long, Double)].collect()
     assert(statsAfter.length <= 8, "cell stats must reflect the rebuilt quantizer")
     assert(statsAfter.map(_._2).sum === e.count(), "rebuild preserves the corpus")
     // and the served queries still hold their recall floor on the new index
@@ -522,5 +522,48 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(recalls.sum / recalls.size >= 0.8,
       s"served recall after rebuild ${recalls.sum / recalls.size}")
+  }
+
+  test("geometry drift: corpus growth flags the stored layout, versioned rebuild clears it") {
+    import graft.ops.{AnnServing, LshGeometry}
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    // r11 verdict item 3: layouts serve at their STORED geometry
+    // forever; this drives the full operational loop — grow → flag →
+    // rebuild (versioned publish) → flag clears — through
+    // ivf_cell_stats, Maintain's report, and rebuildServedIvf.
+    val corpus = Files.createTempDirectory("graft_drift_corpus")
+    val dir = corpus.toString
+    val base = Tables.embeddings(spark, sfDir)
+    val n0 = base.count()
+    base.write.parquet(dir + "/embeddings.parquet")
+    AnnServing.knnIvf(spark, dir, nQueries = 3, k = 2).collect() // publish v1 at 16 cells
+    assert(AnnServing.ivfGeometryDrift(spark, dir) === Some((16, 16, false)),
+      "fresh small-corpus layout is at the derived geometry")
+    assert(AnnServing.ivfCellStats(spark, dir)
+      .select("rebuild_recommended").distinct().as[Boolean].collect().toSeq === Seq(false))
+    // grow past the small-N tier (> 4000 vectors → derived cells jump)
+    val copies = (4100 / n0 + 1).toInt
+    (1 to copies).foreach { i =>
+      base.withColumn("vec_id", col("vec_id") + i * 1000000L)
+        .write.mode("append").parquet(dir + "/embeddings.parquet")
+    }
+    val expect = LshGeometry.ivf(Tables.embeddings(spark, dir).count())._1
+    assert(expect > 16, "growth must actually cross a geometry tier")
+    assert(AnnServing.ivfGeometryDrift(spark, dir) === Some((16, expect, true)),
+      "grown corpus must flag the stored geometry")
+    assert(AnnServing.ivfCellStats(spark, dir)
+      .select("stored_cells", "derived_cells", "rebuild_recommended").distinct()
+      .as[(Long, Long, Boolean)].collect().toSeq === Seq((16L, expect.toLong, true)),
+      "ivf_cell_stats output must carry the drift signal (rows-gated)")
+    // the cron loop surfaces the same signal without building anything
+    assert(Maintain.run(spark, dir).geometryDrift === Some((16, expect, true)))
+    // act on it through the versioned path (the grown corpus rotated
+    // the home, so the current-stamp store seeds at version 1)
+    assert(AnnServing.rebuildServedIvf(spark, dir) >= 1L)
+    assert(AnnServing.ivfGeometryDrift(spark, dir) === Some((expect, expect, false)),
+      "rebuild at the derived geometry must clear the flag")
+    assert(AnnServing.ivfCellStats(spark, dir)
+      .select("rebuild_recommended").distinct().as[Boolean].collect().toSeq === Seq(false))
   }
 }

@@ -15,33 +15,20 @@ package graft
 class StreamCrashSpec extends SparkSpec {
 
   test("mid-batch driver crash resumes exactly-once (no duplicate appends)") {
-    val javaBin = java.nio.file.Paths.get(
-      sys.props("java.home"), "bin", "java").toString
     val out = java.io.File.createTempFile("graft_stream_crash", ".json")
     out.deleteOnExit()
-    val cmd: Seq[String] =
-      Seq(javaBin) ++
-        GraftSession.jdk17AddOpens.split(" ").toSeq ++
-        Seq(
-          "-Xmx3g",
-          "-Dspark.ui.enabled=false",
-          "-Dspark.sql.session.timeZone=UTC",
-          "-cp", sys.props("java.class.path"),
-          "graft.StreamCrashCheck", "/root/testdata/sf0.01", "6")
-    val pb = new ProcessBuilder(cmd: _*)
-    pb.environment().put("SPARK_GRAFT_CPUS", "4")
-    pb.environment().put("SPARK_GRAFT_CRASH_OUT", out.getAbsolutePath)
     // isolated layout universe — the forked check builds its own dedup
     // index and can never race layouts the suites are serving from
     val serveRoot = java.nio.file.Files.createTempDirectory("graft_crash_serve")
-    pb.environment().put("GRAFT_SERVE_ROOT", serveRoot.toString)
-    pb.redirectErrorStream(true)
-    val proc = pb.start()
-    val log = new String(proc.getInputStream.readAllBytes())
-    val finished = proc.waitFor(8, java.util.concurrent.TimeUnit.MINUTES)
-    if (!finished) { proc.destroyForcibly(); fail(s"StreamCrashCheck timed out.\n${log.takeRight(4000)}") }
-    assert(proc.exitValue() === 0,
-      s"crash recovery failed or produced duplicates:\n${log.takeRight(4000)}")
+    val r = graft.gates.GateHarness.fork("graft.StreamCrashCheck",
+      Seq("/root/testdata/sf0.01", "6"), heap = "3g", timeoutMinutes = 8,
+      env = Map(
+        "SPARK_GRAFT_CPUS" -> "4",
+        "SPARK_GRAFT_CRASH_OUT" -> out.getAbsolutePath,
+        "GRAFT_SERVE_ROOT" -> serveRoot.toString))
+    if (r.timedOut) fail(s"StreamCrashCheck timed out.\n${r.log.takeRight(4000)}")
+    assert(r.exit === 0,
+      s"crash recovery failed or produced duplicates:\n${r.log.takeRight(4000)}")
     val json = new String(java.nio.file.Files.readAllBytes(out.toPath))
     assert(json.contains("\"crashed_mid_stream\":true"), s"halt never landed mid-stream: $json")
     assert(json.contains("\"match\":true"), s"artifact shows mismatch: $json")

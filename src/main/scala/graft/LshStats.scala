@@ -29,79 +29,94 @@ import graft.ops.{LshGeometry, Similarity, TextDedup}
 object LshStats {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
+    // GRAFT_LSHSTATS_ONLY=minhash,simhash,hyperplane — family filter so
+    // a big-SF sweep can bound each family's shuffle/sort spill in its
+    // own JVM (the all-families sf100 run overflowed the host's ~45 GB
+    // free disk; one family per JVM reclaims the spill between them).
+    val fams = sys.env.get("GRAFT_LSHSTATS_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set("minhash", "simhash", "hyperplane"))
     val spark = GraftSession.builder(defaultCpus = "8")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // ---- minhash side ----
     val docs = Tables.documents(spark, sfDir)
-    val nDocs = docs.count()
-    val (mBands, mRows) = LshGeometry.minhash(nDocs)
-    val shingles = docs
-      .withColumn("shingles", Hashes.shingleHashes(
-        split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "), 3))
-      .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), col("shingles"))
-    val docsPerShingle = shingles
-      .select(explode(col("shingles")).as("s"))
-      .groupBy("s").agg(count(lit(1)).as("c"))
-      .agg(avg(col("c")).as("a"), count(lit(1)).as("nsh"))
-      .head()
-    val buckets = shingles
-      .withColumn("minhash", Hashes.minhashSig(col("shingles"), mBands * mRows))
-      .select(col("doc_id"),
-        explode(Hashes.bandKeys(col("minhash"), mBands, mRows)).as("bucket"))
-    val mCand = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct().count()
-    val mTrue = TextDedup.minhashLsh(docs, mBands, mRows).count()
-
-    // ---- simhash side (r10: blocked-pigeonhole geometry) ----
-    val sBlocks = LshGeometry.simhashBlocks(nDocs)
-    // through the operator's own candidate stage (incl. the hot-bucket
-    // sub-pigeonhole refinement), so the measured load IS the shuffle
-    // the driver path pays — the same no-proxy rule as the hyperplane
-    // side (r10 advisor)
-    def simhashCand(blocks: Option[Int]): Long =
-      TextDedup.simhashCandidates(docs, blocks = blocks).count()
-    val sCand = simhashCand(None)
-    // legacy fixed 4×16-bit chunks — the before-picture the derived
-    // geometry is graded against (skipped when it IS the derived one)
-    val sCandLegacy = if (sBlocks == 4) sCand else simhashCand(Some(4))
-    val sTrue = TextDedup.simhashNearDups(docs).count()
-
-    // ---- hyperplane side ----
-    val emb = Tables.embeddings(spark, sfDir)
-    val nVecs = emb.count()
-    // derived through the SAME code path the operator uses
-    // (Similarity.hyperplaneGeometryFor), so diagnostics and driver
-    // can never diverge (r10 advisor)
-    val (hBands, hBits) = Similarity.hyperplaneGeometryFor(nVecs)
-    val base = Similarity.prepared(emb)
-    val vb = base.select(col("vec_id"),
-      explode(graft.functions.VectorOps.hyperplaneBands(col("v"), hBands, hBits)).as("bucket"))
-    val hCand = vb.as("a")
-      .join(vb.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-      .distinct().count()
-    val hTrue = Similarity.embeddingNearDupsLsh(emb, 0.45, hBands, hBits).count()
-
+    lazy val nDocs = docs.count()
     def ratio(c: Long, t: Long): Double = c.toDouble / math.max(1L, t)
-    val json =
-      s"""{"metric":"lsh_candidate_load","sf":"$sfDir","n_docs":$nDocs,""" +
-      s""""minhash_geometry":[$mBands,$mRows],"minhash_candidates":$mCand,""" +
-      s""""minhash_true":$mTrue,"minhash_cand_per_true":${f"${ratio(mCand, mTrue)}%.1f"},""" +
-      s""""docs_per_shingle":${f"${docsPerShingle.getDouble(0)}%.2f"},""" +
-      s""""distinct_shingles":${docsPerShingle.getLong(1)},""" +
-      s""""simhash_blocks":$sBlocks,"simhash_candidates":$sCand,""" +
-      s""""simhash_candidates_legacy4":$sCandLegacy,""" +
-      s""""simhash_true":$sTrue,"simhash_cand_per_true":${f"${ratio(sCand, sTrue)}%.1f"},""" +
-      s""""n_vecs":$nVecs,"hyperplane_geometry":[$hBands,$hBits],""" +
-      s""""hyperplane_candidates":$hCand,"hyperplane_true":$hTrue,""" +
-      s""""hyperplane_cand_per_true":${f"${ratio(hCand, hTrue)}%.1f"}}"""
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    parts += s""""sf":"$sfDir""""
+
+    if (fams("minhash")) {
+      val (mBands, mRows) = LshGeometry.minhash(nDocs)
+      val shingles = docs
+        .withColumn("shingles", Hashes.shingleHashes(
+          split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "), 3))
+        .filter(size(col("shingles")) > 0)
+        .select(col("doc_id"), col("shingles"))
+      val docsPerShingle = shingles
+        .select(explode(col("shingles")).as("s"))
+        .groupBy("s").agg(count(lit(1)).as("c"))
+        .agg(avg(col("c")).as("a"), count(lit(1)).as("nsh"))
+        .head()
+      val buckets = shingles
+        .withColumn("minhash", Hashes.minhashSig(col("shingles"), mBands * mRows))
+        .select(col("doc_id"),
+          explode(Hashes.bandKeys(col("minhash"), mBands, mRows)).as("bucket"))
+      val mCand = buckets.as("a")
+        .join(buckets.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct().count()
+      val mTrue = TextDedup.minhashLsh(docs, mBands, mRows).count()
+      parts += s""""n_docs":$nDocs"""
+      parts += s""""minhash_geometry":[$mBands,$mRows],"minhash_candidates":$mCand,""" +
+        s""""minhash_true":$mTrue,"minhash_cand_per_true":${f"${ratio(mCand, mTrue)}%.1f"},""" +
+        s""""docs_per_shingle":${f"${docsPerShingle.getDouble(0)}%.2f"},""" +
+        s""""distinct_shingles":${docsPerShingle.getLong(1)}"""
+    }
+
+    if (fams("simhash")) {
+      // ---- simhash side (r10: blocked-pigeonhole geometry) ----
+      val sBlocks = LshGeometry.simhashBlocks(nDocs)
+      // through the operator's own candidate stage (incl. the hot-bucket
+      // sub-pigeonhole refinement), so the measured load IS the shuffle
+      // the driver path pays — the same no-proxy rule as the hyperplane
+      // side (r10 advisor)
+      def simhashCand(blocks: Option[Int]): Long =
+        TextDedup.simhashCandidates(docs, blocks = blocks).count()
+      val sCand = simhashCand(None)
+      // legacy fixed 4×16-bit chunks — the before-picture the derived
+      // geometry is graded against (skipped when it IS the derived one)
+      val sCandLegacy = if (sBlocks == 4) sCand else simhashCand(Some(4))
+      val sTrue = TextDedup.simhashNearDups(docs).count()
+      if (!fams("minhash")) parts += s""""n_docs":$nDocs"""
+      parts += s""""simhash_blocks":$sBlocks,"simhash_candidates":$sCand,""" +
+        s""""simhash_candidates_legacy4":$sCandLegacy,""" +
+        s""""simhash_true":$sTrue,"simhash_cand_per_true":${f"${ratio(sCand, sTrue)}%.1f"}"""
+    }
+
+    if (fams("hyperplane")) {
+      val emb = Tables.embeddings(spark, sfDir)
+      val nVecs = emb.count()
+      // derived through the SAME code path the operator uses
+      // (Similarity.hyperplaneGeometryFor), so diagnostics and driver
+      // can never diverge (r10 advisor)
+      val (hBands, hBits) = Similarity.hyperplaneGeometryFor(nVecs)
+      val base = Similarity.prepared(emb)
+      val vb = base.select(col("vec_id"),
+        explode(graft.functions.VectorOps.hyperplaneBands(col("v"), hBands, hBits)).as("bucket"))
+      val hCand = vb.as("a")
+        .join(vb.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        .distinct().count()
+      val hTrue = Similarity.embeddingNearDupsLsh(emb, 0.45, hBands, hBits).count()
+      parts += s""""n_vecs":$nVecs,"hyperplane_geometry":[$hBands,$hBits],""" +
+        s""""hyperplane_candidates":$hCand,"hyperplane_true":$hTrue,""" +
+        s""""hyperplane_cand_per_true":${f"${ratio(hCand, hTrue)}%.1f"}"""
+    }
+
+    val json = parts.mkString("""{"metric":"lsh_candidate_load",""", ",", "}")
     println(json)
     args.lift(1).foreach(p => java.nio.file.Files.writeString(
       java.nio.file.Paths.get(p), json + "\n"))

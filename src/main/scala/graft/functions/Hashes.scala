@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Shims
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -144,6 +144,89 @@ object HashKernels {
     new GenericArrayData(mins)
   }
 
+  /** Precomputed per-table bit plumbing for [[simhashKeys]]: which sim
+    * bit-fields a table keeps (bkey, in subset order), which it
+    * excludes (exVal, ascending block order), and how the excluded
+    * width pigeonholes into maxHamming+1 sub-fields. Built once per
+    * (maxHamming, blocks) per JVM — the subset enumeration uses the
+    * SAME `combinations` call as the original column construction, so
+    * table ids (packed into bkey high bits) are bit-identical.
+    */
+  private final class SimhashKeyTable(
+      val id: Long,
+      val keptOffsets: Array[Int], val keptWidths: Array[Int],
+      val exOffsets: Array[Int], val exWidths: Array[Int],
+      val subOffsets: Array[Int], val subWidths: Array[Int])
+
+  private val simhashKeyTables =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[SimhashKeyTable]]()
+
+  private def simhashTablesFor(maxHamming: Int, blocks: Int): Array[SimhashKeyTable] =
+    simhashKeyTables.computeIfAbsent((maxHamming, blocks), { case (k, b) =>
+      val widths = Array.tabulate(b)(i => 64 / b + (if (i < 64 % b) 1 else 0))
+      val offsets = widths.scanLeft(0)(_ + _)
+      val nSub = k + 1
+      (0 until b).combinations(b - k).toArray.zipWithIndex.map { case (subset, t) =>
+        val excluded = (0 until b).filterNot(subset.contains)
+        val exWidth = excluded.map(widths).sum
+        val subWidths = Array.tabulate(nSub)(i => exWidth / nSub + (if (i < exWidth % nSub) 1 else 0))
+        new SimhashKeyTable(t.toLong,
+          subset.map(offsets).toArray, subset.map(widths).toArray,
+          excluded.map(offsets).toArray, excluded.map(widths).toArray,
+          subWidths.scanLeft(0)(_ + _), subWidths)
+      }
+    })
+
+  /** All C(blocks, blocks−maxHamming) pigeonhole key structs of a
+    * 64-bit simhash fingerprint in ONE kernel call — see
+    * [[graft.ops.TextDedup.simhashKeysFor]]. The original formulation
+    * built the same values as a per-table expression forest in one
+    * projection; at the size-derived B = 7 (sf100, 35 tables) the
+    * generated doConsume exceeded Janino's 64 KB method limit and the
+    * whole keying stage silently fell back to INTERPRETED execution.
+    * This kernel is a fixed-size call at any geometry. (Trade-off vs
+    * the expression forest: Catalyst can no longer prune unused skeys —
+    * they are ~4 shift/mask longs per exploded row, noise next to the
+    * explode itself.) Bit layout per table t, identical to the old
+    * columns by construction and spec-locked in HashesSpec:
+    * bkey = fold of kept fields over subset order seeded with t;
+    * exVal = fold of excluded fields ascending; skey(s) = (s << 56) |
+    * sub-field s of exVal.
+    */
+  def simhashKeys(sim: Long, maxHamming: Int, blocks: Int): ArrayData = {
+    val tables = simhashTablesFor(maxHamming, blocks)
+    val out = new Array[Any](tables.length)
+    var ti = 0
+    while (ti < tables.length) {
+      val tb = tables(ti)
+      var bkey = tb.id
+      var i = 0
+      while (i < tb.keptOffsets.length) {
+        bkey = (bkey << tb.keptWidths(i)) |
+          ((sim >>> tb.keptOffsets(i)) & ((1L << tb.keptWidths(i)) - 1))
+        i += 1
+      }
+      var exVal = 0L
+      i = 0
+      while (i < tb.exOffsets.length) {
+        exVal = (exVal << tb.exWidths(i)) |
+          ((sim >>> tb.exOffsets(i)) & ((1L << tb.exWidths(i)) - 1))
+        i += 1
+      }
+      val nSub = tb.subWidths.length
+      val skeys = new Array[Long](nSub)
+      var s = 0
+      while (s < nSub) {
+        val mask = if (tb.subWidths(s) >= 63) -1L else (1L << tb.subWidths(s)) - 1
+        skeys(s) = (s.toLong << 56) | ((exVal >>> tb.subOffsets(s)) & mask)
+        s += 1
+      }
+      out(ti) = org.apache.spark.sql.catalyst.InternalRow(bkey, new GenericArrayData(skeys))
+      ti += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Fold signature groups into per-band 64-bit bucket keys. */
   def bandKeys(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
     val keys = new Array[Long](bands)
@@ -241,9 +324,37 @@ case class BandKeys(child: Expression, bands: Int, rows: Int) extends UnaryExpre
   override def prettyName: String = "band_keys"
 }
 
+/** All blocked-pigeonhole key structs (bkey + sub-refinement skeys) of
+  * a 64-bit simhash — one bounded-size kernel call per row regardless
+  * of the derived table count; see [[HashKernels.simhashKeys]].
+  * Output: ARRAY<STRUCT<bkey: LONG, skeys: ARRAY<LONG>>>.
+  */
+case class SimhashKeys(child: Expression, maxHamming: Int, blocks: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("bkey", LongType, nullable = false),
+      StructField("skeys", ArrayType(LongType, containsNull = false), nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case LongType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash_keys requires bigint, got ${t.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.simhashKeys(v.asInstanceOf[Long], maxHamming, blocks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.simhashKeys($c, $maxHamming, $blocks)")
+  override protected def withNewChildInternal(c: Expression): SimhashKeys = copy(child = c)
+  override def prettyName: String = "simhash_keys"
+}
+
 object Hashes {
   /** Column API for [[SimHash64]]. */
   def simhash64(tokens: Column): Column = Shims.column(SimHash64(Shims.expression(tokens)))
+  def simhashKeys(sim: Column, maxHamming: Int, blocks: Int): Column =
+    Shims.column(SimhashKeys(Shims.expression(sim), maxHamming, blocks))
   def shingleHashes(words: Column, n: Int): Column =
     Shims.column(ShingleHashes(Shims.expression(words), n))
   def minhashSig(shingles: Column, k: Int): Column =

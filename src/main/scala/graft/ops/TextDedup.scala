@@ -448,46 +448,23 @@ object TextDedup {
     * Split out from [[simhashBuckets]] so the pigeonhole completeness
     * property is spec-testable on planted fingerprints.
     */
-  def simhashKeysFor(simmed: DataFrame, maxHamming: Int, blocks: Int): DataFrame = {
-    val widths = Array.tabulate(blocks)(i => 64 / blocks + (if (i < 64 % blocks) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    val subsets = (0 until blocks).combinations(blocks - maxHamming).toSeq
-    val nSub = maxHamming + 1
-    val tableCols = subsets.zipWithIndex.map { case (subset, t) =>
-      val bkey = subset.foldLeft(lit(t.toLong)) { (acc, b) =>
-        shiftleft(acc, widths(b)).bitwiseOR(
-          shiftrightunsigned(col("sim"), offsets(b))
-            .bitwiseAND(lit((1L << widths(b)) - 1)))
-      }
-      // The table's EXCLUDED blocks, packed into one value: within a
-      // bucket of this table every differing bit of a true pair lives
-      // here, so pigeonholing it into nSub = maxHamming+1 sub-fields
-      // guarantees a true pair matches on >=1 skey (see
-      // [[simhashCandidates]]). The sub id rides in fixed high bits
-      // (exWidth <= 64-bucket widths < 56) so sub-fields of different
-      // widths can never alias across sub ids. Unused skeys are pruned
-      // by Catalyst, so corpora with no hot buckets never compute them.
-      val excluded = (0 until blocks).filterNot(subset.contains)
-      val exWidth = excluded.map(widths).sum
-      val exVal = excluded.foldLeft(lit(0L)) { (acc, b) =>
-        shiftleft(acc, widths(b)).bitwiseOR(
-          shiftrightunsigned(col("sim"), offsets(b))
-            .bitwiseAND(lit((1L << widths(b)) - 1)))
-      }
-      val subWidths = Array.tabulate(nSub)(i => exWidth / nSub + (if (i < exWidth % nSub) 1 else 0))
-      val subOffsets = subWidths.scanLeft(0)(_ + _)
-      val skeys = (0 until nSub).map { s =>
-        lit(s.toLong << 56).bitwiseOR(
-          shiftrightunsigned(exVal, subOffsets(s))
-            .bitwiseAND(lit(if (subWidths(s) >= 63) -1L else (1L << subWidths(s)) - 1)))
-      }
-      struct(bkey.as("bkey"), array(skeys: _*).as("skeys"))
-    }
+  def simhashKeysFor(simmed: DataFrame, maxHamming: Int, blocks: Int): DataFrame =
+    // One bounded-size kernel call per row (functions.SimhashKeys): the
+    // original per-table expression forest in a single projection grew
+    // with C(blocks, maxHamming) — at the size-derived B = 7 (sf100,
+    // 35 tables) the generated doConsume blew Janino's 64 KB method
+    // limit and the keying stage silently fell back to interpreted
+    // execution. The kernel computes bkey + the sub-pigeonhole skeys
+    // (sub id in fixed high bits; exWidth <= 64-bucket widths < 56, so
+    // sub-fields of different widths can never alias across sub ids)
+    // with the exact bit layout of the old columns — spec-locked
+    // per-table against an in-spec reference model across geometries.
+    // Trade-off: Catalyst no longer prunes unused skeys on clean
+    // corpora (~4 shift/mask longs per exploded row — noise).
     simmed.select(col("doc_id"), col("sim"),
-        explode(array(tableCols: _*)).as("__t"))
+        explode(graft.functions.Hashes.simhashKeys(col("sim"), maxHamming, blocks)).as("__t"))
       .select(col("doc_id"), col("sim"),
         col("__t.bkey").as("bkey"), col("__t.skeys").as("skeys"))
-  }
 
   /** Repeated-SPAN removal (the C4/RefinedWeb intra-corpus rewrite, cf.
     * reference consumer's duplicate drop at the record level —

@@ -26,6 +26,52 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(row.getAs[Int]("nhp") === 4)
   }
 
+  test("simhash_keys kernel is bit-identical to the original expression layout") {
+    // The keying step used to be a per-table expression forest whose
+    // generated code grew with C(blocks, maxHamming) (Janino 64 KB
+    // blowup at B=7); the kernel must reproduce its bit layout EXACTLY
+    // so every committed candidate set stays byte-stable. Reference
+    // model below = the old column semantics in plain Scala.
+    import org.apache.spark.sql.functions._
+    def reference(sim: Long, maxHamming: Int, blocks: Int): Seq[(Long, Seq[Long])] = {
+      val widths = Array.tabulate(blocks)(i => 64 / blocks + (if (i < 64 % blocks) 1 else 0))
+      val offsets = widths.scanLeft(0)(_ + _)
+      val nSub = maxHamming + 1
+      (0 until blocks).combinations(blocks - maxHamming).toSeq.zipWithIndex.map {
+        case (subset, t) =>
+          val bkey = subset.foldLeft(t.toLong) { (acc, b) =>
+            (acc << widths(b)) | ((sim >>> offsets(b)) & ((1L << widths(b)) - 1))
+          }
+          val excluded = (0 until blocks).filterNot(subset.contains)
+          val exWidth = excluded.map(widths).sum
+          val exVal = excluded.foldLeft(0L) { (acc, b) =>
+            (acc << widths(b)) | ((sim >>> offsets(b)) & ((1L << widths(b)) - 1))
+          }
+          val subWidths = Array.tabulate(nSub)(i => exWidth / nSub + (if (i < exWidth % nSub) 1 else 0))
+          val subOffsets = subWidths.scanLeft(0)(_ + _)
+          val skeys = (0 until nSub).map { s =>
+            (s.toLong << 56) | ((exVal >>> subOffsets(s)) &
+              (if (subWidths(s) >= 63) -1L else (1L << subWidths(s)) - 1))
+          }
+          (bkey, skeys)
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    val sims = Seq(0L, -1L, 0x0123456789abcdefL) ++ Seq.fill(40)(rnd.nextLong())
+    val df = sims.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "sim")
+    for (b <- Seq(4, 5, 6, 7, 8)) {
+      val got = df.select(col("doc_id"), col("sim"),
+          posexplode(graft.functions.Hashes.simhashKeys(col("sim"), 3, b)))
+        .select(col("sim"), col("pos"), col("col.bkey"), col("col.skeys"))
+        .collect()
+        .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getSeq[Long](3))))
+        .toMap
+      for (s <- sims; (exp, t) <- reference(s, 3, b).zipWithIndex) {
+        assert(got((s, t)) === exp, s"B=$b table=$t sim=$s")
+      }
+    }
+  }
+
   test("SQL simhash matches the Column-API simhash") {
     GraftFunctions.registerAll(spark)
     import org.apache.spark.sql.functions._

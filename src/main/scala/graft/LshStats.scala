@@ -36,6 +36,15 @@ object LshStats {
     val fams = sys.env.get("GRAFT_LSHSTATS_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set("minhash", "simhash", "hyperplane"))
+    // GRAFT_LSHSTATS_MODE=occupancy: report the NON-DISTINCT candidate
+    // mass Σ_buckets C(occupancy, 2) from one groupBy over the keyed
+    // rows — no pair self-join, no distinct, no verify. This is the
+    // exact number of bucket-cojoined row pairs the operator's shuffle
+    // PRODUCES (distinct-deduped downstream), so it is the honest load
+    // number when the full candidates/true measurement exceeds the
+    // host (sf100: the hyperplane self-join + exact verify needs ~1 TB
+    // of distributed spill — routine for a cluster, not for one box).
+    val occupancyOnly = sys.env.get("GRAFT_LSHSTATS_MODE").contains("occupancy")
     val spark = GraftSession.builder(defaultCpus = "8")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -45,6 +54,15 @@ object LshStats {
     def ratio(c: Long, t: Long): Double = c.toDouble / math.max(1L, t)
     val parts = scala.collection.mutable.ArrayBuffer[String]()
     parts += s""""sf":"$sfDir""""
+
+    // (Σ C(occupancy,2), max occupancy, n buckets) of a keyed frame —
+    // the occupancy-mode load measure: one groupBy, no self-join.
+    def occupancy(keyed: org.apache.spark.sql.DataFrame, keyCol: String): (Long, Long, Long) = {
+      val r = keyed.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c * (c - 1) DIV 2")).as("mass"),
+          max(col("c")).as("mx"), count(lit(1)).as("nb")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
 
     if (fams("minhash")) {
       val (mBands, mRows) = LshGeometry.minhash(nDocs)
@@ -62,17 +80,25 @@ object LshStats {
         .withColumn("minhash", Hashes.minhashSig(col("shingles"), mBands * mRows))
         .select(col("doc_id"),
           explode(Hashes.bandKeys(col("minhash"), mBands, mRows)).as("bucket"))
-      val mCand = buckets.as("a")
-        .join(buckets.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct().count()
-      val mTrue = TextDedup.minhashLsh(docs, mBands, mRows).count()
       parts += s""""n_docs":$nDocs"""
-      parts += s""""minhash_geometry":[$mBands,$mRows],"minhash_candidates":$mCand,""" +
-        s""""minhash_true":$mTrue,"minhash_cand_per_true":${f"${ratio(mCand, mTrue)}%.1f"},""" +
-        s""""docs_per_shingle":${f"${docsPerShingle.getDouble(0)}%.2f"},""" +
-        s""""distinct_shingles":${docsPerShingle.getLong(1)}"""
+      if (occupancyOnly) {
+        val (mass, mx, nb) = occupancy(buckets, "bucket")
+        parts += s""""minhash_geometry":[$mBands,$mRows],"minhash_cand_mass":$mass,""" +
+          s""""minhash_max_bucket":$mx,"minhash_buckets":$nb,""" +
+          s""""docs_per_shingle":${f"${docsPerShingle.getDouble(0)}%.2f"},""" +
+          s""""distinct_shingles":${docsPerShingle.getLong(1)}"""
+      } else {
+        val mCand = buckets.as("a")
+          .join(buckets.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .distinct().count()
+        val mTrue = TextDedup.minhashLsh(docs, mBands, mRows).count()
+        parts += s""""minhash_geometry":[$mBands,$mRows],"minhash_candidates":$mCand,""" +
+          s""""minhash_true":$mTrue,"minhash_cand_per_true":${f"${ratio(mCand, mTrue)}%.1f"},""" +
+          s""""docs_per_shingle":${f"${docsPerShingle.getDouble(0)}%.2f"},""" +
+          s""""distinct_shingles":${docsPerShingle.getLong(1)}"""
+      }
     }
 
     if (fams("simhash")) {
@@ -82,17 +108,24 @@ object LshStats {
       // sub-pigeonhole refinement), so the measured load IS the shuffle
       // the driver path pays — the same no-proxy rule as the hyperplane
       // side (r10 advisor)
-      def simhashCand(blocks: Option[Int]): Long =
-        TextDedup.simhashCandidates(docs, blocks = blocks).count()
-      val sCand = simhashCand(None)
-      // legacy fixed 4×16-bit chunks — the before-picture the derived
-      // geometry is graded against (skipped when it IS the derived one)
-      val sCandLegacy = if (sBlocks == 4) sCand else simhashCand(Some(4))
-      val sTrue = TextDedup.simhashNearDups(docs).count()
       if (!fams("minhash")) parts += s""""n_docs":$nDocs"""
-      parts += s""""simhash_blocks":$sBlocks,"simhash_candidates":$sCand,""" +
-        s""""simhash_candidates_legacy4":$sCandLegacy,""" +
-        s""""simhash_true":$sTrue,"simhash_cand_per_true":${f"${ratio(sCand, sTrue)}%.1f"}"""
+      if (occupancyOnly) {
+        val keyed = TextDedup.simhashBuckets(docs, maxHamming = 3, blocks = Some(sBlocks))
+        val (mass, mx, nb) = occupancy(keyed.select(col("doc_id"), col("bkey")), "bkey")
+        parts += s""""simhash_blocks":$sBlocks,"simhash_cand_mass":$mass,""" +
+          s""""simhash_max_bucket":$mx,"simhash_buckets":$nb"""
+      } else {
+        def simhashCand(blocks: Option[Int]): Long =
+          TextDedup.simhashCandidates(docs, blocks = blocks).count()
+        val sCand = simhashCand(None)
+        // legacy fixed 4×16-bit chunks — the before-picture the derived
+        // geometry is graded against (skipped when it IS the derived one)
+        val sCandLegacy = if (sBlocks == 4) sCand else simhashCand(Some(4))
+        val sTrue = TextDedup.simhashNearDups(docs).count()
+        parts += s""""simhash_blocks":$sBlocks,"simhash_candidates":$sCand,""" +
+          s""""simhash_candidates_legacy4":$sCandLegacy,""" +
+          s""""simhash_true":$sTrue,"simhash_cand_per_true":${f"${ratio(sCand, sTrue)}%.1f"}"""
+      }
     }
 
     if (fams("hyperplane")) {
@@ -105,15 +138,22 @@ object LshStats {
       val base = Similarity.prepared(emb)
       val vb = base.select(col("vec_id"),
         explode(graft.functions.VectorOps.hyperplaneBands(col("v"), hBands, hBits)).as("bucket"))
-      val hCand = vb.as("a")
-        .join(vb.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-        .distinct().count()
-      val hTrue = Similarity.embeddingNearDupsLsh(emb, 0.45, hBands, hBits).count()
-      parts += s""""n_vecs":$nVecs,"hyperplane_geometry":[$hBands,$hBits],""" +
-        s""""hyperplane_candidates":$hCand,"hyperplane_true":$hTrue,""" +
-        s""""hyperplane_cand_per_true":${f"${ratio(hCand, hTrue)}%.1f"}"""
+      if (occupancyOnly) {
+        val (mass, mx, nb) = occupancy(vb, "bucket")
+        parts += s""""n_vecs":$nVecs,"hyperplane_geometry":[$hBands,$hBits],""" +
+          s""""hyperplane_cand_mass":$mass,"hyperplane_max_bucket":$mx,""" +
+          s""""hyperplane_buckets":$nb"""
+      } else {
+        val hCand = vb.as("a")
+          .join(vb.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+          .distinct().count()
+        val hTrue = Similarity.embeddingNearDupsLsh(emb, 0.45, hBands, hBits).count()
+        parts += s""""n_vecs":$nVecs,"hyperplane_geometry":[$hBands,$hBits],""" +
+          s""""hyperplane_candidates":$hCand,"hyperplane_true":$hTrue,""" +
+          s""""hyperplane_cand_per_true":${f"${ratio(hCand, hTrue)}%.1f"}"""
+      }
     }
 
     val json = parts.mkString("""{"metric":"lsh_candidate_load",""", ",", "}")

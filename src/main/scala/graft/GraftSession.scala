@@ -68,6 +68,19 @@ object GraftSession {
     val b = SparkSession.builder()
       .master(m)
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE starts every shuffle at 8x the core count and COALESCES
+      // down to the advisory size — the Spark-idiomatic way to make
+      // one session config hold across three data decades. AQE can
+      // only merge partitions, never split un-skewed ones, so the
+      // sf100 bench with initial=32 sorted ~2 GB per task on the
+      // 600 M-row joins and spent its wall-clock in spill-merge
+      // passes (q18 35x, q5 22x for x10 data); at 8x the per-task
+      // sort fits execution memory and the same joins return to
+      // ~linear. At gate SFs AQE coalesces the extra partitions away,
+      // so plans and costs there are unchanged (oracle + bench smoke
+      // re-passed on this change).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     if (m.startsWith("local-cluster")) {

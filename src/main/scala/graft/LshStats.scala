@@ -57,8 +57,11 @@ object LshStats {
 
     // (Σ C(occupancy,2), max occupancy, n buckets) of a keyed frame —
     // the occupancy-mode load measure: one groupBy, no self-join.
-    def occupancy(keyed: org.apache.spark.sql.DataFrame, keyCol: String): (Long, Long, Long) = {
-      val r = keyed.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+    // Takes Columns so composite join keys (simhash's (bkey, skey)
+    // refined regime) are measured exactly as the operator joins them.
+    def occupancy(keyed: org.apache.spark.sql.DataFrame,
+                  keys: org.apache.spark.sql.Column*): (Long, Long, Long) = {
+      val r = keyed.groupBy(keys: _*).agg(count(lit(1)).as("c"))
         .agg(sum(expr("c * (c - 1) DIV 2")).as("mass"),
           max(col("c")).as("mx"), count(lit(1)).as("nb")).head()
       (r.getLong(0), r.getLong(1), r.getLong(2))
@@ -82,7 +85,7 @@ object LshStats {
           explode(Hashes.bandKeys(col("minhash"), mBands, mRows)).as("bucket"))
       parts += s""""n_docs":$nDocs"""
       if (occupancyOnly) {
-        val (mass, mx, nb) = occupancy(buckets, "bucket")
+        val (mass, mx, nb) = occupancy(buckets, col("bucket"))
         parts += s""""minhash_geometry":[$mBands,$mRows],"minhash_cand_mass":$mass,""" +
           s""""minhash_max_bucket":$mx,"minhash_buckets":$nb,""" +
           s""""docs_per_shingle":${f"${docsPerShingle.getDouble(0)}%.2f"},""" +
@@ -110,10 +113,23 @@ object LshStats {
       // side (r10 advisor)
       if (!fams("minhash")) parts += s""""n_docs":$nDocs"""
       if (occupancyOnly) {
-        val keyed = TextDedup.simhashBuckets(docs, maxHamming = 3, blocks = Some(sBlocks))
-        val (mass, mx, nb) = occupancy(keyed.select(col("doc_id"), col("bkey")), "bkey")
+        // Measure over the operator's REAL join keys (r12 advisor): the
+        // driver path self-joins refinedKeys' (bkey, skey) — skey = 0 in
+        // small buckets, the sub-pigeonhole key in hot ones — at the
+        // SAME derived hotCap, so Σ C(occ,2) here IS the bucket-cojoined
+        // pair mass simhashCandidates' shuffle produces. The bare-bkey
+        // mass (the pre-refinement upper bound r12's artifact recorded)
+        // is kept alongside as simhash_bkey_mass for cross-round
+        // comparability. maxHamming comes from the operator's own
+        // default, not a re-hardcoded literal.
+        val keyed = TextDedup.simhashBuckets(docs,
+          maxHamming = TextDedup.DefaultMaxHamming, blocks = Some(sBlocks))
+        val refined = TextDedup.refinedKeys(keyed, TextDedup.hotCapFor(nDocs))
+        val (mass, mx, nb) = occupancy(refined, col("bkey"), col("skey"))
+        val (bMass, bMx, _) = occupancy(keyed, col("bkey"))
         parts += s""""simhash_blocks":$sBlocks,"simhash_cand_mass":$mass,""" +
-          s""""simhash_max_bucket":$mx,"simhash_buckets":$nb"""
+          s""""simhash_max_bucket":$mx,"simhash_buckets":$nb,""" +
+          s""""simhash_bkey_mass":$bMass,"simhash_bkey_max":$bMx"""
       } else {
         def simhashCand(blocks: Option[Int]): Long =
           TextDedup.simhashCandidates(docs, blocks = blocks).count()
@@ -139,7 +155,7 @@ object LshStats {
       val vb = base.select(col("vec_id"),
         explode(graft.functions.VectorOps.hyperplaneBands(col("v"), hBands, hBits)).as("bucket"))
       if (occupancyOnly) {
-        val (mass, mx, nb) = occupancy(vb, "bucket")
+        val (mass, mx, nb) = occupancy(vb, col("bucket"))
         parts += s""""n_vecs":$nVecs,"hyperplane_geometry":[$hBands,$hBits],""" +
           s""""hyperplane_cand_mass":$mass,"hyperplane_max_bucket":$mx,""" +
           s""""hyperplane_buckets":$nb"""

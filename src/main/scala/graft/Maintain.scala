@@ -83,9 +83,21 @@ object Maintain {
     // cron loop surfaces a corpus that outgrew its stored quantizer;
     // acting on it (AnnServing.rebuildServedIvf's versioned publish) is
     // the operator's explicit, costed decision, not a sweep side effect.
-    // Try: the corpus dir may not carry an embeddings table at all.
-    val drift = scala.util.Try(
-      graft.ops.AnnServing.ivfGeometryDrift(spark, corpusDir)).toOption.flatten
+    // Only the no-embeddings-table case reads as "nothing to report"
+    // (AnalysisException — the corpus dir legitimately may not carry
+    // one); any OTHER failure (corrupt store, unreadable centroids) is
+    // exactly the operational signal this probe exists for, so it is
+    // logged loudly instead of silently collapsing to null (r12
+    // advisor).
+    val drift =
+      try graft.ops.AnnServing.ivfGeometryDrift(spark, corpusDir)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[maintain] geometry-drift probe FAILED (store unreadable?): $e")
+          None
+      }
     Report(ivfReclaimed, layoutsReclaimed, snapReclaimed, cacheReclaimed, drift)
   }
 

@@ -121,7 +121,17 @@ object GateHarness {
   final class Artifact(metric: String) {
     private val fields = scala.collection.mutable.LinkedHashMap[String, String](
       "metric" -> s""""$metric"""")
-    def str(k: String, v: String): Artifact = { fields(k) = s""""${v}"""" ; this }
+    // JSON string escaping (r12 advisor): Artifact is the single JSON
+    // emitter for every gate artifact, and values like sfDir/master are
+    // caller-supplied paths — a quote or backslash in one must not
+    // produce an unparseable committed artifact.
+    private def jsonEscape(v: String): String = v.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < 0x20 => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    def str(k: String, v: String): Artifact = { fields(k) = s""""${jsonEscape(v)}"""" ; this }
     def raw(k: String, v: String): Artifact = { fields(k) = v; this }
     def num(k: String, v: Long): Artifact = raw(k, v.toString)
     def num(k: String, v: Double, fmt: String = "%.1f"): Artifact =

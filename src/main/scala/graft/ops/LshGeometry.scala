@@ -225,7 +225,8 @@ object LshGeometry {
 
   def hyperplane(n: Long, dupSim: Double = 0.85,
                  targetMiss: Double = 0.001, candPerVec: Int = 200,
-                 smallN: Long = 4000, maxBands: Int = 256): (Int, Int) = {
+                 smallN: Long = 4000, maxBands: Int = 256,
+                 minDupRecall: Double = 0.95): (Int, Int) = {
     if (n <= smallN) return (32, 4)
     var bands = 32
     var bits = 4
@@ -238,6 +239,30 @@ object LshGeometry {
         math.max(1, math.ceil(math.log(1.0 / targetMiss) / -math.log1p(-pBand)).toInt))
       if (newBits == bits && newBands == bands) i = 8
       else { bits = newBits; bands = newBands; i += 1 }
+    }
+    // Past-the-cap regime (r12 verdict): once `bands` saturates at
+    // maxBands, the coupled system has no free knob left — the loop
+    // above would keep growing bits ∝ log₂ n to hold candidates/vec at
+    // the budget, and with bands pinned each extra bit multiplies the
+    // dup-level miss odds (measured erosion: recall(0.85) would be
+    // 0.97 at 2 M vectors, 0.86 at 20 M, 0.67 at 200 M — the silent
+    // fixed-geometry-at-scale failure this object exists to prevent).
+    // Derivation past the cap: HOLD the declared dup floor
+    // (`minDupRecall`, default 0.95) by clamping bits at the largest
+    // width whose any-of-maxBands recall still clears it, and let
+    // candidates/vec — not recall — absorb further growth. That is the
+    // honest LSH trade at ρ ≈ 0.63 with a bounded band explode factor:
+    // a recall floor costs super-linear candidate mass, and the verify
+    // stage is built to pay it boundedly (embeddingNearDupsLsh's
+    // sliced exact-verify). At every committed decade (sf1 (102,14),
+    // sf10 (225,18), sf100 (256,22)) the clamp is inactive —
+    // bit-for-bit the r10–r12 geometries; it first binds at ~20 M
+    // vectors, where (256,25)/recall-0.86 becomes (256,22)/recall-0.97.
+    if (bands == maxBands) {
+      val pNeeded = 1.0 - math.pow(1.0 - minDupRecall, 1.0 / maxBands)
+      val bitsFloor = math.max(4,
+        (math.log(pNeeded) / math.log(pBit(dupSim))).toInt) // floor: widest bits holding the floor
+      bits = math.min(bits, bitsFloor)
     }
     (bands, bits)
   }

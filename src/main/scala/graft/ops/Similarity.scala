@@ -22,8 +22,16 @@ object Similarity {
     * study ([[graft.SeedCheck]] — one JVM per seed, since layouts cache
     * under an env-scoped serve root too).
     */
-  private[graft] def baseSeed: Int =
-    sys.env.get("GRAFT_KMEANS_SEED").map(_.toInt).getOrElse(42)
+  private[graft] val baseSeed: Int =
+    sys.env.get("GRAFT_KMEANS_SEED") match {
+      case None => 42
+      case Some(s) => scala.util.Try(s.trim.toInt).getOrElse(
+        // fail fast with a clear message — a malformed override would
+        // otherwise crash deep inside a KMeans fit, and parse once (val)
+        // rather than re-reading the env per build
+        throw new IllegalArgumentException(
+          s"GRAFT_KMEANS_SEED must be an integer, got '$s'"))
+    }
 
   /** Sequential-order dot product of two array<double> columns —
     * codegen'd custom expression (graft.functions.DotProduct).
@@ -122,7 +130,9 @@ object Similarity {
     * distribution, exactly like minhash banding.
     */
   def embeddingNearDupsLsh(embeddings: DataFrame, threshold: Double = 0.45,
-                           bands: Int = 32, bitsPerBand: Int = 4): DataFrame = {
+                           bands: Int = 32, bitsPerBand: Int = 4,
+                           slicePairsOverride: Long = 0L): DataFrame = {
+    val spark = embeddings.sparkSession
     // Repartition BEFORE the per-row signature kernel: its cost is
     // planes×dims per vector, and scan parallelism is otherwise file
     // parallelism — a corpus that arrives as one modest parquet file
@@ -131,7 +141,7 @@ object Similarity {
     // shuffle moves id+vector once — trivia next to the kernel — and
     // on a real many-file corpus it is a cheap no-op-shaped rebalance.
     val base = prepared(embeddings)
-      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+      .repartition(spark.sparkContext.defaultParallelism)
     val buckets = base.select(col("vec_id"),
       explode(VectorOps.hyperplaneBands(col("v"), bands, bitsPerBand)).as("bucket"))
     val pairs = buckets.as("a")
@@ -139,16 +149,46 @@ object Similarity {
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    // Verification joins are HINTED shuffle-hash: the probe side is the
-    // candidate-pair stream (ids only, 16 bytes/row), the build side the
-    // vector table. Left to itself Spark picks sort-merge once the
-    // vector side outgrows the broadcast threshold (~20k × 256-dim was
-    // enough), and an SMJ must SORT the candidate stream WITH its 2 KB
-    // vector payloads — measured as ~100 GB of sort spill at sf1, 12+
-    // minutes for this one query. Shuffle-hash moves each candidate id
-    // once and each vector once, never sorts payloads; that is the
-    // shape that survives 100 TB (where the vector side is partitioned,
-    // not broadcastable).
+    // Sliced exact verify (r12 verdict): the verify join's in-flight
+    // intermediate is candidates × two vector payloads — at sf100
+    // (176.8 M pairs × 64 dims) ≈ 0.7 TB of joined/spilled bytes in ONE
+    // plan, which out-sizes any single host and is pure waste even on a
+    // cluster (all of it in flight at once). One cheap occupancy
+    // aggregation over the keyed rows (Σ C(occ,2) — the same measure
+    // LshStats occupancy mode records) bounds the candidate mass
+    // WITHOUT running the pair join; below the slice budget the
+    // single-pass plan runs bit-for-bit as before (every driver-gate
+    // corpus and sf1/sf10 land here), above it candidates are written
+    // once (ids only), verified slice-by-slice, and the in-flight
+    // intermediate is bounded at slicePairs × payload on any host.
+    val slicePairs =
+      if (slicePairsOverride > 0) slicePairsOverride
+      else sys.env.get("GRAFT_LSH_VERIFY_SLICE_PAIRS")
+        .map(_.toLong).getOrElse(16000000L)
+    val candMass = buckets.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)).as("m"))
+      .head().getLong(0)
+    if (candMass <= slicePairs)
+      verifyCandidates(base, pairs, threshold).orderBy(col("a_id"), col("b_id"))
+    else
+      slicedVerify(spark, base, pairs, threshold,
+        ((candMass + slicePairs - 1) / slicePairs).toInt)
+  }
+
+  /** Exact cosine verification of candidate id pairs — the shared tail
+    * of both verify paths. Joins are HINTED shuffle-hash: the probe
+    * side is the candidate-pair stream (ids only, 16 bytes/row), the
+    * build side the vector table. Left to itself Spark picks
+    * sort-merge once the vector side outgrows the broadcast threshold
+    * (~20k × 256-dim was enough), and an SMJ must SORT the candidate
+    * stream WITH its 2 KB vector payloads — measured as ~100 GB of
+    * sort spill at sf1, 12+ minutes for this one query. Shuffle-hash
+    * moves each candidate id once and each vector once, never sorts
+    * payloads; that is the shape that survives 100 TB (where the
+    * vector side is partitioned, not broadcastable).
+    */
+  private def verifyCandidates(base: DataFrame, pairs: DataFrame,
+                               threshold: Double): DataFrame =
     pairs
       .join(base.select(col("vec_id").as("a_id"), col("v").as("va"),
         col("norm2").as("na2")).hint("shuffle_hash"), Seq("a_id"))
@@ -157,7 +197,42 @@ object Similarity {
       .withColumn("cos_raw", cosRaw(col("va"), col("vb"), col("na2"), col("nb2")))
       .filter(col("cos_raw") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos_raw"), 4).as("cos_sim"))
-      .orderBy(col("a_id"), col("b_id"))
+
+  /** Bounded-in-flight exact verify: write the candidate ids ONCE
+    * (partitioned by a hash slice — candidate generation, the big
+    * bucket self-join, runs exactly once), then verify one slice per
+    * job so no plan ever holds more than `nSlices`-th of the joined
+    * pair×vector intermediate, appending survivors to a spill dir that
+    * the returned frame reads. Output is the same (a_id, b_id, cos_sim)
+    * row set as the single-pass plan — slicing is a partition of the
+    * distinct candidate set, and verification is per-pair — in the same
+    * global order. The per-slice System.gc() nudges ContextCleaner to
+    * reclaim the finished slice's shuffle files; without it a 10-slice
+    * run accumulates every slice's spill until the next collection,
+    * which is exactly the disk blowup the slicing exists to avoid.
+    */
+  private def slicedVerify(spark: org.apache.spark.sql.SparkSession,
+                           base: DataFrame, pairs: DataFrame,
+                           threshold: Double, nSlices: Int): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-lsh-verify")
+      .toAbsolutePath.toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scala.util.Try(org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(root)))))
+    val pairsPath = s"$root/pairs"
+    val outPath = s"$root/verified"
+    pairs
+      .withColumn("_slice", pmod(xxhash64(col("a_id"), col("b_id")), lit(nSlices)))
+      .write.partitionBy("_slice").parquet(pairsPath)
+    (0 until nSlices).foreach { s =>
+      val slice = spark.read.parquet(pairsPath)
+        .filter(col("_slice") === s) // partition-pruned: reads one slice dir
+        .select(col("a_id"), col("b_id"))
+      verifyCandidates(base, slice, threshold)
+        .write.mode("append").parquet(outPath)
+      System.gc()
+    }
+    spark.read.parquet(outPath).orderBy(col("a_id"), col("b_id"))
   }
 
   /** [[embeddingNearDupsLsh]] with (bands, bitsPerBand) DERIVED from
@@ -944,6 +1019,39 @@ object AnnServing {
   private def ivfStore(sfDir: String): String =
     ServingLayouts.dirFor("ivf", sfDir) + "/ivf"
 
+  /** Record whether the latest published quantizer used an EXPLICIT
+    * nCells override or the size-derived geometry — a tiny
+    * `_geometry_intent` file beside the version directories. The drift
+    * dashboard ([[ivfCellStats]] / [[ivfGeometryDrift]]) reads it back:
+    * a store deliberately built with `rebuildServedIvf(nCells = …)`
+    * must not report `rebuild_recommended = true` forever just because
+    * the override differs from today's derivation (r12 advisor). A
+    * missing file reads as derived-intent — pre-marker stores keep the
+    * legacy flagging behavior.
+    */
+  private def recordGeometryIntent(spark: SparkSession, store: String,
+                                   explicit: Boolean): Unit = {
+    val p = new org.apache.hadoop.fs.Path(store, "_geometry_intent")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write((if (explicit) "explicit" else "derived").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[graft] def geometryIntentExplicit(spark: SparkSession,
+                                            store: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(store, "_geometry_intent")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      if (!fs.exists(p)) false
+      else {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(), "UTF-8").trim == "explicit"
+        finally in.close()
+      }
+    } catch { case _: java.io.IOException => false }
+  }
+
   /** BUILD-time geometry: explicit nCells wins; the ≤0 sentinel derives
     * from the corpus size ([[graft.ops.LshGeometry.ivf]] — the one
     * `count()` on the whole serving path, paid only when a layout is
@@ -967,9 +1075,12 @@ object AnnServing {
       val home = ServingLayouts.dirFor("ivf", sfDir)
       val store = home + "/ivf"
       if (Similarity.ivfVersions(spark, store).isEmpty)
-        try Similarity.writeIvfVersioned(
-          Similarity.buildIvf(graft.Tables.embeddings(spark, sfDir),
-            cellsForBuild(spark, sfDir, nCells)), store)
+        try {
+          Similarity.writeIvfVersioned(
+            Similarity.buildIvf(graft.Tables.embeddings(spark, sfDir),
+              cellsForBuild(spark, sfDir, nCells)), store)
+          recordGeometryIntent(spark, store, explicit = nCells > 0)
+        }
         catch {
           // a concurrent cold-start won the version-1 publish: serve its index
           case NonFatal(e) if Similarity.ivfVersions(spark, store).isEmpty => throw e
@@ -1002,6 +1113,7 @@ object AnnServing {
     val v = Similarity.writeIvfVersioned(
       Similarity.buildIvf(graft.Tables.embeddings(spark, sfDir),
         cellsForBuild(spark, sfDir, nCells)), store)
+    recordGeometryIntent(spark, store, explicit = nCells > 0)
     ivfCache.invalidate(sfDir) // next serve loads the freshly published version
     servedIvf(spark, sfDir, nCells)
     v
@@ -1170,6 +1282,11 @@ object AnnServing {
     val stored = index.nCells
     val derived = graft.ops.LshGeometry.ivf(
       graft.Tables.embeddings(spark, sfDir).count())._1
+    // An EXPLICIT-geometry build (rebuildServedIvf(nCells = …)) is a
+    // deliberate operator decision: still report stored/derived so the
+    // drift magnitude stays visible, but don't nag rebuild_recommended
+    // forever over a chosen override (r12 advisor).
+    val explicitIntent = geometryIntentExplicit(spark, ivfStore(sfDir))
     val total = index.assigned.agg(count(lit(1)).as("__n"))
     index.assigned
       .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
@@ -1178,7 +1295,7 @@ object AnnServing {
         round(col("n_vecs").cast("double") / col("__n"), 4).as("share"),
         lit(stored.toLong).as("stored_cells"),
         lit(derived.toLong).as("derived_cells"),
-        lit(stored != derived).as("rebuild_recommended"))
+        lit(stored != derived && !explicitIntent).as("rebuild_recommended"))
       .orderBy(col("cell"))
   }
 
@@ -1203,6 +1320,9 @@ object AnnServing {
         val stored = Similarity.loadIvfVersioned(spark, store).nCells
         val derived = graft.ops.LshGeometry.ivf(
           graft.Tables.embeddings(spark, corpusDir).count())._1
-        (stored, derived, stored != derived)
+        // same intent rule as [[ivfCellStats]]: an explicit-geometry
+        // store reports its drift numbers but never recommends rebuild
+        (stored, derived,
+          stored != derived && !geometryIntentExplicit(spark, store))
       }
 }

@@ -312,7 +312,7 @@ object TextDedup {
     * key's high bits, so all tables join in ONE equi-join on a single
     * long column.
     */
-  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3,
+  def simhashNearDups(documents: DataFrame, maxHamming: Int = DefaultMaxHamming,
                       hotCap: Int = AutoHotCap): DataFrame = {
     simhashCandidates(documents, maxHamming, hotCap = hotCap)
       .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
@@ -328,6 +328,12 @@ object TextDedup {
     * few Zipf-hot buckets.
     */
   val DefaultSimhashHotCap = 256
+
+  /** The hamming radius every simhash entry point defaults to — shared
+    * so diagnostics (graft.LshStats) reference the operator's default
+    * instead of re-hardcoding a literal (r12 advisor).
+    */
+  val DefaultMaxHamming = 3
 
   /** Sentinel for `hotCap`: derive it from the corpus size — corpora of
     * ≤ [[SimhashDirectMaxDocs]] docs run the pure direct self-join
@@ -374,21 +380,25 @@ object TextDedup {
     * alternative (Manku §4 sorted-prefix probing) prunes the same
     * comparisons but needs a per-table sort; this stays one equi-join.
     */
-  def simhashCandidates(documents: DataFrame, maxHamming: Int = 3,
+  def simhashCandidates(documents: DataFrame, maxHamming: Int = DefaultMaxHamming,
                         blocks: Option[Int] = None,
                         hotCap: Int = AutoHotCap): DataFrame = {
     // one count() feeds both driver-side decisions (block geometry and
     // the direct-vs-refined plan choice)
     lazy val n = documents.count()
     val nBlocks = blocks.getOrElse(LshGeometry.simhashBlocks(n, maxHamming))
-    val cap =
-      if (hotCap != AutoHotCap) hotCap
-      else if (n <= SimhashDirectMaxDocs) Int.MaxValue
-      else DefaultSimhashHotCap
+    val cap = if (hotCap != AutoHotCap) hotCap else hotCapFor(n)
     candidatesFromKeys(simhashBuckets(documents, maxHamming, Some(nBlocks)), cap)
   }
 
-  private[graft] def candidatesFromKeys(keyed: DataFrame, hotCap: Int): DataFrame = {
+  /** The (bkey, skey)-refined frame [[candidatesFromKeys]] self-joins
+    * on — exposed (private[graft]) so the scale diagnostics
+    * (graft.LshStats occupancy mode) measure bucket occupancy over the
+    * operator's REAL join keys: above `hotCap` the join key is
+    * (bkey, skey), so occupancy over bare bkey OVERSTATES hot-bucket
+    * load (r12 advisor).
+    */
+  private[graft] def refinedKeys(keyed: DataFrame, hotCap: Int): DataFrame = {
     // hotCap == Int.MaxValue: no bucket can be hot — emit the pure
     // direct plan with NO occupancy pass (the legacy bkey equi-join,
     // bit-for-bit). Otherwise ONE refined plan, not a small/hot union
@@ -404,16 +414,27 @@ object TextDedup {
     // same regime. Cost: one occupancy window by bkey, one explode
     // (1 element/row when small — no row growth), one equi-join.
     import org.apache.spark.sql.expressions.Window
-    val k2 =
-      if (hotCap == Int.MaxValue)
-        keyed.select(col("doc_id"), col("sim"), col("bkey"), lit(0L).as("skey"))
-      else {
-        val tagged = keyed.withColumn("__c",
-          count(lit(1)).over(Window.partitionBy("bkey")))
-        tagged.select(col("doc_id"), col("sim"), col("bkey"),
-          explode(when(col("__c") <= hotCap, array(lit(0L)))
-            .otherwise(col("skeys"))).as("skey"))
-      }
+    if (hotCap == Int.MaxValue)
+      keyed.select(col("doc_id"), col("sim"), col("bkey"), lit(0L).as("skey"))
+    else {
+      val tagged = keyed.withColumn("__c",
+        count(lit(1)).over(Window.partitionBy("bkey")))
+      tagged.select(col("doc_id"), col("sim"), col("bkey"),
+        explode(when(col("__c") <= hotCap, array(lit(0L)))
+          .otherwise(col("skeys"))).as("skey"))
+    }
+  }
+
+  /** The direct-vs-refined plan choice for an n-doc corpus — the ONE
+    * derivation shared by [[simhashCandidates]] and the LshStats
+    * occupancy diagnostic, so the measured load can never diverge from
+    * the cap the operator actually runs with.
+    */
+  private[graft] def hotCapFor(n: Long): Int =
+    if (n <= SimhashDirectMaxDocs) Int.MaxValue else DefaultSimhashHotCap
+
+  private[graft] def candidatesFromKeys(keyed: DataFrame, hotCap: Int): DataFrame = {
+    val k2 = refinedKeys(keyed, hotCap)
     k2.as("a")
       .join(k2.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.skey") === col("b.skey") &&
@@ -429,7 +450,7 @@ object TextDedup {
     * (graft.LshStats) measure the operator's REAL candidate shuffle,
     * not a proxy.
     */
-  def simhashBuckets(documents: DataFrame, maxHamming: Int = 3,
+  def simhashBuckets(documents: DataFrame, maxHamming: Int = DefaultMaxHamming,
                      blocks: Option[Int] = None): DataFrame = {
     val nBlocks = blocks.getOrElse(
       LshGeometry.simhashBlocks(documents.count(), maxHamming))

@@ -82,4 +82,12 @@ class GateHarnessSpec extends AnyFunSuite {
     assert(j === """{"metric":"m","sf":"dir","n":3,"ok":true,"t":1.5,""" +
       """"queries":{"q1":{"match":true}}}""")
   }
+
+  test("artifact: str escapes quotes, backslashes, and control chars (r12 advisor)") {
+    // Artifact is the ONE JSON emitter for every committed gate
+    // artifact; a path value containing a quote/backslash/newline must
+    // render as parseable JSON, not corrupt the artifact.
+    val j = GateHarness.artifact("m").str("p", "a\"b\\c\nd").json
+    assert(j === "{\"metric\":\"m\",\"p\":\"a\\\"b\\\\c\\u000ad\"}")
+  }
 }

@@ -65,6 +65,24 @@ class LshGeometrySpec extends SparkSpec {
     assert(LshGeometry.hyperplaneRecall(0.92, b2, k2) >= 0.9999, s"($b2,$k2)")
   }
 
+  test("hyperplane past-the-cap: bits clamp holds the declared dup floor (r12 verdict)") {
+    // at 2M vectors the band cap binds but the clamp is inactive —
+    // bit-for-bit the committed sf100 geometry
+    assert(LshGeometry.hyperplane(2000000L) === (256, 22), "sf100")
+    // a decade past the cap the UNCLAMPED fixed point would pick
+    // (256, 25) (recall(0.85) ≈ 0.86, eroding to 0.67 a decade later):
+    // the clamp freezes bits at the widest width whose any-of-256
+    // recall still clears the 0.95 floor, and candidates/vec — not
+    // recall — absorb further corpus growth
+    assert(LshGeometry.hyperplane(20000000L) === (256, 22), "sf1000")
+    assert(LshGeometry.hyperplane(200000000L) === (256, 22), "sf10000")
+    for (n <- Seq(2000000L, 20000000L, 200000000L)) {
+      val (b, k) = LshGeometry.hyperplane(n)
+      assert(LshGeometry.hyperplaneRecall(0.85, b, k) >= 0.95,
+        s"n=$n ($b,$k): dup floor must not erode past the cap")
+    }
+  }
+
   test("hyperplane background candidates stay ~linear: bands*n/2^bits bounded per vector") {
     // a background (orthogonal) pair collides per band w.p. ~2^-bits,
     // so expected bg candidates per vector ~ bands*n/2^bits — the

@@ -33,6 +33,23 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("sliced exact verify produces the single-pass row set bit-for-bit") {
+    // r12 verdict: at sf100 the verify join's in-flight intermediate is
+    // ~0.7 TB in one plan; the sliced path bounds it by verifying one
+    // hash-slice of the distinct candidate set per job. Slicing is a
+    // partition of the pair set and verification is per-pair, so output
+    // must be IDENTICAL — forced here by a tiny slice budget (the spec
+    // corpus's candidate mass is ~200k, so this drives the real
+    // multi-slice loop, temp layout and all).
+    val e = Tables.embeddings(spark, sfDir)
+    val single = Similarity.embeddingNearDupsLsh(e)
+      .as[(Long, Long, Double)].collect().toSeq
+    val sliced = Similarity.embeddingNearDupsLsh(e, slicePairsOverride = 60000L)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(single.nonEmpty)
+    assert(sliced === single, "sliced verify must be a pure partition of the verify work")
+  }
+
   test("brute-force query-batch form equals the self-query form") {
     import org.apache.spark.sql.functions.col
     val e = Tables.embeddings(spark, sfDir)
@@ -565,5 +582,17 @@ class SimilaritySpec extends SparkSpec {
       "rebuild at the derived geometry must clear the flag")
     assert(AnnServing.ivfCellStats(spark, dir)
       .select("rebuild_recommended").distinct().as[Boolean].collect().toSeq === Seq(false))
+    // explicit-geometry override (r12 advisor): a store DELIBERATELY
+    // built with rebuildServedIvf(nCells = …) must keep reporting its
+    // stored/derived numbers but never recommend a rebuild — the
+    // override is an operator decision, not drift.
+    AnnServing.rebuildServedIvf(spark, dir, nCells = 8)
+    assert(AnnServing.ivfGeometryDrift(spark, dir) === Some((8, expect, false)),
+      "explicit-geometry store reports drift numbers, never nags rebuild")
+    assert(AnnServing.ivfCellStats(spark, dir)
+      .select("rebuild_recommended").distinct().as[Boolean].collect().toSeq === Seq(false))
+    // returning to the derived geometry re-arms the drift logic
+    AnnServing.rebuildServedIvf(spark, dir)
+    assert(AnnServing.ivfGeometryDrift(spark, dir) === Some((expect, expect, false)))
   }
 }

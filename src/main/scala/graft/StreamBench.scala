@@ -55,6 +55,12 @@ object StreamBench {
     val sfDir = args.headOption.getOrElse("/root/repo/data/sf1")
     val nBatches = args.lift(1).map(_.toInt).getOrElse(20)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT", "stream_bench.json")
+    // SPARK_GRAFT_STREAM_WORKLOADS selects workloads (default all): at
+    // sf100 the ANN-serving campaign runs embedding+query alone — the
+    // corpus-ingest funnel is measured at sf1/sf10 where its doc volume
+    // fits a bench window.
+    val workloads = sys.env.getOrElse("SPARK_GRAFT_STREAM_WORKLOADS",
+      "corpus,embedding,query").split(",").map(_.trim).toSet
     val spark = GraftSession.builder(defaultCpus = "8").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val work = Files.createTempDirectory("graft_stream_bench").toString
@@ -72,69 +78,90 @@ object StreamBench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // ---- workload 1: corpus ingest (dedup-vs-index funnel) ----
-    val docs = Tables.documents(spark, sfDir)
-    val index = graft.ops.TextDedup.buildDedupIndex(docs)
-    // new docs: fresh ids, text perturbed so the stream does real
-    // near-dup work instead of exact-digest short-circuits
-    val maxId = docs.agg(max("doc_id")).head.getLong(0)
-    val newDocs = docs.select((col("doc_id") + maxId + 1).as("doc_id"),
-      concat(col("text"), lit(" streamed suffix")).as("text"))
-    val docsSrc = staged(newDocs, "docs_src")
-    val corpusTap = new ProgressTap
-    // per-stage attribution (r11 item 5): WHERE a tail batch spends its
-    // time — gate (quality+dedup materialization) vs append vs report
-    val stageTimes = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
-    val corpusWall = timed(corpusTap) {
-      graft.streaming.CorpusStream.ingestOnce(spark, docsSrc, index,
-        s"$work/docs_dest", s"$work/docs_ckpt", maxFilesPerTrigger = 1,
-        timingSink = (_, stage, ms) => stageTimes.add((stage, ms)))
-    }
-    val (cRows, cBatches, cRps, cP50, cP99) = stats(corpusTap, corpusWall)
-    val stageJson = {
-      import scala.jdk.CollectionConverters._
-      stageTimes.asScala.toSeq.groupBy(_._1).toSeq.sortBy(_._1).map { case (stage, xs) =>
-        val sorted = xs.map(_._2).sorted
-        def pct(p: Double) = sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
-        s""""$stage":{"p50_ms":${f"${pct(0.5)}%.0f"},"p99_ms":${f"${pct(0.99)}%.0f"},"max_ms":${f"${sorted.last}%.0f"}}"""
-      }.mkString("{", ",", "}")
-    }
-
-    // ---- workload 2: embedding ingest (append into stored IVF cells) ----
-    val emb = graft.ops.Similarity.prepared(Tables.embeddings(spark, sfDir))
-    val idxPath = s"$work/ivf_index"
-    graft.ops.Similarity.writeIvfPartitioned(
-      graft.ops.Similarity.buildIvf(Tables.embeddings(spark, sfDir)), idxPath)
-    val maxVec = emb.agg(max("vec_id")).head.getLong(0)
-    val newVecs = Tables.embeddings(spark, sfDir)
-      .withColumn("vec_id", col("vec_id") + maxVec + 1)
-    val embSrc = staged(newVecs, "emb_src")
-    val embTap = new ProgressTap
-    val embWall = timed(embTap) {
-      graft.streaming.EmbeddingStream.ingestOnce(spark, embSrc, idxPath,
-        s"$work/emb_ckpt", maxFilesPerTrigger = 1)
-    }
-    val (eRows, eBatches, eRps, eP50, eP99) = stats(embTap, embWall)
-
-    // ---- workload 3: ANN query serving over the grown index ----
-    val querySrc = staged(Tables.embeddings(spark, sfDir)
-      .filter(col("vec_id") < nBatches * 4), "query_src")
-    val qTap = new ProgressTap
-    val qWall = timed(qTap) {
-      graft.streaming.EmbeddingStream.queryOnce(spark, querySrc, idxPath,
-        s"$work/query_dest", s"$work/query_ckpt", maxFilesPerTrigger = 1)
-    }
-    val (qRows, qBatches, qRps, qP50, qP99) = stats(qTap, qWall)
-
     def block(rows: Long, batches: Int, rps: Double, p50: Long, p99: Long, wall: Double) =
       s"""{"rows":$rows,"batches":$batches,"rows_per_sec":${f"$rps%.0f"},""" +
         s""""batch_p50_ms":$p50,"batch_p99_ms":$p99,"wall_sec":${f"$wall%.1f"}}"""
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+
+    // ---- workload 1: corpus ingest (dedup-vs-index funnel) ----
+    if (workloads("corpus")) {
+      val docs = Tables.documents(spark, sfDir)
+      val index = graft.ops.TextDedup.buildDedupIndex(docs)
+      // new docs: fresh ids, text perturbed so the stream does real
+      // near-dup work instead of exact-digest short-circuits
+      val maxId = docs.agg(max("doc_id")).head.getLong(0)
+      val newDocs = docs.select((col("doc_id") + maxId + 1).as("doc_id"),
+        concat(col("text"), lit(" streamed suffix")).as("text"))
+      val docsSrc = staged(newDocs, "docs_src")
+      val corpusTap = new ProgressTap
+      // per-stage attribution (r11 item 5): WHERE a tail batch spends its
+      // time — gate (quality+dedup materialization) vs append vs report
+      val stageTimes = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+      val corpusWall = timed(corpusTap) {
+        graft.streaming.CorpusStream.ingestOnce(spark, docsSrc, index,
+          s"$work/docs_dest", s"$work/docs_ckpt", maxFilesPerTrigger = 1,
+          timingSink = (_, stage, ms) => stageTimes.add((stage, ms)))
+      }
+      val (cRows, cBatches, cRps, cP50, cP99) = stats(corpusTap, corpusWall)
+      val stageJson = {
+        import scala.jdk.CollectionConverters._
+        stageTimes.asScala.toSeq.groupBy(_._1).toSeq.sortBy(_._1).map { case (stage, xs) =>
+          val sorted = xs.map(_._2).sorted
+          def pct(p: Double) = sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+          s""""$stage":{"p50_ms":${f"${pct(0.5)}%.0f"},"p99_ms":${f"${pct(0.99)}%.0f"},"max_ms":${f"${sorted.last}%.0f"}}"""
+        }.mkString("{", ",", "}")
+      }
+      parts += s""""corpus_ingest":${block(cRows, cBatches, cRps, cP50, cP99, corpusWall)}"""
+      parts += s""""corpus_stage_ms":$stageJson"""
+    }
+
+    // ---- workload 2+3 share the served index, built at the DERIVED
+    // geometry (the stored layout a deployment at this corpus size
+    // would actually serve — 16 cells at gate SFs, 1024 at sf100) ----
+    if (workloads("embedding") || workloads("query")) {
+      val embTable = Tables.embeddings(spark, sfDir)
+      val emb = graft.ops.Similarity.prepared(embTable)
+      val nCells = graft.ops.LshGeometry.ivf(embTable.count())._1
+      val idxPath = s"$work/ivf_index"
+      graft.ops.Similarity.writeIvfPartitioned(
+        graft.ops.Similarity.buildIvf(embTable, nCells), idxPath)
+      parts += s""""n_cells":$nCells"""
+
+      // ---- workload 2: embedding ingest (append into stored IVF cells) ----
+      if (workloads("embedding")) {
+        val maxVec = emb.agg(max("vec_id")).head.getLong(0)
+        val newVecs = embTable.withColumn("vec_id", col("vec_id") + maxVec + 1)
+        val embSrc = staged(newVecs, "emb_src")
+        val embTap = new ProgressTap
+        val embWall = timed(embTap) {
+          graft.streaming.EmbeddingStream.ingestOnce(spark, embSrc, idxPath,
+            s"$work/emb_ckpt", maxFilesPerTrigger = 1)
+        }
+        val (eRows, eBatches, eRps, eP50, eP99) = stats(embTap, embWall)
+        parts += s""""embedding_ingest":${block(eRows, eBatches, eRps, eP50, eP99, embWall)}"""
+      }
+
+      // ---- workload 3: ANN query serving over the (grown) index ----
+      if (workloads("query")) {
+        val querySrc = staged(embTable
+          .filter(col("vec_id") < nBatches * 4), "query_src")
+        val qTap = new ProgressTap
+        var qLoads = 0
+        val qWall = timed(qTap) {
+          qLoads = graft.streaming.EmbeddingStream.queryOnce(spark, querySrc, idxPath,
+            s"$work/query_dest", s"$work/query_ckpt", maxFilesPerTrigger = 1)
+        }
+        val (qRows, qBatches, qRps, qP50, qP99) = stats(qTap, qWall)
+        parts += s""""ann_query":${block(qRows, qBatches, qRps, qP50, qP99, qWall)}"""
+        // the stamp-poll observable: a quiescent drain reloads the index
+        // exactly once no matter how many micro-batches it serves
+        parts += s""""ann_query_index_loads":$qLoads"""
+      }
+    }
+
     val json =
       s"""{"metric":"stream_bench","sf":"$sfDir","n_batches":$nBatches,""" +
-        s""""corpus_ingest":${block(cRows, cBatches, cRps, cP50, cP99, corpusWall)},""" +
-        s""""corpus_stage_ms":$stageJson,""" +
-        s""""embedding_ingest":${block(eRows, eBatches, eRps, eP50, eP99, embWall)},""" +
-        s""""ann_query":${block(qRows, qBatches, qRps, qP50, qP99, qWall)}}"""
+        parts.mkString(",") + "}"
     println(json)
     Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()

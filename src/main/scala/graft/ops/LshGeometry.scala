@@ -263,6 +263,17 @@ object LshGeometry {
       val bitsFloor = math.max(4,
         (math.log(pNeeded) / math.log(pBit(dupSim))).toInt) // floor: widest bits holding the floor
       bits = math.min(bits, bitsFloor)
+      // The 4-bit lower bound is a band-width floor, not a recall
+      // proof: for parameter combinations where even 4-bit bands can't
+      // clear the declared floor (a small maxBands, an aggressive
+      // minDupRecall), fail loudly instead of silently publishing a
+      // geometry that violates the contract the clamp exists to hold
+      // (r13 advisor).
+      val got = hyperplaneRecall(dupSim, bands, bits)
+      require(got >= minDupRecall,
+        f"hyperplane geometry ($bands,$bits) holds recall $got%.4f at dupSim=$dupSim — " +
+          f"below the declared floor $minDupRecall%.2f; the floor is unsatisfiable at " +
+          f"maxBands=$maxBands (every band already at the 4-bit minimum width)")
     }
     (bands, bits)
   }

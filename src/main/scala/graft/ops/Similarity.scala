@@ -163,16 +163,59 @@ object Similarity {
     // intermediate is bounded at slicePairs × payload on any host.
     val slicePairs =
       if (slicePairsOverride > 0) slicePairsOverride
-      else sys.env.get("GRAFT_LSH_VERIFY_SLICE_PAIRS")
-        .map(_.toLong).getOrElse(16000000L)
+      else sys.env.get("GRAFT_LSH_VERIFY_SLICE_PAIRS") match {
+        case None => 16000000L
+        case Some(s) =>
+          // validated like GRAFT_KMEANS_SEED: a malformed or
+          // non-positive override would otherwise surface as a
+          // NumberFormatException / division-by-zero deep in the verify
+          val v = scala.util.Try(s.trim.toLong).getOrElse(
+            throw new IllegalArgumentException(
+              s"GRAFT_LSH_VERIFY_SLICE_PAIRS must be an integer, got '$s'"))
+          require(v > 0, s"GRAFT_LSH_VERIFY_SLICE_PAIRS must be positive, got $v")
+          v
+      }
+    // The signature kernel (planes×dims per vector) dominates this
+    // operator and feeds BOTH the mass pre-measure and the pair join —
+    // persist the keyed rows so it runs once per call, not once per
+    // consumer (r13 advisor). The mass aggregation below materializes
+    // the cache.
+    buckets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Per-band pair mass Σ C(occ,2) counts a pair once PER SHARED BAND,
+    // so cross-band duplicates make this an UPPER bound on the distinct
+    // candidate set — it can only err toward slicing early, by design
+    // (a pre-measure that undercounted would admit an unbounded
+    // single-pass join).
     val candMass = buckets.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)).as("m"))
       .head().getLong(0)
-    if (candMass <= slicePairs)
-      verifyCandidates(base, pairs, threshold).orderBy(col("a_id"), col("b_id"))
-    else
-      slicedVerify(spark, base, pairs, threshold,
+    if (candMass <= slicePairs) {
+      val out = verifyCandidates(base, pairs, threshold).orderBy(col("a_id"), col("b_id"))
+      // the lazy result serves from the cache (kernel ran once, above);
+      // the one-slot retire bounds live caches at one per JVM — the
+      // PREVIOUS call's cache is dropped, this call's is dropped by the
+      // next call or at JVM exit
+      retireBucketsCache(buckets)
+      out
+    } else {
+      val out = slicedVerify(spark, base, pairs, threshold,
         ((candMass + slicePairs - 1) / slicePairs).toInt)
+      // sliced path materializes everything internally — cache is dead
+      buckets.unpersist(blocking = false)
+      out
+    }
+  }
+
+  /** One-slot registry for the single-pass verify's persisted keyed
+    * rows: the returned frame is lazy, so the cache must outlive the
+    * call — retiring the previous occupant bounds executor storage at
+    * one live cache regardless of how many calls a session makes.
+    */
+  private val lastBucketsCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private def retireBucketsCache(next: DataFrame): Unit = {
+    val prev = lastBucketsCache.getAndSet(next)
+    if (prev != null) scala.util.Try(prev.unpersist(blocking = false))
   }
 
   /** Exact cosine verification of candidate id pairs — the shared tail
@@ -210,20 +253,30 @@ object Similarity {
     * reclaim the finished slice's shuffle files; without it a 10-slice
     * run accumulates every slice's spill until the next collection,
     * which is exactly the disk blowup the slicing exists to avoid.
+    *
+    * Scratch lives under [[graft.sources.ScratchDirs]] — cluster-visible
+    * via GRAFT_SCRATCH, driver-local temp only under local masters (r13
+    * verdict: executors must write where the read-back looks). The
+    * candidate ids are reclaimed EAGERLY once the slice loop finishes
+    * (they are dead weight — at sf100 ~3 GB of ids); the `verified` dir
+    * is what the returned frame reads, so it stays pinned until JVM
+    * exit (the ScratchDirs hook) — callers that outlive the frame can
+    * release the root themselves.
     */
   private def slicedVerify(spark: org.apache.spark.sql.SparkSession,
                            base: DataFrame, pairs: DataFrame,
                            threshold: Double, nSlices: Int): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-lsh-verify")
-      .toAbsolutePath.toString
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      scala.util.Try(org.apache.commons.io.FileUtils
-        .deleteDirectory(new java.io.File(root)))))
+    val root = graft.sources.ScratchDirs.acquire(spark, "graft-lsh-verify")
     val pairsPath = s"$root/pairs"
     val outPath = s"$root/verified"
+    Console.err.println(
+      s"[graft] sliced exact-verify engaged: $nSlices slices, scratch=$root")
     pairs
       .withColumn("_slice", pmod(xxhash64(col("a_id"), col("b_id")), lit(nSlices)))
       .write.partitionBy("_slice").parquet(pairsPath)
+    // each slice joins the vector table twice — persist it so the scan
+    // and norm prep run once per run, not twice per slice (r13 advisor)
+    base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (0 until nSlices).foreach { s =>
       val slice = spark.read.parquet(pairsPath)
         .filter(col("_slice") === s) // partition-pruned: reads one slice dir
@@ -231,7 +284,10 @@ object Similarity {
       verifyCandidates(base, slice, threshold)
         .write.mode("append").parquet(outPath)
       System.gc()
+      Console.err.println(s"[graft] sliced exact-verify: slice ${s + 1}/$nSlices done")
     }
+    base.unpersist(blocking = false)
+    graft.sources.ScratchDirs.release(spark, pairsPath)
     spark.read.parquet(outPath).orderBy(col("a_id"), col("b_id"))
   }
 
@@ -531,8 +587,17 @@ object Similarity {
       .filter(_.matches("v\\d{8}")).map(_.drop(1).toLong).sorted
   }
 
-  /** Publish `index` as the next version of the layout at `path`. */
-  def writeIvfVersioned(index: IvfIndex, path: String): Long = {
+  /** Publish `index` as the next version of the layout at `path`.
+    * `geometryIntent` (Some(explicit?)) stages a `_geometry_intent`
+    * marker INSIDE the version directory, so intent publishes
+    * atomically with the version it describes (r13 advisor: a
+    * store-level marker written after the rename could be lost on a
+    * crash between publish and marker, or torn by concurrent rebuilds).
+    * None writes no marker — readers fall back to the newest version
+    * that carries one (or the legacy store-level file).
+    */
+  def writeIvfVersioned(index: IvfIndex, path: String,
+                        geometryIntent: Option[Boolean] = None): Long = {
     val spark = index.assigned.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -541,6 +606,11 @@ object Similarity {
       ".tmp-" + java.util.UUID.randomUUID().toString.take(12))
     index.assigned.write.partitionBy("cell").parquet(s"$tmp/assigned")
     index.centroids.write.parquet(s"$tmp/centroids")
+    geometryIntent.foreach { explicit =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_geometry_intent"), true)
+      try out.write((if (explicit) "explicit" else "derived").getBytes("UTF-8"))
+      finally out.close()
+    }
     graft.sources.SnapshotTable.atomicPublishDir(fs, tmp,
       new org.apache.hadoop.fs.Path(path, f"v$v%08d"))
     v
@@ -1019,37 +1089,37 @@ object AnnServing {
   private def ivfStore(sfDir: String): String =
     ServingLayouts.dirFor("ivf", sfDir) + "/ivf"
 
-  /** Record whether the latest published quantizer used an EXPLICIT
-    * nCells override or the size-derived geometry — a tiny
-    * `_geometry_intent` file beside the version directories. The drift
-    * dashboard ([[ivfCellStats]] / [[ivfGeometryDrift]]) reads it back:
-    * a store deliberately built with `rebuildServedIvf(nCells = …)`
-    * must not report `rebuild_recommended = true` forever just because
-    * the override differs from today's derivation (r12 advisor). A
-    * missing file reads as derived-intent — pre-marker stores keep the
-    * legacy flagging behavior.
+  /** Whether the store's latest declared quantizer geometry used an
+    * EXPLICIT nCells override — read back by the drift dashboard
+    * ([[ivfCellStats]] / [[ivfGeometryDrift]]) so a store deliberately
+    * built with `rebuildServedIvf(nCells = …)` never nags
+    * `rebuild_recommended` just because the override differs from
+    * today's derivation (r12 advisor). The marker lives INSIDE each
+    * version directory (published atomically with it — r13 advisor);
+    * versions without one (generic [[rebuildIvf]] publishes) inherit
+    * from the newest older version that has one, then from the legacy
+    * store-level file, then default to derived-intent.
     */
-  private def recordGeometryIntent(spark: SparkSession, store: String,
-                                   explicit: Boolean): Unit = {
-    val p = new org.apache.hadoop.fs.Path(store, "_geometry_intent")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write((if (explicit) "explicit" else "derived").getBytes("UTF-8"))
-    finally out.close()
-  }
-
   private[graft] def geometryIntentExplicit(spark: SparkSession,
                                             store: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(store, "_geometry_intent")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try {
-      if (!fs.exists(p)) false
-      else {
-        val in = fs.open(p)
-        try new String(in.readAllBytes(), "UTF-8").trim == "explicit"
-        finally in.close()
-      }
-    } catch { case _: java.io.IOException => false }
+    val conf = spark.sparkContext.hadoopConfiguration
+    def readMarker(p: org.apache.hadoop.fs.Path): Option[Boolean] = {
+      val fs = p.getFileSystem(conf)
+      try {
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          try Some(new String(in.readAllBytes(), "UTF-8").trim == "explicit")
+          finally in.close()
+        }
+      } catch { case _: java.io.IOException => None }
+    }
+    val perVersion = Similarity.ivfVersions(spark, store).reverseIterator
+      .map(v => readMarker(new org.apache.hadoop.fs.Path(store, f"v$v%08d/_geometry_intent")))
+      .collectFirst { case Some(b) => b }
+    perVersion.orElse(
+      readMarker(new org.apache.hadoop.fs.Path(store, "_geometry_intent")))
+      .getOrElse(false)
   }
 
   /** BUILD-time geometry: explicit nCells wins; the ≤0 sentinel derives
@@ -1075,12 +1145,14 @@ object AnnServing {
       val home = ServingLayouts.dirFor("ivf", sfDir)
       val store = home + "/ivf"
       if (Similarity.ivfVersions(spark, store).isEmpty)
-        try {
+        try
+          // intent is staged inside the version dir → atomic with the
+          // publish; a marker failure now fails the publish instead of
+          // leaving a published version with swallowed intent
           Similarity.writeIvfVersioned(
             Similarity.buildIvf(graft.Tables.embeddings(spark, sfDir),
-              cellsForBuild(spark, sfDir, nCells)), store)
-          recordGeometryIntent(spark, store, explicit = nCells > 0)
-        }
+              cellsForBuild(spark, sfDir, nCells)), store,
+            geometryIntent = Some(nCells > 0))
         catch {
           // a concurrent cold-start won the version-1 publish: serve its index
           case NonFatal(e) if Similarity.ivfVersions(spark, store).isEmpty => throw e
@@ -1112,8 +1184,8 @@ object AnnServing {
     val store = ivfStore(sfDir)
     val v = Similarity.writeIvfVersioned(
       Similarity.buildIvf(graft.Tables.embeddings(spark, sfDir),
-        cellsForBuild(spark, sfDir, nCells)), store)
-    recordGeometryIntent(spark, store, explicit = nCells > 0)
+        cellsForBuild(spark, sfDir, nCells)), store,
+      geometryIntent = Some(nCells > 0))
     ivfCache.invalidate(sfDir) // next serve loads the freshly published version
     servedIvf(spark, sfDir, nCells)
     v

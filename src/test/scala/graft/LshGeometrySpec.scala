@@ -81,6 +81,13 @@ class LshGeometrySpec extends SparkSpec {
       assert(LshGeometry.hyperplaneRecall(0.85, b, k) >= 0.95,
         s"n=$n ($b,$k): dup floor must not erode past the cap")
     }
+    // an UNSATISFIABLE floor fails loudly instead of silently returning
+    // the 4-bit fallback below the contract (r13 advisor): 2 bands of
+    // the minimum 4-bit width reach only ~0.71 recall at 0.85 cosine
+    val e = intercept[IllegalArgumentException] {
+      LshGeometry.hyperplane(20000000L, maxBands = 2, minDupRecall = 0.999)
+    }
+    assert(e.getMessage.contains("unsatisfiable"), e.getMessage)
   }
 
   test("hyperplane background candidates stay ~linear: bands*n/2^bits bounded per vector") {

@@ -495,6 +495,33 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.ivfVersions(spark, store) === Seq(2L))
   }
 
+  test("geometry intent publishes atomically inside the version directory") {
+    import graft.ops.AnnServing
+    // r13 advisor: a store-level marker written AFTER the version
+    // rename could be lost on a crash between publish and marker (an
+    // explicit-geometry store then nags rebuild_recommended forever)
+    // and torn by concurrent rebuilds. Staged inside the version dir,
+    // intent and version publish under ONE atomic rename.
+    val store = java.nio.file.Files.createTempDirectory("graft_intent").toString + "/ivf"
+    val e = Tables.embeddings(spark, sfDir)
+    Similarity.writeIvfVersioned(Similarity.buildIvf(e, 16), store)
+    assert(!AnnServing.geometryIntentExplicit(spark, store),
+      "a marker-less store defaults to derived intent")
+    Similarity.writeIvfVersioned(Similarity.buildIvf(e, 8), store,
+      geometryIntent = Some(true))
+    assert(new java.io.File(s"$store/v00000002/_geometry_intent").exists(),
+      "the marker must live inside the version it describes")
+    assert(AnnServing.geometryIntentExplicit(spark, store))
+    // a marker-less later publish (generic rebuildIvf) inherits the
+    // newest DECLARED intent instead of silently flipping it
+    assert(Similarity.rebuildIvf(spark, store, nCells = 8) === 3L)
+    assert(AnnServing.geometryIntentExplicit(spark, store))
+    // a later derived-intent publish re-arms drift flagging
+    Similarity.writeIvfVersioned(Similarity.buildIvf(e, 8), store,
+      geometryIntent = Some(false))
+    assert(!AnnServing.geometryIntentExplicit(spark, store))
+  }
+
   test("served-IVF rebuild flips the serving layer to the new quantizer") {
     import graft.ops.AnnServing
     import java.nio.file.{Files, Path, Paths}

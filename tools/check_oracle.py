@@ -55,6 +55,60 @@ def fetch_df(res):
     rows = [tuple(r) for r in df.itertuples(index=False, name=None)]
     return cols, rows
 
+
+# ---- chunked strict compare (r13 verdict item 6) ----------------------
+# The default path materialises BOTH result sets as python tuple lists
+# and sorts them by normed string — at sf100 the four giant-output rows
+# (timeseries_bucket ~50M, events_sessionize_native, ingest_pipeline
+# ~100M, span_dedup) need >55% of host RAM and ~40 min EACH in the
+# checker alone. ORACLE_CHUNKED=1 streams instead: both sides are
+# sorted by DuckDB itself (same columns, same ORDER BY ALL comparator,
+# spilling to its temp dir under ORACLE_MEM), fetched a vector-chunk at
+# a time through the SAME fetchdf coercion, normed with the SAME norm(),
+# and compared pairwise. Equal normed multisets sort identically under
+# one comparator, so chunked-equal ⟺ canon-equal; the one asymmetry is
+# rows that TIE on every raw value but differ in normed rendering
+# (-0.0/0.0, DECIMAL scale) — DuckDB may order such ties either way, so
+# chunked mode can only ever err toward REPORTING a mismatch, never
+# toward a false pass. Memory is bounded at one chunk per side.
+
+def _cols_of(cur, sql):
+    return [d[0] for d in cur.execute(f"SELECT * FROM ({sql}) LIMIT 0").description]
+
+
+def _iter_normed(cur, sql, cols):
+    sel = ", ".join(f'"{c}"' for c in cols)
+    res = cur.execute(f"SELECT {sel} FROM ({sql}) ORDER BY ALL NULLS LAST")
+    while True:
+        df = res.fetch_df_chunk(4)  # ~8k rows/vector -> ~32k rows per pull
+        if df is None or len(df) == 0:
+            break
+        for r in df.itertuples(index=False, name=None):
+            yield tuple(norm(v) for v in r)
+
+
+def compare_chunked(con, name, oracle_sql, spark_sql):
+    """Strict streaming compare; returns (ok, message)."""
+    cur_o, cur_s = con.cursor(), con.cursor()
+    ocols = sorted(_cols_of(cur_o, oracle_sql))
+    scols = sorted(_cols_of(cur_s, spark_sql))
+    if ocols != scols:
+        return False, f"schema {scols} vs oracle {ocols}"
+    oit = _iter_normed(cur_o, oracle_sql, ocols)
+    sit = _iter_normed(cur_s, spark_sql, scols)
+    n = 0
+    _done = object()
+    while True:
+        orow = next(oit, _done)
+        srow = next(sit, _done)
+        if orow is _done and srow is _done:
+            return True, f"{n} rows"
+        if orow is _done or srow is _done:
+            return False, f"row-count mismatch after {n} equal rows"
+        if orow != srow:
+            return False, f"row {n}: spark {srow} vs oracle {orow}"
+        n += 1
+
 def main(sfdir, outdir):
     con = duckdb.connect()
     # Bound the checker: DuckDB's default memory_limit is ~80% of RAM,
@@ -86,19 +140,33 @@ def main(sfdir, outdir):
     # already-green oracles.
     only = {x for x in os.environ.get("ORACLE_ONLY", "").split(",") if x}
     skip = {x for x in os.environ.get("ORACLE_SKIP", "").split(",") if x}
+    chunked = os.environ.get("ORACLE_CHUNKED") == "1"
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         if (only and name not in only) or name in skip:
+            continue
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_bad += 1
+            continue
+        if chunked:
+            try:
+                ok, msg = compare_chunked(
+                    con, name, sql, f"SELECT * FROM read_parquet({files!r})")
+            except Exception as e:
+                ok, msg = False, f"checker error: {e}"
+            if ok:
+                print(f"ok   {name} ({msg}, chunked)")
+                n_ok += 1
+            else:
+                print(f"FAIL {name}: {msg}")
+                n_bad += 1
             continue
         try:
             ocols, orows = fetch_df(con.execute(sql))
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
-            n_bad += 1
-            continue
-        files = glob.glob(f"{outdir}/{name}/*.parquet")
-        if not files:
-            print(f"FAIL {name}: no spark output")
             n_bad += 1
             continue
         scols, srows = fetch_df(

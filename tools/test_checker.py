@@ -77,6 +77,39 @@ def test_canon_sorts_columns_then_rows():
     assert rows == [("x", "1"), ("y", "2")]
 
 
+def test_chunked_compare_matches_and_detects():
+    # the streaming path (ORACLE_CHUNKED=1) must agree with the strict
+    # contract on: equal multisets across >1 vector chunk, a value
+    # mismatch, a row-count mismatch, a schema (column-name) mismatch,
+    # and the HUGEINT-vs-BIGINT rendering class
+    from check_oracle import compare_chunked
+    con = duckdb.connect()
+    big = "SELECT range AS id, range * 1.5 AS v FROM range(100000)"
+    ok, msg = compare_chunked(con, "eq", big, big)
+    assert ok, msg
+    assert "100000" in msg
+    ok, msg = compare_chunked(
+        con, "val", big,
+        "SELECT range AS id, CASE WHEN range = 54321 THEN -1.0 "
+        "ELSE range * 1.5 END AS v FROM range(100000)")
+    assert not ok and "row" in msg, msg
+    ok, msg = compare_chunked(
+        con, "cnt", big, big + " WHERE range < 99999")
+    assert not ok and "row-count" in msg, msg
+    ok, msg = compare_chunked(
+        con, "schema", big, "SELECT 1 AS id, 2 AS w")
+    assert not ok and "schema" in msg, msg
+    ok, msg = compare_chunked(
+        con, "hugeint",
+        "SELECT sum(x) AS s FROM (VALUES (1), (7832)) t(x)",
+        "SELECT CAST(7833 AS BIGINT) AS s")
+    assert not ok, "HUGEINT float rendering must stay strict in chunked mode"
+    # row order must be irrelevant (both sides sort under one comparator)
+    ok, msg = compare_chunked(
+        con, "order", big, big + " ORDER BY id DESC")
+    assert ok, msg
+
+
 if __name__ == "__main__":
     fns = [v for k, v in sorted(globals().items()) if k.startswith("test_")]
     for fn in fns:

@@ -126,10 +126,10 @@ object StreamBench {
       graft.ops.Similarity.writeIvfPartitioned(
         graft.ops.Similarity.buildIvf(embTable, nCells), idxPath)
       parts += s""""n_cells":$nCells"""
+      val maxVec = emb.agg(max("vec_id")).head.getLong(0)
 
       // ---- workload 2: embedding ingest (append into stored IVF cells) ----
       if (workloads("embedding")) {
-        val maxVec = emb.agg(max("vec_id")).head.getLong(0)
         val newVecs = embTable.withColumn("vec_id", col("vec_id") + maxVec + 1)
         val embSrc = staged(newVecs, "emb_src")
         val embTap = new ProgressTap
@@ -156,6 +156,20 @@ object StreamBench {
         // the stamp-poll observable: a quiescent drain reloads the index
         // exactly once no matter how many micro-batches it serves
         parts += s""""ann_query_index_loads":$qLoads"""
+        // ingest-while-serving proof: every streamed-in vector is an
+        // exact twin (id + maxVec + 1) of an original, so a query's
+        // top-2 must contain its own twin at cos 1.0 — served results
+        // that include the appended vectors are the point of the
+        // stamp-bump reload
+        if (workloads("embedding")) {
+          val res = spark.read.parquet(s"$work/query_dest")
+          val nQ = res.select("query_id").distinct().count()
+          val twins = res.filter(col("rnk") <= 2 &&
+              col("neighbor_id") === col("query_id") + maxVec + 1)
+            .select("query_id").distinct().count()
+          parts += s""""appended_twin_in_top2_share":${
+            f"${twins.toDouble / math.max(1L, nQ)}%.3f"}"""
+        }
       }
     }
 

@@ -44,7 +44,7 @@ step() { echo "[r14resil] $* $(date -u +%H:%M:%S)"; }
 
 export SPARK_SCALA_VERSION="${SPARK_SCALA_VERSION:-2.13}"
 
-step "FaultCheck at sf10 (executor SIGKILL mid-query, 4 GB executors)"
+step "FaultCheck at sf10 (executor SIGKILL mid-query, 8 GB executors)"
 SPARK_GRAFT_FAULT_OUT=/tmp/fault_sf10_r14.json \
 SPARK_GRAFT_CLUSTER_MASTER="local-cluster[2,8,8192]" SPARK_GRAFT_CPUS=8 \
   jrun 16g graft.FaultCheck "$sf10" > /tmp/r14_fault_sf10.out 2>&1

@@ -178,9 +178,17 @@ object Similarity {
     // The signature kernel (planes×dims per vector) dominates this
     // operator and feeds BOTH the mass pre-measure and the pair join —
     // persist the keyed rows so it runs once per call, not once per
-    // consumer (r13 advisor). The mass aggregation below materializes
-    // the cache.
-    buckets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // consumer (r13 advisor). SCALE-GATED (measured at sf100): the
+    // cache holds n×bands keyed rows, and past the band cap that is
+    // ~512 M rows whose spill (tens of GB) lands on exactly the disk
+    // the sliced verify exists to protect — the first sf100 run of
+    // this path died ENOSPC in the cache+occupancy job before slicing
+    // ever engaged. Above the bound the kernel simply runs once more
+    // (minutes at 2 M vectors), trading bounded CPU for the scarce
+    // resource.
+    val cacheBuckets = embeddings.count() * bands <= 64000000L
+    if (cacheBuckets)
+      buckets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Per-band pair mass Σ C(occ,2) counts a pair once PER SHARED BAND,
     // so cross-band duplicates make this an UPPER bound on the distinct
     // candidate set — it can only err toward slicing early, by design
@@ -195,13 +203,13 @@ object Similarity {
       // the one-slot retire bounds live caches at one per JVM — the
       // PREVIOUS call's cache is dropped, this call's is dropped by the
       // next call or at JVM exit
-      retireBucketsCache(buckets)
+      if (cacheBuckets) retireBucketsCache(buckets)
       out
     } else {
       val out = slicedVerify(spark, base, pairs, threshold,
         ((candMass + slicePairs - 1) / slicePairs).toInt)
       // sliced path materializes everything internally — cache is dead
-      buckets.unpersist(blocking = false)
+      if (cacheBuckets) buckets.unpersist(blocking = false)
       out
     }
   }

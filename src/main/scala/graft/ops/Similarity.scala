@@ -164,7 +164,22 @@ object Similarity {
     val slicePairs =
       if (slicePairsOverride > 0) slicePairsOverride
       else sys.env.get("GRAFT_LSH_VERIFY_SLICE_PAIRS") match {
-        case None => 16000000L
+        case None =>
+          // Default budget: 16 M pairs ≈ 45 GB of in-flight joined/
+          // shuffle spill per slice (measured ~2.8 KB/pair at sf100,
+          // 64-dim payloads × 2 sides + sort overhead) — right for a
+          // cluster, where each executor absorbs its share on its own
+          // disk. When scratch IS one host's volume (local master or a
+          // local-path GRAFT_SCRATCH), a fleet-sized slice can out-size
+          // that single disk (r14: one 16 M slice drove 51 GB free to
+          // 7.8 GB — watchdog kill); self-size to a third of the
+          // volume's free bytes at 3 KB/pair, floored at 1 M pairs so
+          // per-slice job overhead stays amortized.
+          val fleet = 16000000L
+          graft.sources.ScratchDirs.localUsableBytes(spark) match {
+            case Some(b) => math.max(1000000L, math.min(fleet, b / 3 / 3000L))
+            case None => fleet
+          }
         case Some(s) =>
           // validated like GRAFT_KMEANS_SEED: a malformed or
           // non-positive override would otherwise surface as a

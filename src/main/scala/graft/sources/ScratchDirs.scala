@@ -70,6 +70,33 @@ object ScratchDirs {
     root
   }
 
+  /** Usable bytes on the single-host volume that would back
+    * [[acquire]], or None when scratch lives on a cluster filesystem
+    * (hdfs://, s3a://, …) whose capacity is not one host's problem.
+    * Callers use this to size bounded-spill work (the sliced LSH
+    * verify) to what the volume can actually absorb: a fixed budget
+    * tuned for an executor fleet can out-size a lone box's disk — the
+    * r14 sf100 campaign measured one fleet-sized slice driving a
+    * 51 GB-free volume to 7.8 GB (watchdog kill) where the self-sized
+    * budget completes. Probes the nearest existing ancestor so an
+    * as-yet-uncreated scratch root still reports its volume.
+    */
+  def localUsableBytes(spark: SparkSession): Option[Long] = {
+    def probe(path: String): Option[Long] = {
+      var f = new java.io.File(path).getAbsoluteFile
+      while (f != null && !f.exists()) f = f.getParentFile
+      Option(f).map(_.getUsableSpace).filter(_ > 0L)
+    }
+    sys.env.get("GRAFT_SCRATCH").map(_.trim).filter(_.nonEmpty) match {
+      case Some(s) if s.contains("://") && !s.startsWith("file://") =>
+        None // shared cluster FS: per-host disk is not the binding resource
+      case Some(s) => probe(s.stripPrefix("file://"))
+      case None if spark.sparkContext.master.startsWith("local") =>
+        probe(System.getProperty("java.io.tmpdir", "/tmp"))
+      case None => None // non-local master: acquire() fails fast anyway
+    }
+  }
+
   /** Eagerly reclaim a path under (or equal to) an acquired root —
     * callers use it the moment a scratch subtree is dead instead of
     * waiting for JVM exit. Deleting an acquired root also removes it

@@ -32,4 +32,22 @@ class ScratchDirsSpec extends SparkSpec {
     // releasing an already-released root is a no-op, not an error
     ScratchDirs.release(spark, root)
   }
+
+  test("localUsableBytes reports the single-host scratch volume under a local master") {
+    // local master, no GRAFT_SCRATCH in the test JVM: the probe must
+    // see the java.io.tmpdir volume and report a positive byte count —
+    // this is what lets the sliced verify self-size its slice budget
+    // to the disk it actually spills on (r14: a fleet-sized 16 M-pair
+    // slice out-sized a lone box's free space; the self-sized budget
+    // completes). The cluster-FS None branch is driven by scheme
+    // inspection alone, so it is locked here too via the env-shaped
+    // resolution order: an explicit override always wins upstream.
+    assume(sys.env.get("GRAFT_SCRATCH").forall(_.trim.isEmpty))
+    val b = ScratchDirs.localUsableBytes(spark)
+    assert(b.exists(_ > 0L),
+      s"local master must probe the temp volume, got $b")
+    // and the derived slice budget stays within [1 M, 16 M] pairs
+    val budget = math.max(1000000L, math.min(16000000L, b.get / 3 / 3000L))
+    assert(budget >= 1000000L && budget <= 16000000L)
+  }
 }

@@ -60,6 +60,9 @@ step "sf10 done rc=$?"
 cat /tmp/stream_sf10_r14.json 2>/dev/null || tail -5 /tmp/r14_stream_sf10.out
 
 step "ANN serving at sf100 (embedding ingest + query drain over the 1024-cell index)"
+# share the bench campaign's serve root so the query drain serves the
+# SAME stored 2 M-vector layout instead of rebuilding a second copy
+GRAFT_SERVE_ROOT=/tmp/graft-serve-r12sf100 \
 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_STREAM_OUT=/tmp/stream_sf100_r14.json \
 SPARK_GRAFT_STREAM_WORKLOADS=embedding,query \
   jrun 80g graft.StreamBench /root/repo/data/sf100 20 > /tmp/r14_stream_sf100.out 2>&1

@@ -7,7 +7,7 @@
 # for tens of minutes).
 set -uo pipefail
 cd "$(dirname "$0")/.."
-CLS=/tmp/graft_cls_r14
+CLS=/tmp/graft_cls_r14c
 sf10=/root/repo/data/sf10
 
 ADD_OPENS=""

@@ -13,7 +13,7 @@
 # 8 GB-free disk watchdog.
 set -uo pipefail
 cd "$(dirname "$0")/.."
-CLS=/tmp/graft_cls_r14b
+CLS=/tmp/graft_cls_r14c
 
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \

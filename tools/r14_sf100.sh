@@ -111,7 +111,16 @@ step "verify phase done"
 cat /tmp/r14_verify_status.txt
 
 # ---- phase 3: oracle — chunked strict for the giant-output rows ----
-cp /tmp/verify_out/oracle_sql.json "$OUT/oracle_sql.json"
+# Guard: a dev-loop Verify run with SPARK_GRAFT_ONLY leaves a
+# RESTRICTED oracle_sql.json behind, and the chunked checks then fail
+# vacuously ("0 ok, 0 fail") for every name it lacks — r14 lost one
+# oracle pass to exactly this. Only accept a full dump.
+nsql=$(python3 -c "import json,sys; print(len(json.load(open('/tmp/verify_out/oracle_sql.json'))))" 2>/dev/null || echo 0)
+if [ "$nsql" -ge 100 ]; then
+  cp /tmp/verify_out/oracle_sql.json "$OUT/oracle_sql.json"
+else
+  echo "[r14sf100] /tmp/verify_out/oracle_sql.json has $nsql entries (<100) — refusing the restricted dump; run a full graft.Verify first"
+fi
 : > /tmp/r14_oracle_status.txt
 for n in timeseries_bucket events_sessionize_native ingest_pipeline span_dedup; do
   if ! ls "$OUT/$n"/*.parquet >/dev/null 2>&1; then
@@ -179,6 +188,12 @@ cat /tmp/r14_lsh_soundness.out
 # ---- phase 5: LSH candidate-load re-measure ----
 step "lshstats sf100"
 rm -rf "$GRAFT_SCRATCH"; mkdir -p "$GRAFT_SCRATCH"
+# occupancy mode measures the candidate mass with one groupBy — WITHOUT
+# it LshStats runs the full operators (pair joins included) and the
+# hyperplane verify alone is a ~12-slice campaign of its own (r14: the
+# modeless invocation was watchdog-killed; occupancy mode finished in
+# ~8 min)
+GRAFT_LSHSTATS_MODE=occupancy \
 SPARK_GRAFT_CPUS=32 jrun 64g graft.LshStats "$sf100" /tmp/lshstats_sf100_r14.json \
   > /tmp/r14_lshstats.out 2>&1
 step "lshstats done rc=$?"

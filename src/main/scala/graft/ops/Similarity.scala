@@ -131,24 +131,10 @@ object Similarity {
     */
   def embeddingNearDupsLsh(embeddings: DataFrame, threshold: Double = 0.45,
                            bands: Int = 32, bitsPerBand: Int = 4,
-                           slicePairsOverride: Long = 0L): DataFrame = {
+                           slicePairsOverride: Long = 0L,
+                           knownCount: Long = -1L): DataFrame = {
     val spark = embeddings.sparkSession
-    // Repartition BEFORE the per-row signature kernel: its cost is
-    // planes×dims per vector, and scan parallelism is otherwise file
-    // parallelism — a corpus that arrives as one modest parquet file
-    // (20k vectors ≈ 20 MB at sf1) would run the whole kernel in ONE
-    // task (measured: ~2 min single-core at the sf1 geometry). The
-    // shuffle moves id+vector once — trivia next to the kernel — and
-    // on a real many-file corpus it is a cheap no-op-shaped rebalance.
-    val base = prepared(embeddings)
-      .repartition(spark.sparkContext.defaultParallelism)
-    val buckets = base.select(col("vec_id"),
-      explode(VectorOps.hyperplaneBands(col("v"), bands, bitsPerBand)).as("bucket"))
-    val pairs = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-      .dropDuplicates("a_id", "b_id")
+    val (base, buckets, pairs) = lshCandidateFrames(embeddings, bands, bitsPerBand)
     // Sliced exact verify (r12 verdict): the verify join's in-flight
     // intermediate is candidates × two vector payloads — at sf100
     // (176.8 M pairs × 64 dims) ≈ 0.7 TB of joined/spilled bytes in ONE
@@ -175,11 +161,7 @@ object Similarity {
           // 7.8 GB — watchdog kill); self-size to a third of the
           // volume's free bytes at 3 KB/pair, floored at 1 M pairs so
           // per-slice job overhead stays amortized.
-          val fleet = 16000000L
-          graft.sources.ScratchDirs.localUsableBytes(spark) match {
-            case Some(b) => math.max(1000000L, math.min(fleet, b / 3 / 3000L))
-            case None => fleet
-          }
+          defaultSlicePairs(graft.sources.ScratchDirs.localUsableBytes(spark))
         case Some(s) =>
           // validated like GRAFT_KMEANS_SEED: a malformed or
           // non-positive override would otherwise surface as a
@@ -201,17 +183,32 @@ object Similarity {
     // ever engaged. Above the bound the kernel simply runs once more
     // (minutes at 2 M vectors), trading bounded CPU for the scarce
     // resource.
-    val cacheBuckets = embeddings.count() * bands <= 64000000L
+    // ONE corpus count per call: the Auto path already counted for the
+    // geometry derivation and threads it through `knownCount` (r14
+    // verdict: construction ran the count twice).
+    val n = if (knownCount >= 0) knownCount else embeddings.count()
+    val cacheBuckets = n * bands <= 64000000L
     if (cacheBuckets)
       buckets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The pre-measure is SKIPPED when even the all-pairs worst case fits
+    // the slice budget: candMass ≤ n(n-1)/2 always, so the single-pass
+    // plan is provably within budget without running the signature
+    // kernel at construction time. Every driver-gate corpus lands here
+    // — r14 measured the always-paid pre-measure as a 1.9× gate-SF
+    // regression on this operator (and 2.8× on plan_audit_report, which
+    // constructs it). The n-bound before squaring is an overflow guard
+    // only: budgets cap at 16 M pairs, so any n past ~5.7 k measures.
+    val allPairsFit = n <= 1 || (n <= 1000000000L && n * (n - 1) / 2 <= slicePairs)
     // Per-band pair mass Σ C(occ,2) counts a pair once PER SHARED BAND,
     // so cross-band duplicates make this an UPPER bound on the distinct
     // candidate set — it can only err toward slicing early, by design
     // (a pre-measure that undercounted would admit an unbounded
     // single-pass join).
-    val candMass = buckets.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)).as("m"))
-      .head().getLong(0)
+    val candMass =
+      if (allPairsFit) 0L
+      else buckets.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)).as("m"))
+        .head().getLong(0)
     if (candMass <= slicePairs) {
       val out = verifyCandidates(base, pairs, threshold).orderBy(col("a_id"), col("b_id"))
       // the lazy result serves from the cache (kernel ran once, above);
@@ -226,6 +223,67 @@ object Similarity {
       // sliced path materializes everything internally — cache is dead
       if (cacheBuckets) buckets.unpersist(blocking = false)
       out
+    }
+  }
+
+  /** The lazy frame triple every LSH form is built from — (prepared
+    * vectors, keyed band rows, distinct candidate id pairs). Pure plan
+    * construction: no job runs here.
+    */
+  private def lshCandidateFrames(embeddings: DataFrame, bands: Int,
+                                 bitsPerBand: Int): (DataFrame, DataFrame, DataFrame) = {
+    val spark = embeddings.sparkSession
+    // Repartition BEFORE the per-row signature kernel: its cost is
+    // planes×dims per vector, and scan parallelism is otherwise file
+    // parallelism — a corpus that arrives as one modest parquet file
+    // (20k vectors ≈ 20 MB at sf1) would run the whole kernel in ONE
+    // task (measured: ~2 min single-core at the sf1 geometry). The
+    // shuffle moves id+vector once — trivia next to the kernel — and
+    // on a real many-file corpus it is a cheap no-op-shaped rebalance.
+    val base = prepared(embeddings)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val buckets = base.select(col("vec_id"),
+      explode(VectorOps.hyperplaneBands(col("v"), bands, bitsPerBand)).as("bucket"))
+    val pairs = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    (base, buckets, pairs)
+  }
+
+  /** Plan-governance form of [[embeddingNearDupsLsh]]: the single-pass
+    * verify plan at the given geometry, constructed WITHOUT running any
+    * job — no corpus count, no disk probe, no occupancy pre-measure, no
+    * caching. plan_audit_report audits this form because the production
+    * entry cannot honor a plan-compilation-only contract: it decides
+    * single-pass vs sliced by executing real pre-measures, and the
+    * sliced path executes its writes during construction by design (r14
+    * verdict). The single-pass shape — signature kernel, bucket
+    * self-join, shuffle-hash verify — is the plan whose scale
+    * properties the audit checks, at the same geometry for any corpus.
+    */
+  def embeddingNearDupsLshPlanOnly(embeddings: DataFrame,
+                                   threshold: Double = 0.45,
+                                   bands: Int = 32,
+                                   bitsPerBand: Int = 4): DataFrame = {
+    val (base, _, pairs) = lshCandidateFrames(embeddings, bands, bitsPerBand)
+    verifyCandidates(base, pairs, threshold).orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** The self-sized slice budget, extracted so specs can exercise the
+    * boundary behavior directly (r14 advisor: the spec re-implemented
+    * the formula inline, asserting a tautology). Fleet default 16 M
+    * pairs ≈ 45 GB in-flight per slice (measured ~2.8 KB/pair at sf100)
+    * — right for a cluster; on a single-host volume, a third of the
+    * free bytes at 3 KB/pair, floored at 1 M pairs so per-slice job
+    * overhead stays amortized.
+    */
+  def defaultSlicePairs(usableBytes: Option[Long]): Long = {
+    val fleet = 16000000L
+    usableBytes match {
+      case Some(b) => math.max(1000000L, math.min(fleet, b / 3 / 3000L))
+      case None => fleet
     }
   }
 
@@ -329,8 +387,9 @@ object Similarity {
     */
   def embeddingNearDupsLshAuto(embeddings: DataFrame,
                                threshold: Double = 0.45): DataFrame = {
-    val (bands, bits) = hyperplaneGeometryFor(embeddings.count())
-    embeddingNearDupsLsh(embeddings, threshold, bands, bits)
+    val n = embeddings.count()
+    val (bands, bits) = hyperplaneGeometryFor(n)
+    embeddingNearDupsLsh(embeddings, threshold, bands, bits, knownCount = n)
   }
 
   /** The ONE derivation path for the auto hyperplane geometry — shared

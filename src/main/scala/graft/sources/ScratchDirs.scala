@@ -87,12 +87,29 @@ object ScratchDirs {
       while (f != null && !f.exists()) f = f.getParentFile
       Option(f).map(_.getUsableSpace).filter(_ > 0L)
     }
+    // The budget sized off this guards TWO disks: the scratch volume
+    // (candidate/survivor parquet) and the shuffle-SPILL volume
+    // (spark.local.dir, else java.io.tmpdir) — most of the ~3 KB/pair
+    // in-flight bytes are sort/shuffle spill landing on the latter.
+    // When they are different volumes the binding resource is the
+    // smaller, so report the min (r14 advisor: sizing to scratch alone
+    // measures the wrong disk when spill lands elsewhere).
+    def withSpillFloor(scratch: Option[Long]): Option[Long] = {
+      val spillDir = spark.conf.getOption("spark.local.dir")
+        .orElse(Option(System.getProperty("spark.local.dir")))
+        .flatMap(_.split(",").headOption.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
+      (scratch, probe(spillDir)) match {
+        case (Some(a), Some(b)) => Some(math.min(a, b))
+        case (a, b) => a.orElse(b)
+      }
+    }
     sys.env.get("GRAFT_SCRATCH").map(_.trim).filter(_.nonEmpty) match {
       case Some(s) if s.contains("://") && !s.startsWith("file://") =>
         None // shared cluster FS: per-host disk is not the binding resource
-      case Some(s) => probe(s.stripPrefix("file://"))
+      case Some(s) => withSpillFloor(probe(s.stripPrefix("file://")))
       case None if spark.sparkContext.master.startsWith("local") =>
-        probe(System.getProperty("java.io.tmpdir", "/tmp"))
+        withSpillFloor(probe(System.getProperty("java.io.tmpdir", "/tmp")))
       case None => None // non-local master: acquire() fails fast anyway
     }
   }

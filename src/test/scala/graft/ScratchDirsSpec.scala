@@ -46,8 +46,21 @@ class ScratchDirsSpec extends SparkSpec {
     val b = ScratchDirs.localUsableBytes(spark)
     assert(b.exists(_ > 0L),
       s"local master must probe the temp volume, got $b")
-    // and the derived slice budget stays within [1 M, 16 M] pairs
-    val budget = math.max(1000000L, math.min(16000000L, b.get / 3 / 3000L))
-    assert(budget >= 1000000L && budget <= 16000000L)
+  }
+
+  test("defaultSlicePairs sizes to the volume and clamps at the floor and fleet cap") {
+    // the PRODUCTION sizing path (r14 advisor: the spec previously
+    // re-implemented the formula inline — a tautology that could not
+    // fail). Boundary behavior: a tiny volume floors at 1 M pairs so
+    // per-slice job overhead stays amortized; a huge volume caps at
+    // the 16 M fleet default; in between, a third of the free bytes
+    // at 3 KB/pair; an unprobeable volume (cluster FS) = fleet cap.
+    import graft.ops.Similarity.defaultSlicePairs
+    assert(defaultSlicePairs(Some(1L)) === 1000000L, "tiny volume -> 1 M floor")
+    assert(defaultSlicePairs(Some(9L * 1000000L * 3000L)) === 3000000L,
+      "mid volume -> bytes/3/3000")
+    assert(defaultSlicePairs(Some(Long.MaxValue)) === 16000000L,
+      "huge volume -> 16 M fleet cap")
+    assert(defaultSlicePairs(None) === 16000000L, "cluster FS -> fleet cap")
   }
 }

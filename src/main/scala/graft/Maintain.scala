@@ -22,7 +22,11 @@ import graft.sources.{ResultCache, ServingLayouts, SnapshotTable}
   *      unreferenced data file;
   *   4. '''result caches''' ([[ResultCache.sweep]], per `--cache-root`
   *      path): keys whose every generation is expired, superseded
-  *      generations, torn stagings.
+  *      generations, torn stagings;
+  *   5. '''dead scratch roots''' ([[graft.sources.ScratchDirs.sweep]]):
+  *      sliced-verify spill roots whose owning JVM never reclaimed
+  *      them (crash, or a long-lived session that outlives its
+  *      survivors) — age-gated via `--scratch-age-ms` (default 7d).
   *
   * Usage (all flags optional):
   * {{{
@@ -43,7 +47,8 @@ import graft.sources.{ResultCache, ServingLayouts, SnapshotTable}
 object Maintain {
 
   case class Report(ivfVersions: Int, layouts: Int, snapshots: Int, cacheDirs: Int,
-                    geometryDrift: Option[(Int, Int, Boolean)] = None) {
+                    geometryDrift: Option[(Int, Int, Boolean)] = None,
+                    scratchRoots: Int = 0) {
     def json(corpusDir: String): String = {
       val drift = geometryDrift match {
         case Some((stored, derived, rec)) =>
@@ -52,7 +57,8 @@ object Maintain {
       }
       s"""{"metric":"maintain","corpus":"$corpusDir","ivf_versions_reclaimed":$ivfVersions,""" +
         s""""layouts_reclaimed":$layouts,"snapshot_files_reclaimed":$snapshots,""" +
-        s""""cache_dirs_reclaimed":$cacheDirs,"ivf_geometry":$drift}"""
+        s""""cache_dirs_reclaimed":$cacheDirs,"scratch_roots_reclaimed":$scratchRoots,""" +
+        s""""ivf_geometry":$drift}"""
     }
   }
 
@@ -63,7 +69,8 @@ object Maintain {
           snapshotPaths: Seq[String] = Nil,
           snapshotKeep: Int = 2,
           cacheRoots: Seq[String] = Nil,
-          cacheTtlMs: Long = 300000L): Report = {
+          cacheTtlMs: Long = 300000L,
+          scratchAgeMs: Long = 7L * 24 * 3600 * 1000): Report = {
     // (1) versioned IVF stores live INSIDE the "ivf" layout home —
     // probe without creating, and only sweep a store that exists
     val ivfReclaimed = ServingLayouts.existingDirFor("ivf", corpusDir) match {
@@ -98,7 +105,12 @@ object Maintain {
             s"[maintain] geometry-drift probe FAILED (store unreadable?): $e")
           None
       }
-    Report(ivfReclaimed, layoutsReclaimed, snapReclaimed, cacheReclaimed, drift)
+    // (5) dead scratch roots (sliced-verify survivors whose owning JVM
+    // crashed or never exited — r14 verdict item 5): age-based, marker-
+    // gated, never this JVM's live roots
+    val scratchReclaimed = graft.sources.ScratchDirs.sweep(spark, scratchAgeMs)
+    Report(ivfReclaimed, layoutsReclaimed, snapReclaimed, cacheReclaimed, drift,
+      scratchReclaimed)
   }
 
   def main(args: Array[String]): Unit = {
@@ -109,6 +121,7 @@ object Maintain {
     var snapshots = Vector.empty[String]
     var cacheRoots = Vector.empty[String]
     var cacheTtlMs = 300000L
+    var scratchAgeMs = 7L * 24 * 3600 * 1000
     var i = 1
     while (i < args.length) {
       args(i) match {
@@ -117,13 +130,14 @@ object Maintain {
         case "--snapshot" => snapshots :+= args(i + 1); i += 2
         case "--cache-root" => cacheRoots :+= args(i + 1); i += 2
         case "--cache-ttl-ms" => cacheTtlMs = args(i + 1).toLong; i += 2
+        case "--scratch-age-ms" => scratchAgeMs = args(i + 1).toLong; i += 2
         case other => sys.error(s"unknown flag: $other")
       }
     }
     val spark = GraftSession.builder(defaultCpus = "4").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val report = run(spark, corpusDir, layoutAgeMs, keepIvf,
-      snapshots, 2, cacheRoots, cacheTtlMs)
+      snapshots, 2, cacheRoots, cacheTtlMs, scratchAgeMs)
     println(report.json(corpusDir))
     spark.stop()
   }

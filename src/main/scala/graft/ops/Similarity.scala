@@ -765,15 +765,25 @@ object Similarity {
     * qn2 (squared norm).
     */
   def queryIvf(index: IvfIndex, queries: DataFrame, k: Int = 5,
-               nProbe: Int = 4, excludeSelf: Boolean = false): DataFrame = {
-    val probes = queries.crossJoin(broadcast(index.centroids))
+               nProbe: Int = 4, excludeSelf: Boolean = false): DataFrame =
+    ivfRankTail(ivfProbes(index, queries, nProbe), index.assigned, k, excludeSelf)
+
+  /** Per-query probed cells: nProbe nearest centroids, ties broken on
+    * cell id — the shared head of both IVF query forms, so the served
+    * form can never select different cells than the batch form.
+    */
+  private def ivfProbes(index: IvfIndex, queries: DataFrame, nProbe: Int): DataFrame =
+    queries.crossJoin(broadcast(index.centroids))
       .withColumn("d2", VectorOps.vecNorm2(zip_with(col("qv"), col("centroid"),
         (a: Column, b: Column) => a - b)))
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))))
       .filter(col("pr") <= nProbe)
       .select(col("query_id"), col("qv"), col("qn2"), col("cell"))
-    probes.join(index.assigned, Seq("cell"))
+
+  private def ivfRankTail(probes: DataFrame, assigned: DataFrame, k: Int,
+                          excludeSelf: Boolean): DataFrame =
+    probes.join(assigned, Seq("cell"))
       // self-exclusion only when queries are corpus rows (see
       // knnBruteForceQueries scaladoc) — external ids must not collide
       .filter(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
@@ -783,6 +793,35 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"), col("rnk"))
       .orderBy(col("query_id"), col("rnk"))
+
+  /** Serving form of [[queryIvf]] — identical output, bounded index
+    * I/O: the probed cell set is computed FIRST (one broadcast-sized
+    * job; |queries|×nProbe (query_id, cell) rows — driver-sized by the
+    * serving contract, small query batches against a big index) and
+    * applied to the stored layout as a STATIC `cell IN (…)` predicate,
+    * so partition pruning is decided at plan time. [[queryIvf]]'s cell
+    * equi-join leaves pruning to runtime DPP, which does NOT engage on
+    * this plan shape — measured (r15): every serving micro-batch
+    * scanned ALL cells and every row of the index, which is what made
+    * the r14 sf1→sf10 serving latency grow 16× for 10× vectors. With
+    * the static predicate, per-batch index I/O is the probed-cell
+    * union: ≤ |batch|×nProbe of nCells partitions. The per-query cell
+    * join still restricts each query to ITS probed cells, so the row
+    * set is [[queryIvf]]'s exactly (spec-locked). Large OFFLINE query
+    * sets (probed union ≈ all cells, collect no longer driver-trivia)
+    * should keep using [[queryIvf]] — pruning cannot help a scan that
+    * needs every cell anyway.
+    */
+  def queryIvfServed(index: IvfIndex, queries: DataFrame, k: Int = 5,
+                     nProbe: Int = 4, excludeSelf: Boolean = false): DataFrame = {
+    val probes = ivfProbes(index, queries, nProbe)
+    val cells = probes.select(col("cell")).distinct().collect().map(_.get(0))
+    // an empty micro-batch probes nothing: prune everything (isin with
+    // zero values is not a plannable predicate on every Spark version)
+    val pruned =
+      if (cells.isEmpty) index.assigned.filter(lit(false))
+      else index.assigned.filter(col("cell").isin(cells: _*))
+    ivfRankTail(probes, pruned, k, excludeSelf)
   }
 
   /** Driver-facing composition: build the index and query it with the
@@ -1285,6 +1324,12 @@ object AnnServing {
              nCells: Int = -1, nProbe: Int = -1): DataFrame = {
     val index = servedIvf(spark, sfDir, nCells)
     val queries = queriesOf(Similarity.prepared(graft.Tables.embeddings(spark, sfDir)), nQueries)
+    // equi-join form, NOT queryIvfServed: at the recall-floor probe
+    // fractions (≥1/4 past 128 cells) a 10-query batch's probed-cell
+    // union covers ≈ 1-(1-p)^10 ≈ 94% of the index — static pruning
+    // cannot pay, and its extra probe-collect job is a pure per-call
+    // loss (measured 1.4× at gate SF). The served form is for SMALL
+    // per-batch query sets (the streaming drain).
     Similarity.queryIvf(index, queries, k, probeFor(nProbe, index.nCells),
       excludeSelf = true)
   }
@@ -1307,6 +1352,8 @@ object AnnServing {
       }
     }
     val queries = queriesOf(Similarity.prepared(graft.Tables.embeddings(spark, sfDir)), nQueries)
+    // equi-join form for the same reason as knnIvf: a 10-query batch's
+    // probed union defeats static pruning at recall-floor fractions
     Similarity.queryIvf(index, queries, k, probeFor(nProbe, index.nCells),
       excludeSelf = true)
   }

@@ -47,6 +47,12 @@ object ScratchDirs {
         }
       }, "graft-scratch-reaper"))
 
+  /** Ownership marker written into every acquired root: what makes a
+    * root recognizable to [[sweep]] as scratch (vs an unrelated dir
+    * that merely shares the prefix) and carries the liveness mtime.
+    */
+  private val Marker = "_scratch_owner"
+
   /** A fresh scratch directory (created, registered for exit-time
     * reclamation). `tag` namespaces the child for debuggability.
     */
@@ -64,10 +70,70 @@ object ScratchDirs {
         java.nio.file.Files.createTempDirectory(tag).toAbsolutePath.toString
     }
     val p = new Path(root)
-    p.getFileSystem(conf).mkdirs(p)
+    val fs = p.getFileSystem(conf)
+    fs.mkdirs(p)
+    scala.util.Try {
+      val out = fs.create(new Path(p, Marker), true)
+      try out.write(s"pid=${ProcessHandle.current().pid()}\n".getBytes("UTF-8"))
+      finally out.close()
+    }
     live.add((root, conf))
     armHook()
     root
+  }
+
+  /** Reclaim DEAD scratch roots — the maintenance hole the sliced
+    * verify leaves open (r14 verdict item 5): its `verified/` dir is
+    * pinned until JVM exit by design, so a crashed JVM (no hook ran)
+    * or a long-lived session that keeps acquiring new roots strands
+    * survivors the exit hook never sees. Sweeps the universe [[acquire]]
+    * resolves to (GRAFT_SCRATCH, else the local temp dir under a local
+    * master), deleting roots that (a) carry the [[Marker]] — an
+    * unmarked dir is not provably ours and is never touched, which
+    * also makes pre-marker debris invisible, like ServingLayouts'
+    * pre-meta homes; (b) are older than `ageMs` by both root and
+    * marker mtime — a concurrent JVM's active run is young by
+    * construction; and (c) are not live in THIS JVM's exit queue.
+    * Returns the number of roots reclaimed.
+    */
+  def sweep(spark: SparkSession, ageMs: Long): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val universe: Option[Path] =
+      sys.env.get("GRAFT_SCRATCH").map(_.trim).filter(_.nonEmpty) match {
+        case Some(s) => Some(new Path(s))
+        case None if spark.sparkContext.master.startsWith("local") =>
+          Some(new Path("file://" +
+            System.getProperty("java.io.tmpdir", "/tmp")))
+        case None => None
+      }
+    universe match {
+      case None => 0
+      case Some(u) =>
+        val fs = u.getFileSystem(conf)
+        if (!fs.exists(u)) return 0
+        val liveRoots: Set[String] = {
+          import scala.jdk.CollectionConverters._
+          live.iterator().asScala.map(_._1.stripSuffix("/")).toSet
+        }
+        val now = System.currentTimeMillis()
+        var reclaimed = 0
+        fs.listStatus(u).foreach { st =>
+          val root = st.getPath
+          val marker = new Path(root, Marker)
+          val eligible = st.isDirectory &&
+            root.getName.startsWith("graft-") &&
+            !liveRoots.contains(root.toString.stripSuffix("/")) &&
+            !liveRoots.contains(root.toUri.getPath.stripSuffix("/")) &&
+            scala.util.Try(fs.exists(marker)).getOrElse(false)
+          if (eligible) {
+            val age = now - math.max(st.getModificationTime,
+              scala.util.Try(fs.getFileStatus(marker).getModificationTime).getOrElse(0L))
+            if (age > ageMs && scala.util.Try(fs.delete(root, true)).getOrElse(false))
+              reclaimed += 1
+          }
+        }
+        reclaimed
+    }
   }
 
   /** Usable bytes on the single-host volume that would back

@@ -78,7 +78,8 @@ object EmbeddingStream {
     */
   def queryOnce(spark: SparkSession, srcDir: String, indexPath: String,
                 destPath: String, checkpointDir: String, k: Int = 5,
-                nProbe: Int = 4, maxFilesPerTrigger: Int = 0): Int = {
+                nProbe: Int = 4, maxFilesPerTrigger: Int = 0,
+                timingSink: (Long, String, Double) => Unit = (_, _, _) => ()): Int = {
     val schema = spark.read.parquet(srcDir).schema
     val reader = spark.readStream.schema(schema)
     val src = (if (maxFilesPerTrigger > 0)
@@ -94,11 +95,21 @@ object EmbeddingStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val stamp = Similarity.ivfStampOf(spark, indexPath)
+        // per-stage attribution (r14 verdict item 3: the serving-latency
+        // slope needs an owner) — same sink contract as CorpusStream
+        def staged[T](stage: String)(body: => T): T = {
+          val t0 = System.nanoTime()
+          val r = body
+          timingSink(batchId, stage, (System.nanoTime() - t0) / 1e6)
+          r
+        }
+        val stamp = staged("stamp_poll")(Similarity.ivfStampOf(spark, indexPath))
         if (served == null || stamp < 0 || stamp != servedStamp) {
-          served = Similarity.IvfIndex(
-            spark.read.parquet(s"$indexPath/centroids"),
-            spark.read.parquet(s"$indexPath/assigned"))
+          staged("index_load") {
+            served = Similarity.IvfIndex(
+              spark.read.parquet(s"$indexPath/centroids"),
+              spark.read.parquet(s"$indexPath/assigned"))
+          }
           servedStamp = stamp
           loads += 1
         }
@@ -107,8 +118,15 @@ object EmbeddingStream {
           .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
             org.apache.spark.sql.functions.col("v").as("qv"),
             org.apache.spark.sql.functions.col("norm2").as("qn2"))
-        Similarity.queryIvf(index, queries, k, nProbe)
-          .write.mode("overwrite").parquet(s"$destPath/batch_id=$batchId")
+        // queryIvfServed, not queryIvf: a serving micro-batch is small
+        // by contract, and the served form's static cell predicate is
+        // what bounds per-batch index I/O at the probed union — the
+        // equi-join form re-scanned the ENTIRE index every micro-batch
+        // (the r14 16× serving slope, measured via scan metrics in r15)
+        staged("probe_score_write") {
+          Similarity.queryIvfServed(index, queries, k, nProbe)
+            .write.mode("overwrite").parquet(s"$destPath/batch_id=$batchId")
+        }
       }
       .start()
       .awaitTermination()

@@ -89,6 +89,43 @@ class MaintainSpec extends SparkSpec {
       sys.error("fresh key must still serve from cache")).count() === 1)
   }
 
+  test("scratch sweep reclaims a dead stale root; young, live, and unmarked roots survive") {
+    import graft.sources.ScratchDirs
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 10L * 60 * 1000)
+    // a DEAD root: owner marker present, everything backdated past the
+    // age window — the crashed-JVM survivor the sweep exists for
+    val dead = Files.createTempDirectory("graft-lsh-verify-dead")
+    Files.write(dead.resolve("_scratch_owner"), "pid=0\n".getBytes("UTF-8"))
+    Files.createDirectories(dead.resolve("verified"))
+    Files.setLastModifiedTime(dead.resolve("_scratch_owner"), old)
+    Files.setLastModifiedTime(dead, old)
+    // a YOUNG dead root: marker present, fresh mtimes — could be a
+    // concurrent JVM's active run, must survive
+    val young = Files.createTempDirectory("graft-lsh-verify-young")
+    Files.write(young.resolve("_scratch_owner"), "pid=0\n".getBytes("UTF-8"))
+    // a LIVE root acquired by THIS JVM, backdated: exit-queue
+    // membership protects it even past the age window
+    val live = ScratchDirs.acquire(spark, "graft-lsh-verify-live")
+    Files.setLastModifiedTime(Paths.get(live, "_scratch_owner"), old)
+    Files.setLastModifiedTime(Paths.get(live), old)
+    // an unmarked lookalike, backdated: not provably ours, never touched
+    val unmarked = Files.createTempDirectory("graft-unmarked")
+    Files.setLastModifiedTime(unmarked, old)
+
+    val corpus = Files.createTempDirectory("graft_mt_scratch").toString
+    val report = Maintain.run(spark, corpus,
+      layoutAgeMs = Long.MaxValue, scratchAgeMs = 60000L)
+    assert(report.scratchRoots >= 1, "the dead stale root is reclaimed")
+    assert(!Files.exists(dead), "dead root gone")
+    assert(Files.exists(young), "young root survives the age gate")
+    assert(Files.exists(Paths.get(live)), "live root survives via the exit queue")
+    assert(Files.exists(unmarked), "unmarked lookalike is never touched")
+    ScratchDirs.release(spark, live)
+    Files.delete(young.resolve("_scratch_owner")); Files.delete(young)
+    Files.delete(unmarked)
+  }
+
   test("sweep of a corpus with no serving state reclaims nothing and creates nothing") {
     val empty = Files.createTempDirectory("graft_mt_none").toString
     val before = ServingLayouts.existingDirFor("ivf", empty)

@@ -109,6 +109,43 @@ class SimilaritySpec extends SparkSpec {
     assert((batch1 ++ batch2).toSeq.sortBy(_.toString) === composed.toSeq.sortBy(_.toString))
   }
 
+  test("served IVF query form is row-identical and statically partition-pruned") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_served").toString
+    val index = Similarity.writeIvfPartitioned(Similarity.buildIvf(e), dir)
+    val queries = index.assigned.filter(col("vec_id") < 7)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn2"))
+    // identical rows: the served form may only change the scan set,
+    // never the result (same probes head, same rank tail)
+    val batchForm = Similarity.queryIvf(index, queries, excludeSelf = true)
+      .collect().map(_.toSeq).toSeq
+    val servedForm = Similarity.queryIvfServed(index, queries, excludeSelf = true)
+      .collect().map(_.toSeq).toSeq
+    assert(batchForm.nonEmpty && servedForm === batchForm)
+    // and the served plan's index scan carries a STATIC cell partition
+    // filter — the property the equi-join form lacks (measured in r15:
+    // without it every serving micro-batch scanned all cells)
+    val served = Similarity.queryIvfServed(index, queries, excludeSelf = true)
+    // walk THROUGH the AQE wrapper: its initial plan carries the scans
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a +: walk(a.initialPlan)
+        case o => o +: (o.children ++ o.subqueries).flatMap(walk)
+      }
+    val scans = walk(served.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("graft_ivf_served")) => f
+    }
+    // the queries in this test are themselves corpus rows, so SOME
+    // assigned/ scans (the query source, the probe head) are rightly
+    // unpruned — the contract is that the rank-tail index scan carries
+    // the static IN-set over the probed cells
+    assert(scans.exists(_.partitionFilters.exists(_.toString.contains("INSET"))),
+      s"served index scan must carry a static cell IN-set, got:\n${scans.mkString("\n")}")
+  }
+
   test("int8 quantization bounds codes and round-trip error") {
     import org.apache.spark.sql.functions.{col, expr}
     val q = Similarity.quantizeInt8(Tables.embeddings(spark, sfDir))

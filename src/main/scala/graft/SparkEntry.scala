@@ -1083,16 +1083,24 @@ object SparkEntry {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |   CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY a_id, b_id""".stripMargin,
+    // cos_sim is computed ONCE in the innermost subquery so the window
+    // input carries only scalars: the previous shape recomputed the
+    // similarity inside the window's ORDER BY, and DuckDB then dragged
+    // both 256-double arrays through the window materialization —
+    // 80 GB at sf100 (2 M × 10 pairs × 4 KB), a checker OOM. Same rows
+    // (the order key equals cos_sim DESC, neighbor_id); the scalar-only
+    // window input is ~0.5 GB at sf100 and the compare is strict again.
     "knn_bruteforce" ->
       """SELECT query_id, neighbor_id, cos_sim, rnk FROM (
-        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |    CAST(c.embedding AS DOUBLE[])), 4) AS cos_sim,
-        |  row_number() OVER (PARTITION BY q.vec_id
-        |   ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |     CAST(c.embedding AS DOUBLE[])), 4) DESC, c.vec_id) AS rnk
-        | FROM embeddings q, embeddings c
-        | WHERE q.vec_id < 10 AND c.vec_id != q.vec_id) t
+        | SELECT query_id, neighbor_id, cos_sim,
+        |  row_number() OVER (PARTITION BY query_id
+        |   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        | FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |     CAST(c.embedding AS DOUBLE[])), 4) AS cos_sim
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id) s) t
         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "text_stats" ->
       s"""SELECT * FROM ($statsSubSql) st ORDER BY doc_id""".stripMargin,

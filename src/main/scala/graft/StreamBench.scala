@@ -110,7 +110,13 @@ object StreamBench {
       "corpus,embedding,query").split(",").map(_.trim).toSet
     val spark = GraftSession.builder(defaultCpus = "8").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val work = Files.createTempDirectory("graft_stream_bench").toString
+    // ScratchDirs, not a bare temp dir: the work dir holds staged
+    // sources + the cloned/growing index (8.5 GB at sf100) — the exit
+    // hook reclaims it on normal exit, the ownership marker makes a
+    // crashed run's survivor sweepable by Maintain (r15: four
+    // watchdog-killed bench runs left ~35 GB of unreclaimed work dirs,
+    // which then starved the NEXT run's disk watchdog)
+    val work = graft.sources.ScratchDirs.acquire(spark, "graft-stream-bench")
 
     def staged(df: org.apache.spark.sql.DataFrame, name: String): String = {
       val dir = s"$work/$name"

@@ -2,11 +2,17 @@
 # Round-15 sf100 correctness increment (r14 verdict item 4):
 #
 #   Promote knn_bruteforce's sf100 oracle from checker-host-bound to
-#   STRICT. The single-shot all-pairs SQL OOMs DuckDB at 2 M vectors,
-#   but it partitions trivially by query_id — check_oracle.py's new
-#   ORACLE_SLICE mode runs 10 per-query strict compares (each one
-#   corpus scan) plus a residual-row guard, so a spark row outside the
-#   slice set can never escape the compare.
+#   STRICT. Root cause of the old OOM: the oracle recomputed the
+#   cosine inside the window's ORDER BY, so DuckDB dragged both
+#   256-double arrays through the window materialization (~80 GB at
+#   2 M × 10 pairs). The reshaped SQL computes cos_sim once in an
+#   inner subquery — the window sees scalars only (~0.5 GB) and the
+#   single-shot chunked compare passes under 24 GB. ORACLE_SLICE
+#   (per-query_id strict slices + residual guard) remains in
+#   check_oracle.py as the fallback for oracles that cannot be
+#   reshaped; note a wrapped `WHERE query_id = v` does NOT push below
+#   a DuckDB window, so slicing alone would not have bounded the old
+#   shape either.
 #
 # Also fixes the r14 advisor's oracle-staleness hole: a refused
 # (restricted) oracle_sql.json now ABORTS the oracle phase with an
@@ -87,12 +93,11 @@ else
   exit 1
 fi
 
-# ---- phase 3: sliced strict compare ----
-step "sliced oracle knn_bruteforce start"
+# ---- phase 3: single-shot chunked strict compare (scalar-window SQL) ----
+step "chunked oracle knn_bruteforce start"
 rm -rf /tmp/duckdb_oracle_tmp
 t0=$(date +%s)
-ORACLE_MEM=40GB ORACLE_THREADS=8 ORACLE_ONLY=knn_bruteforce \
-ORACLE_SLICE="knn_bruteforce:query_id:0,1,2,3,4,5,6,7,8,9" \
+ORACLE_MEM=24GB ORACLE_THREADS=8 ORACLE_ONLY=knn_bruteforce ORACLE_CHUNKED=1 \
   python3 tools/check_oracle.py "$sf100" "$OUT" > /tmp/r15o_knn_bruteforce.out 2>&1 &
 opid=$!
 killed=0

@@ -581,7 +581,15 @@ object Similarity {
     */
   def writeIvfPartitioned(index: IvfIndex, path: String): IvfIndex = {
     val spark = index.assigned.sparkSession
-    index.assigned.write.mode("overwrite").partitionBy("cell")
+    // ONE file per cell, not one per (task × cell): partitionBy from an
+    // unshuffled frame makes every task write a sliver into every cell
+    // dir — the r12 sf100 build produced 46 504 files for 2 M rows
+    // (43 rows/file), and the r15 serving bench measured the cost: a
+    // query batch's latency was ~95% file-open overhead (46 k opens
+    // ≈ 15 s) over ~650 MB of actual data. The cell shuffle moves the
+    // corpus once at build time; at real scale size multiple files per
+    // cell to a byte target instead (Sources.compactPartitions logic).
+    index.assigned.repartition(col("cell")).write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/assigned")
     index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     bumpIvfStamp(spark, path)
@@ -645,6 +653,12 @@ object Similarity {
     val existing = spark.read.parquet(s"$path/assigned").select(col("vec_id"))
     assignCells(centroids,
         prepared(newEmbeddings).join(existing, Seq("vec_id"), "left_anti"))
+      // one file per AFFECTED cell per batch (shuffle ∝ batch): without
+      // this every task sprays a sliver into every cell it touches, and
+      // a 20-batch ingest fragments the layout into tens of thousands
+      // of files whose open cost dominates serving latency (measured,
+      // r15 — see writeIvfPartitioned)
+      .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
     bumpIvfStamp(spark, path)
     IvfIndex(centroids, spark.read.parquet(s"$path/assigned"))
@@ -686,7 +700,10 @@ object Similarity {
     val v = ivfVersions(spark, path).lastOption.getOrElse(0L) + 1
     val tmp = new org.apache.hadoop.fs.Path(path,
       ".tmp-" + java.util.UUID.randomUUID().toString.take(12))
-    index.assigned.write.partitionBy("cell").parquet(s"$tmp/assigned")
+    // one file per cell — see writeIvfPartitioned (the r12 sf100 build
+    // published 46 k slivers and serving paid ~15 s/batch opening them)
+    index.assigned.repartition(col("cell")).write.partitionBy("cell")
+      .parquet(s"$tmp/assigned")
     index.centroids.write.parquet(s"$tmp/centroids")
     geometryIntent.foreach { explicit =>
       val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_geometry_intent"), true)
@@ -758,6 +775,23 @@ object Similarity {
     val vectors = current.assigned.select(col("vec_id"), col("v").as("embedding"))
     writeIvfVersioned(buildIvf(vectors, nCells), path)
   }
+
+  /** COMPACT a versioned IVF layout without refitting: republish the
+    * latest version's rows as v+1 through the (cell-coalescing) write
+    * path — same centroids, same assignments, ~one file per cell. The
+    * maintenance pass continuous ingest makes necessary: every append
+    * adds files to the affected cells, and once a layout accumulates
+    * tens of thousands of slivers, serving latency is file-open
+    * overhead, not data (measured at sf100: 46 504 files for 2 M rows,
+    * ~15 s/batch before compaction). Cheap relative to [[rebuildIvf]]
+    * — one corpus read + one cell-shuffle write, no KMeans — and
+    * atomic like any version publish: pinned readers keep v, new
+    * loads get v+1, vacuum reclaims the fragmented version on the
+    * owner's cadence. Geometry intent carries over from the prior
+    * version (the marker-inheritance fallback).
+    */
+  def compactIvf(spark: SparkSession, path: String): Long =
+    writeIvfVersioned(loadIvfVersioned(spark, path), path)
 
   /** Query phase against a built index: each query probes its nProbe
     * nearest cells (L2, the training metric) and exactly reranks only
@@ -1040,6 +1074,10 @@ object Similarity {
     pq.codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
     encodePq(pq, ivf.assigned)
       .join(ivf.assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      // one file per cell — same fragmentation fix as writeIvfPartitioned
+      // (unshuffled partitionBy writes one sliver per task × cell, and
+      // serving latency becomes file-open overhead)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
   }
 
@@ -1078,6 +1116,8 @@ object Similarity {
       prepared(newEmbeddings).join(codes.select(col("vec_id")), Seq("vec_id"), "left_anti"))
     encodePq(pq, assigned)
       .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      // one new file per affected cell per batch (see appendToIvfPartitioned)
+      .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
 

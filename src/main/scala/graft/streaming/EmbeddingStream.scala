@@ -122,10 +122,19 @@ object EmbeddingStream {
         // by contract, and the served form's static cell predicate is
         // what bounds per-batch index I/O at the probed union — the
         // equi-join form re-scanned the ENTIRE index every micro-batch
-        // (the r14 16× serving slope, measured via scan metrics in r15)
+        // (the r14 16× serving slope, measured via scan metrics in r15).
+        // A BACKFILL driven through this path can deliver huge batches
+        // (maxFilesPerTrigger=0 drains everything at once): above the
+        // bound, the served form's probe collect stops being
+        // driver-sized AND the probed union covers the index anyway, so
+        // fall back to the equi-join form — pruning cannot help a scan
+        // that needs every cell.
         staged("probe_score_write") {
-          Similarity.queryIvfServed(index, queries, k, nProbe)
-            .write.mode("overwrite").parquet(s"$destPath/batch_id=$batchId")
+          val nQ = batch.count()
+          val served =
+            if (nQ * nProbe <= 1000000L) Similarity.queryIvfServed(index, queries, k, nProbe)
+            else Similarity.queryIvf(index, queries, k, nProbe)
+          served.write.mode("overwrite").parquet(s"$destPath/batch_id=$batchId")
         }
       }
       .start()

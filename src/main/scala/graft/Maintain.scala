@@ -36,6 +36,8 @@ import graft.sources.{ResultCache, ServingLayouts, SnapshotTable}
   *     [--snapshot <path>]...  snapshot tables to vacuum (keep 2)
   *     [--cache-root <path>]   result-cache roots to sweep (TTL 300s)
   *     [--cache-ttl-ms N]
+  *     [--scratch-age-ms N]    retention for dead scratch roots (default 7d)
+  *     [--compact-ivf]         republish the ivf store compacted before its vacuum
   * }}}
   *
   * Prints ONE JSON line of reclaimed counts. Liveness contract: every
@@ -48,17 +50,23 @@ object Maintain {
 
   case class Report(ivfVersions: Int, layouts: Int, snapshots: Int, cacheDirs: Int,
                     geometryDrift: Option[(Int, Int, Boolean)] = None,
-                    scratchRoots: Int = 0) {
+                    scratchRoots: Int = 0,
+                    ivfFragmentation: Option[(Long, Long, Boolean)] = None) {
     def json(corpusDir: String): String = {
       val drift = geometryDrift match {
         case Some((stored, derived, rec)) =>
           s"""{"stored_cells":$stored,"derived_cells":$derived,"rebuild_recommended":$rec}"""
         case None => "null"
       }
+      val frag = ivfFragmentation match {
+        case Some((files, cells, rec)) =>
+          s"""{"files":$files,"cells":$cells,"compact_recommended":$rec}"""
+        case None => "null"
+      }
       s"""{"metric":"maintain","corpus":"$corpusDir","ivf_versions_reclaimed":$ivfVersions,""" +
         s""""layouts_reclaimed":$layouts,"snapshot_files_reclaimed":$snapshots,""" +
         s""""cache_dirs_reclaimed":$cacheDirs,"scratch_roots_reclaimed":$scratchRoots,""" +
-        s""""ivf_geometry":$drift}"""
+        s""""ivf_geometry":$drift,"ivf_fragmentation":$frag}"""
     }
   }
 
@@ -70,15 +78,24 @@ object Maintain {
           snapshotKeep: Int = 2,
           cacheRoots: Seq[String] = Nil,
           cacheTtlMs: Long = 300000L,
-          scratchAgeMs: Long = 7L * 24 * 3600 * 1000): Report = {
+          scratchAgeMs: Long = 7L * 24 * 3600 * 1000,
+          compactIvfStore: Boolean = false): Report = {
     // (1) versioned IVF stores live INSIDE the "ivf" layout home —
-    // probe without creating, and only sweep a store that exists
+    // probe without creating, and only sweep a store that exists.
+    // `--compact-ivf` first republishes the latest version through the
+    // cell-coalescing write path (Similarity.compactIvf — the
+    // append-fragmentation fix, r15: a layout of 46 k file slivers put
+    // ~15 s of pure open overhead on every serving batch), so the
+    // vacuum right after reclaims the fragmented version.
     val ivfReclaimed = ServingLayouts.existingDirFor("ivf", corpusDir) match {
       case Some(home) =>
         val store = home + "/ivf"
-        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(store)))
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(store))) {
+          if (compactIvfStore &&
+              graft.ops.Similarity.ivfVersions(spark, store).nonEmpty)
+            graft.ops.Similarity.compactIvf(spark, store)
           graft.ops.Similarity.vacuumIvfVersions(spark, store, keepIvfVersions)
-        else 0
+        } else 0
       case None => 0
     }
     val layoutsReclaimed = ServingLayouts.vacuum(layoutAgeMs)
@@ -109,8 +126,41 @@ object Maintain {
     // crashed or never exited — r14 verdict item 5): age-based, marker-
     // gated, never this JVM's live roots
     val scratchReclaimed = graft.sources.ScratchDirs.sweep(spark, scratchAgeMs)
+    // Fragmentation signal for the ivf store (report-only, like the
+    // drift probe): continuous ingest adds up to one file per affected
+    // cell per batch, so files/cell grows with ingest history and
+    // serving latency becomes file-open overhead (measured, r15:
+    // 46 k slivers put ~15 s on every serving batch at sf10). The
+    // operator acts with --compact-ivf on their own cadence; the
+    // threshold (8 files/cell) is ~where the open overhead reached
+    // parity with the scan at the measured ~0.3 ms/open.
+    val frag: Option[(Long, Long, Boolean)] =
+      ServingLayouts.existingDirFor("ivf", corpusDir).flatMap { home =>
+        val store = home + "/ivf"
+        graft.ops.Similarity.ivfVersions(spark, store).lastOption.map { v =>
+          val assigned = java.nio.file.Paths.get(store, f"v$v%08d", "assigned")
+          var files = 0L
+          var cells = 0L
+          if (java.nio.file.Files.isDirectory(assigned)) {
+            val s = java.nio.file.Files.list(assigned)
+            try {
+              import scala.jdk.CollectionConverters._
+              s.iterator().asScala.foreach { p =>
+                if (p.getFileName.toString.startsWith("cell=")) {
+                  cells += 1
+                  val c = java.nio.file.Files.list(p)
+                  try files += c.iterator().asScala
+                    .count(_.getFileName.toString.endsWith(".parquet"))
+                  finally c.close()
+                }
+              }
+            } finally s.close()
+          }
+          (files, cells, cells > 0 && files > cells * 8)
+        }
+      }
     Report(ivfReclaimed, layoutsReclaimed, snapReclaimed, cacheReclaimed, drift,
-      scratchReclaimed)
+      scratchReclaimed, frag)
   }
 
   def main(args: Array[String]): Unit = {
@@ -122,6 +172,7 @@ object Maintain {
     var cacheRoots = Vector.empty[String]
     var cacheTtlMs = 300000L
     var scratchAgeMs = 7L * 24 * 3600 * 1000
+    var compactIvf = false
     var i = 1
     while (i < args.length) {
       args(i) match {
@@ -131,13 +182,14 @@ object Maintain {
         case "--cache-root" => cacheRoots :+= args(i + 1); i += 2
         case "--cache-ttl-ms" => cacheTtlMs = args(i + 1).toLong; i += 2
         case "--scratch-age-ms" => scratchAgeMs = args(i + 1).toLong; i += 2
+        case "--compact-ivf" => compactIvf = true; i += 1
         case other => sys.error(s"unknown flag: $other")
       }
     }
     val spark = GraftSession.builder(defaultCpus = "4").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val report = run(spark, corpusDir, layoutAgeMs, keepIvf,
-      snapshots, 2, cacheRoots, cacheTtlMs, scratchAgeMs)
+      snapshots, 2, cacheRoots, cacheTtlMs, scratchAgeMs, compactIvf)
     println(report.json(corpusDir))
     spark.stop()
   }

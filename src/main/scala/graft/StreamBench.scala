@@ -229,12 +229,20 @@ object StreamBench {
         val newVecs = embTable.withColumn("vec_id", col("vec_id") + maxVec + 1)
         val embSrc = staged(newVecs, "emb_src")
         val embTap = new ProgressTap
-        val embWall = timed(embTap) {
-          graft.streaming.EmbeddingStream.ingestOnce(spark, embSrc, idxPath,
-            s"$work/emb_ckpt", maxFilesPerTrigger = 1)
-        }
+        // scan attribution for the append's redelivery guard: the
+        // anti-join reads the stored vec_id column of the (growing)
+        // index every batch — these metrics say how much of a batch's
+        // wall is that guard scan vs the assignment kernel + write
+        val ingestScanTap = new ScanTap("ivf_index/assigned")
+        spark.listenerManager.register(ingestScanTap)
+        val embWall =
+          try timed(embTap) {
+            graft.streaming.EmbeddingStream.ingestOnce(spark, embSrc, idxPath,
+              s"$work/emb_ckpt", maxFilesPerTrigger = 1)
+          } finally spark.listenerManager.unregister(ingestScanTap)
         val (eRows, eBatches, eRps, eP50, eP99) = stats(embTap, embWall)
         parts += s""""embedding_ingest":${block(eRows, eBatches, eRps, eP50, eP99, embWall)}"""
+        parts += s""""embedding_ingest_guard_scan":${ingestScanTap.json}"""
       }
 
       // ---- workload 3: ANN query serving over the (grown) index ----

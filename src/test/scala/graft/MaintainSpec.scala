@@ -126,6 +126,32 @@ class MaintainSpec extends SparkSpec {
     Files.delete(unmarked)
   }
 
+  test("ivf fragmentation signal: a slivered store recommends compaction, a compact one is quiet") {
+    val corpus = Files.createTempDirectory("graft_mt_frag").toString
+    val home = ServingLayouts.dirFor("ivf", corpus)
+    // a fragmented latest version: 4 cells x 12 sliver files (the shape
+    // continuous ingest leaves without the cell-coalescing write)
+    val v1 = Paths.get(home, "ivf", "v00000001", "assigned")
+    for (c <- 0 until 4) {
+      Files.createDirectories(v1.resolve(s"cell=$c"))
+      for (f <- 0 until 12)
+        Files.write(v1.resolve(s"cell=$c/part-$f.parquet"), Array[Byte](1))
+    }
+    val r = Maintain.run(spark, corpus, layoutAgeMs = Long.MaxValue)
+    assert(r.ivfFragmentation === Some((48L, 4L, true)),
+      s"slivered store must recommend compaction, got ${r.ivfFragmentation}")
+    // a compacted NEWER version (one file per cell) clears the signal —
+    // the probe reads the latest version, which is what serving loads
+    val v2 = Paths.get(home, "ivf", "v00000002", "assigned")
+    for (c <- 0 until 4) {
+      Files.createDirectories(v2.resolve(s"cell=$c"))
+      Files.write(v2.resolve(s"cell=$c/part-0.parquet"), Array[Byte](1))
+    }
+    val r2 = Maintain.run(spark, corpus, layoutAgeMs = Long.MaxValue)
+    assert(r2.ivfFragmentation === Some((4L, 4L, false)),
+      s"compact latest version must be quiet, got ${r2.ivfFragmentation}")
+  }
+
   test("sweep of a corpus with no serving state reclaims nothing and creates nothing") {
     val empty = Files.createTempDirectory("graft_mt_none").toString
     val before = ServingLayouts.existingDirFor("ivf", empty)

@@ -32,6 +32,34 @@ object VectorKernels {
     acc
   }
 
+  /** Argmin cell over a fixed centroid matrix — the assignment kernel
+    * for continuous vector ingest ([[graft.ops.Similarity]]
+    * `assignCells`). Each candidate distance uses the same sequential
+    * (a−c)² accumulation as `norm2(zip_with(v, c, _-_))`, and the
+    * (cells, centroids) arrays arrive sorted by cell ascending with a
+    * strict-improvement compare, so ties keep the LOWEST cell — the
+    * exact semantics of the previous crossJoin + row_number window
+    * over (d2, cell), without exploding nCells rows per vector
+    * through a shuffle (at an sf100 ingest batch: 102 M window rows
+    * per 100 k-vector append).
+    */
+  def nearestCell(v: ArrayData, cells: Array[Int],
+                  centroids: Array[Array[Double]]): Int = {
+    var best = -1
+    var bestD2 = Double.PositiveInfinity
+    var k = 0
+    while (k < centroids.length) {
+      val c = centroids(k)
+      val n = math.min(v.numElements(), c.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { val d = v.getDouble(i) - c(i); acc += d * d; i += 1 }
+      if (acc < bestD2) { bestD2 = acc; best = cells(k) }
+      k += 1
+    }
+    best
+  }
+
   /** Plane-sign tables for [[hyperplaneBands]], cached per (planes,
     * dims): the ±1 entries depend only on (plane, dim), but the first
     * implementation recomputed the mix64 parity PER ROW — at the
@@ -146,6 +174,34 @@ case class HyperplaneBands(child: Expression, bands: Int, bitsPerBand: Int)
   override def prettyName: String = "hyperplane_bands"
 }
 
+/** nearest_cell(array<double>) → int: argmin over a FIXED centroid
+  * matrix captured at plan construction (model metadata, like the
+  * hyperplane sign table — nCells ≤ 4096 × dim doubles, a few MB that
+  * ship with the plan). See [[VectorKernels.nearestCell]] for the
+  * distance/tie-break contract.
+  */
+case class NearestCell(child: Expression, cells: Array[Int],
+                       centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cell requires array<double>, got ${t.catalogString}")
+  }
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.nearestCell(a.asInstanceOf[ArrayData], cells, centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cellsRef = ctx.addReferenceObj("cells", cells, "int[]")
+    val centsRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorKernels.nearestCell($a, $cellsRef, $centsRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCell =
+    copy(child = c)
+  override def prettyName: String = "nearest_cell"
+}
+
 object VectorOps {
   def vecDot(a: Column, b: Column): Column =
     Shims.column(DotProduct(Shims.expression(a), Shims.expression(b)))
@@ -153,4 +209,7 @@ object VectorOps {
     Shims.column(Norm2(Shims.expression(a)))
   def hyperplaneBands(v: Column, bands: Int, bitsPerBand: Int): Column =
     Shims.column(HyperplaneBands(Shims.expression(v), bands, bitsPerBand))
+  def nearestCell(v: Column, cells: Array[Int],
+                  centroids: Array[Array[Double]]): Column =
+    Shims.column(NearestCell(Shims.expression(v), cells, centroids))
 }

@@ -547,17 +547,23 @@ object Similarity {
   /** Nearest-centroid cell assignment with FIXED centroids — the same
     * L2 argmin KMeans.transform computes (ties to the lowest cell id,
     * matching KMeans's first-minimum rule; spec-proven identical over
-    * the corpus). One narrow pass: centroids broadcast, no shuffle of
-    * the vectors beyond the per-vector argmin window.
+    * the corpus). Centroids are broadcast-sized model metadata BY
+    * CONSTRUCTION (nCells ≤ 4096 × dim doubles), so the argmin runs
+    * INSIDE each row via the codegen'd [[graft.functions.NearestCell]]
+    * kernel: zero shuffle, zero per-centroid row explosion. The
+    * previous shape crossJoined nCells rows per vector and picked the
+    * winner with a row_number window — at an sf100 ingest batch that
+    * was 102 M exploded rows shuffled and sorted PER 100 k-vector
+    * append (the dominant term of the measured 67 s/batch). Distances
+    * and the lowest-cell tie-break are bit-identical to the old
+    * `norm2(zip_with(v, c, _-_))` + window(d2, cell) form.
     */
-  private def assignCells(centroids: DataFrame, base: DataFrame): DataFrame =
-    base.crossJoin(broadcast(centroids))
-      .withColumn("__d2", VectorOps.vecNorm2(zip_with(col("v"), col("centroid"),
-        (a: Column, b: Column) => a - b)))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("__d2"), col("cell"))))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("v"), col("norm2"), col("cell"))
+  private def assignCells(centroids: DataFrame, base: DataFrame): DataFrame = {
+    val rows = centroids.select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    base.select(col("vec_id"), col("v"), col("norm2"),
+      VectorOps.nearestCell(col("v"), rows.map(_._1), rows.map(_._2)).as("cell"))
+  }
 
   /** Incremental index growth — the continuous-ingest shape for ANN,
     * symmetric to dedup_incremental: a new embedding batch is assigned

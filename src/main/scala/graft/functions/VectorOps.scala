@@ -60,6 +60,42 @@ object VectorKernels {
     best
   }
 
+  /** All m PQ codes of a vector in one pass — the product-quantizer
+    * encoder ([[graft.ops.Similarity.encodePq]]). Per subspace s, the
+    * nearest codebook centroid of v[s·subDim … s·subDim+subDim) by the
+    * same left-to-right (a−b)² accumulation as the HOF formulation it
+    * replaces, with per-sub (cid, centroid) arrays sorted by cid
+    * ascending and a strict-improvement compare — ties keep the LOWEST
+    * cid, exactly the old array_min over struct(d2, cid).
+    */
+  def pqEncode(v: ArrayData, cids: Array[Array[Int]],
+               cents: Array[Array[Array[Double]]], subDim: Int): ArrayData = {
+    val m = cents.length
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val ks = cents(s)
+      val ids = cids(s)
+      val off = s * subDim
+      var best = -1
+      var bestD2 = Double.PositiveInfinity
+      var k = 0
+      while (k < ks.length) {
+        val c = ks(k)
+        val n = math.min(math.min(subDim, c.length),
+          math.max(0, v.numElements() - off))
+        var acc = 0.0
+        var i = 0
+        while (i < n) { val d = v.getDouble(off + i) - c(i); acc += d * d; i += 1 }
+        if (acc < bestD2) { bestD2 = acc; best = ids(k) }
+        k += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Plane-sign tables for [[hyperplaneBands]], cached per (planes,
     * dims): the ±1 entries depend only on (plane, dim), but the first
     * implementation recomputed the mix64 parity PER ROW — at the
@@ -202,6 +238,33 @@ case class NearestCell(child: Expression, cells: Array[Int],
   override def prettyName: String = "nearest_cell"
 }
 
+/** pq_encode(array<double>) → array<int>: all m PQ codes in one
+  * codegen'd pass over a FIXED per-sub codebook matrix captured at
+  * plan construction. See [[VectorKernels.pqEncode]] for the
+  * distance/tie-break contract.
+  */
+case class PqEncode(child: Expression, cids: Array[Array[Int]],
+                    centroids: Array[Array[Array[Double]]], subDim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode requires array<double>, got ${t.catalogString}")
+  }
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.pqEncode(a.asInstanceOf[ArrayData], cids, centroids, subDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cidsRef = ctx.addReferenceObj("cids", cids, "int[][]")
+    val centsRef = ctx.addReferenceObj("centroids", centroids, "double[][][]")
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorKernels.pqEncode($a, $cidsRef, $centsRef, $subDim)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncode =
+    copy(child = c)
+  override def prettyName: String = "pq_encode"
+}
+
 object VectorOps {
   def vecDot(a: Column, b: Column): Column =
     Shims.column(DotProduct(Shims.expression(a), Shims.expression(b)))
@@ -212,4 +275,7 @@ object VectorOps {
   def nearestCell(v: Column, cells: Array[Int],
                   centroids: Array[Array[Double]]): Column =
     Shims.column(NearestCell(Shims.expression(v), cells, centroids))
+  def pqEncode(v: Column, cids: Array[Array[Int]],
+               centroids: Array[Array[Array[Double]]], subDim: Int): Column =
+    Shims.column(PqEncode(Shims.expression(v), cids, centroids, subDim))
 }

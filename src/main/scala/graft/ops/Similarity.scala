@@ -966,30 +966,30 @@ object Similarity {
     * layout stays narrow.
     */
   def encodePq(model: PqModel, base: DataFrame): DataFrame = {
-    // Per-(vector, subspace) argmin WITHOUT the cross-product: the old
-    // plan joined every sub-vector row with all k codebook rows and
-    // window-sorted n·m·k rows to keep rank 1 — 8.2e9 rows at sf100
-    // (2M × 16 × 256), whose sort spilled ~50 GB and killed the build.
-    // Instead each sub's k centroids are packed into ONE broadcast
-    // array row (m rows total) and the nearest cid is computed per
-    // sub-vector row inside a single codegen stage — n·m rows
-    // end-to-end, no sort, no shuffle before the final per-vector
-    // collect. Distance accumulates left-to-right like VectorOps
-    // .vecNorm2 did, and array_min's struct ordering ties on (d2, cid)
-    // exactly as the old (orderBy __d2, cid) — codes are bit-for-bit.
-    val packed = model.codebooks
-      .groupBy(col("sub"))
-      .agg(expr("array_sort(collect_list(struct(cid, centroid)))").as("cents"))
-    subVectors(base, "vec_id", "v", model.mSubs, model.subDim)
-      .join(broadcast(packed), Seq("sub"))
-      .withColumn("cid", expr(
-        """array_min(transform(cents, c -> named_struct(
-          |  'd2', aggregate(zip_with(subv, c.centroid, (a, b) -> (a - b) * (a - b)),
-          |                  cast(0.0 as double), (acc, x) -> acc + x),
-          |  'cid', c.cid))).cid""".stripMargin))
-      .groupBy(col("vec_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(sub, cid))), p -> p.cid)")
-        .as("codes"))
+    // All m codes in ONE row-local codegen'd pass ([[graft.functions
+    // .PqEncode]]): the codebooks are model metadata (m × k × subDim
+    // doubles — a few MB), captured at plan construction like the
+    // NearestCell centroid matrix. Two prior shapes of this encoder are
+    // instructive at scale: the original cross-product window sorted
+    // n·m·k rows (8.2e9 at sf100 — ~50 GB of sort spill, killed the
+    // build); the r12 replacement cut that to n·m exploded sub-vector
+    // rows with an array_min over higher-order functions — but HOFs are
+    // CodegenFallback (interpreted per element: ~1.3e11 interpreted ops
+    // for a full sf100 encode) and the per-vector reassembly was still
+    // a shuffle of n·m rows. The kernel form is n rows end-to-end,
+    // zero shuffle, tight generated loops. Distances accumulate
+    // left-to-right and per-sub cids are iterated ascending with
+    // strict improvement — codes bit-for-bit ≡ both prior forms
+    // (array_min's (d2, cid) struct ordering), spec-locked.
+    val books = model.codebooks.select(col("sub"), col("cid"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val bySub = (0 until model.mSubs).map { s =>
+      val rows = books.filter(_._1 == s).sortBy(_._2)
+      (rows.map(_._2), rows.map(_._3))
+    }
+    base.select(col("vec_id"),
+      VectorOps.pqEncode(col("v"), bySub.map(_._1).toArray,
+        bySub.map(_._2).toArray, model.subDim).as("codes"))
   }
 
   /** IVF-PQ ANN — the billion-vector serving configuration (FAISS's

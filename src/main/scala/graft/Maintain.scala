@@ -80,19 +80,53 @@ object Maintain {
           cacheTtlMs: Long = 300000L,
           scratchAgeMs: Long = 7L * 24 * 3600 * 1000,
           compactIvfStore: Boolean = false): Report = {
+    // Fragmentation probe FIRST (pre-sweep state — the signal that
+    // justifies action, reported as found): continuous ingest adds up
+    // to one file per affected cell per batch, so files/cell grows
+    // with ingest history and serving latency becomes file-open
+    // overhead (measured, r15: 46 k slivers put ~15 s on every serving
+    // batch at sf10). Threshold 8 files/cell ≈ where the measured
+    // ~0.3 ms/open overhead reached scan parity.
+    def fragOf: Option[(Long, Long, Boolean)] =
+      ServingLayouts.existingDirFor("ivf", corpusDir).flatMap { home =>
+        val store = home + "/ivf"
+        graft.ops.Similarity.ivfVersions(spark, store).lastOption.map { v =>
+          val assigned = java.nio.file.Paths.get(store, f"v$v%08d", "assigned")
+          var files = 0L
+          var cells = 0L
+          if (java.nio.file.Files.isDirectory(assigned)) {
+            val s = java.nio.file.Files.list(assigned)
+            try {
+              import scala.jdk.CollectionConverters._
+              s.iterator().asScala.foreach { p =>
+                if (p.getFileName.toString.startsWith("cell=")) {
+                  cells += 1
+                  val c = java.nio.file.Files.list(p)
+                  try files += c.iterator().asScala
+                    .count(_.getFileName.toString.endsWith(".parquet"))
+                  finally c.close()
+                }
+              }
+            } finally s.close()
+          }
+          (files, cells, cells > 0 && files > cells * 8)
+        }
+      }
+    val frag = fragOf
     // (1) versioned IVF stores live INSIDE the "ivf" layout home —
     // probe without creating, and only sweep a store that exists.
-    // `--compact-ivf` first republishes the latest version through the
-    // cell-coalescing write path (Similarity.compactIvf — the
-    // append-fragmentation fix, r15: a layout of 46 k file slivers put
-    // ~15 s of pure open overhead on every serving batch), so the
-    // vacuum right after reclaims the fragmented version.
+    // `--compact-ivf` republishes the latest version through the
+    // cell-coalescing write path (Similarity.compactIvf) ONLY when the
+    // probe above recommends it — an unconditional republish would do
+    // a full corpus read + write per cron tick forever (r15 review).
+    // With the default keepIvfVersions=2 the fragmented version
+    // survives one extra cycle for pinned readers; pass --keep-ivf 1
+    // to reclaim it in the same run.
     val ivfReclaimed = ServingLayouts.existingDirFor("ivf", corpusDir) match {
       case Some(home) =>
         val store = home + "/ivf"
         if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(store))) {
-          if (compactIvfStore &&
-              graft.ops.Similarity.ivfVersions(spark, store).nonEmpty)
+          if (compactIvfStore && frag.exists(_._3))
             graft.ops.Similarity.compactIvf(spark, store)
           graft.ops.Similarity.vacuumIvfVersions(spark, store, keepIvfVersions)
         } else 0
@@ -126,39 +160,8 @@ object Maintain {
     // crashed or never exited — r14 verdict item 5): age-based, marker-
     // gated, never this JVM's live roots
     val scratchReclaimed = graft.sources.ScratchDirs.sweep(spark, scratchAgeMs)
-    // Fragmentation signal for the ivf store (report-only, like the
-    // drift probe): continuous ingest adds up to one file per affected
-    // cell per batch, so files/cell grows with ingest history and
-    // serving latency becomes file-open overhead (measured, r15:
-    // 46 k slivers put ~15 s on every serving batch at sf10). The
-    // operator acts with --compact-ivf on their own cadence; the
-    // threshold (8 files/cell) is ~where the open overhead reached
-    // parity with the scan at the measured ~0.3 ms/open.
-    val frag: Option[(Long, Long, Boolean)] =
-      ServingLayouts.existingDirFor("ivf", corpusDir).flatMap { home =>
-        val store = home + "/ivf"
-        graft.ops.Similarity.ivfVersions(spark, store).lastOption.map { v =>
-          val assigned = java.nio.file.Paths.get(store, f"v$v%08d", "assigned")
-          var files = 0L
-          var cells = 0L
-          if (java.nio.file.Files.isDirectory(assigned)) {
-            val s = java.nio.file.Files.list(assigned)
-            try {
-              import scala.jdk.CollectionConverters._
-              s.iterator().asScala.foreach { p =>
-                if (p.getFileName.toString.startsWith("cell=")) {
-                  cells += 1
-                  val c = java.nio.file.Files.list(p)
-                  try files += c.iterator().asScala
-                    .count(_.getFileName.toString.endsWith(".parquet"))
-                  finally c.close()
-                }
-              }
-            } finally s.close()
-          }
-          (files, cells, cells > 0 && files > cells * 8)
-        }
-      }
+    // The report carries the PRE-sweep fragmentation (the condition
+    // that was found and, under --compact-ivf, acted on in this run).
     Report(ivfReclaimed, layoutsReclaimed, snapReclaimed, cacheReclaimed, drift,
       scratchReclaimed, frag)
   }

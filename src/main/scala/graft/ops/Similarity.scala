@@ -365,6 +365,10 @@ object Similarity {
       verifyCandidates(base, slice, threshold)
         .write.mode("append").parquet(outPath)
       System.gc()
+      // liveness refresh: a multi-hour verify only writes INSIDE the
+      // root's subtrees, so the root/marker mtimes the scratch sweep
+      // age-gates on would otherwise stay frozen at acquire time
+      graft.sources.ScratchDirs.touch(spark, root)
       Console.err.println(s"[graft] sliced exact-verify: slice ${s + 1}/$nSlices done")
     }
     base.unpersist(blocking = false)
@@ -793,11 +797,16 @@ object Similarity {
     * — one corpus read + one cell-shuffle write, no KMeans — and
     * atomic like any version publish: pinned readers keep v, new
     * loads get v+1, vacuum reclaims the fragmented version on the
-    * owner's cadence. Geometry intent carries over from the prior
-    * version (the marker-inheritance fallback).
+    * owner's cadence. The RESOLVED geometry intent is re-stamped into
+    * the new version explicitly: relying on the marker-inheritance
+    * fallback would lose an explicit intent once vacuum retires the
+    * last marker-carrying version (r15 review), flipping the drift
+    * dashboard to a permanent rebuild_recommended nag on a
+    * deliberately-chosen geometry.
     */
   def compactIvf(spark: SparkSession, path: String): Long =
-    writeIvfVersioned(loadIvfVersioned(spark, path), path)
+    writeIvfVersioned(loadIvfVersioned(spark, path), path,
+      geometryIntent = Some(AnnServing.geometryIntentExplicit(spark, path)))
 
   /** Query phase against a built index: each query probes its nProbe
     * nearest cells (L2, the training metric) and exactly reranks only
@@ -836,21 +845,22 @@ object Similarity {
 
   /** Serving form of [[queryIvf]] — identical output, bounded index
     * I/O: the probed cell set is computed FIRST (one broadcast-sized
-    * job; |queries|×nProbe (query_id, cell) rows — driver-sized by the
-    * serving contract, small query batches against a big index) and
-    * applied to the stored layout as a STATIC `cell IN (…)` predicate,
-    * so partition pruning is decided at plan time. [[queryIvf]]'s cell
-    * equi-join leaves pruning to runtime DPP, which does NOT engage on
-    * this plan shape — measured (r15): every serving micro-batch
-    * scanned ALL cells and every row of the index, which is what made
-    * the r14 sf1→sf10 serving latency grow 16× for 10× vectors. With
-    * the static predicate, per-batch index I/O is the probed-cell
-    * union: ≤ |batch|×nProbe of nCells partitions. The per-query cell
-    * join still restricts each query to ITS probed cells, so the row
-    * set is [[queryIvf]]'s exactly (spec-locked). Large OFFLINE query
-    * sets (probed union ≈ all cells, collect no longer driver-trivia)
-    * should keep using [[queryIvf]] — pruning cannot help a scan that
-    * needs every cell anyway.
+    * job whose collect returns only the DISTINCT probed cells —
+    * ≤ nCells values regardless of batch size) and applied to the
+    * stored layout as a STATIC `cell IN (…)` predicate, so partition
+    * pruning is decided at plan time. [[queryIvf]]'s cell equi-join
+    * leaves pruning to runtime DPP, which does NOT engage on this plan
+    * shape — measured (r15): every serving micro-batch scanned ALL
+    * cells and every row of the index, which is what made the r14
+    * sf1→sf10 serving latency grow 16× for 10× vectors. With the
+    * static predicate, per-batch index I/O is the probed-cell union:
+    * ≤ |batch|×nProbe of nCells partitions. The per-query cell join
+    * still restricts each query to ITS probed cells, so the row set is
+    * [[queryIvf]]'s exactly (spec-locked). Large OFFLINE query sets
+    * should keep using [[queryIvf]]: their probed union covers ~every
+    * cell (pruning cannot help a scan that needs all of them) and this
+    * form evaluates the probe kernel twice — once for the cell
+    * collect, once in the scoring join.
     */
   def queryIvfServed(index: IvfIndex, queries: DataFrame, k: Int = 5,
                      nProbe: Int = 4, excludeSelf: Boolean = false): DataFrame = {

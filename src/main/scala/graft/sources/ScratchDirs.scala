@@ -82,6 +82,20 @@ object ScratchDirs {
     root
   }
 
+  /** Refresh a root's liveness stamp (the [[Marker]] mtime). Long
+    * multi-hour occupants (the sliced verify calls this per slice)
+    * keep their root visibly alive to [[sweep]], whose age gate reads
+    * the marker mtime — without refreshes, a root that only ever
+    * WRITES INSIDE its subtrees never moves its own or its marker's
+    * mtime, and an operator running the sweep with an aggressive
+    * --scratch-age-ms could reclaim it mid-job (r15 review).
+    */
+  def touch(spark: SparkSession, root: String): Unit = scala.util.Try {
+    val p = new Path(root, Marker)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .setTimes(p, System.currentTimeMillis(), -1)
+  }
+
   /** Reclaim DEAD scratch roots — the maintenance hole the sliced
     * verify leaves open (r14 verdict item 5): its `verified/` dir is
     * pinned until JVM exit by design, so a crashed JVM (no hook ran)

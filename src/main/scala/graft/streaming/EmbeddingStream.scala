@@ -125,10 +125,12 @@ object EmbeddingStream {
         // (the r14 16× serving slope, measured via scan metrics in r15).
         // A BACKFILL driven through this path can deliver huge batches
         // (maxFilesPerTrigger=0 drains everything at once): above the
-        // bound, the served form's probe collect stops being
-        // driver-sized AND the probed union covers the index anyway, so
-        // fall back to the equi-join form — pruning cannot help a scan
-        // that needs every cell.
+        // bound the probed union covers ~every cell (pruning cannot
+        // help a scan that needs all of them) and the served form pays
+        // its probe kernel twice, so fall back to the single-pass
+        // equi-join form. The count is one cheap batch-source job; at
+        // serving sizes it is noise next to the probed scan (measured:
+        // sf1 batch p50 878 ms with it vs 891 before it existed).
         staged("probe_score_write") {
           val nQ = batch.count()
           val served =

@@ -91,6 +91,9 @@ class MaintainSpec extends SparkSpec {
 
   test("scratch sweep reclaims a dead stale root; young, live, and unmarked roots survive") {
     import graft.sources.ScratchDirs
+    // fixtures live in java.io.tmpdir — under GRAFT_SCRATCH the sweep
+    // universe is elsewhere and this test's contrasts are meaningless
+    assume(sys.env.get("GRAFT_SCRATCH").forall(_.trim.isEmpty))
     val old = java.nio.file.attribute.FileTime.fromMillis(
       System.currentTimeMillis() - 10L * 60 * 1000)
     // a DEAD root: owner marker present, everything backdated past the
@@ -147,9 +150,18 @@ class MaintainSpec extends SparkSpec {
       Files.createDirectories(v2.resolve(s"cell=$c"))
       Files.write(v2.resolve(s"cell=$c/part-0.parquet"), Array[Byte](1))
     }
-    val r2 = Maintain.run(spark, corpus, layoutAgeMs = Long.MaxValue)
+    // --compact-ivf on an already-compact store must SKIP the
+    // republish (r15 review: an ungated compact would full-rewrite the
+    // corpus on every cron tick): these fixture files are not real
+    // parquet, so an attempted compactIvf here would throw — the gate
+    // not throwing IS the assertion, plus no new version appearing
+    val r2 = Maintain.run(spark, corpus, layoutAgeMs = Long.MaxValue,
+      compactIvfStore = true)
     assert(r2.ivfFragmentation === Some((4L, 4L, false)),
       s"compact latest version must be quiet, got ${r2.ivfFragmentation}")
+    assert(graft.ops.Similarity.ivfVersions(spark,
+        ServingLayouts.dirFor("ivf", corpus) + "/ivf") === Seq(1L, 2L),
+      "an already-compact store must not gain a version from --compact-ivf")
   }
 
   test("sweep of a corpus with no serving state reclaims nothing and creates nothing") {

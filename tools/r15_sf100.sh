@@ -81,14 +81,17 @@ if [ $rc -ne 0 ] || ! ls "$OUT/knn_bruteforce"/*.parquet >/dev/null 2>&1; then
 fi
 echo "knn_bruteforce engine ok wall=$((t1-t0))s" >> "$STATUS"
 
-# ---- phase 2: full oracle dump, refusal = abort with a marker ----
-# (r14 advisor: a refused restricted dump silently left a stale
-# oracle_sql.json in place and the compare gated HEAD against it)
-nsql=$(python3 -c "import json; print(len(json.load(open('/tmp/verify_out3/oracle_sql.json'))))" 2>/dev/null || echo 0)
-if [ "$nsql" -ge 100 ]; then
-  cp /tmp/verify_out3/oracle_sql.json "$OUT/oracle_sql.json"
-else
-  echo "ORACLE_SQL_STALE dump_entries=$nsql (<100) - aborting oracle phase" >> "$STATUS"
+# ---- phase 2: oracle dump freshness ----
+# Phase 1's Verify (SPARK_GRAFT_ONLY=knn_bruteforce) just wrote a
+# RESTRICTED oracle_sql.json containing exactly the HEAD SQL for the
+# one name phase 3 compares — that is the freshest possible dump for
+# this campaign, so it is used AS IS. (An earlier revision copied a
+# prior full dump over it, which re-introduced the staleness hole the
+# r14 advisor flagged: a pre-reshape knn_bruteforce SQL would OOM
+# DuckDB again and report ORACLE_HOST_BOUND.) Abort with a marker only
+# if the dump somehow lacks the name under test.
+if ! python3 -c "import json,sys; sys.exit(0 if 'knn_bruteforce' in json.load(open('$OUT/oracle_sql.json')) else 1)" 2>/dev/null; then
+  echo "ORACLE_SQL_STALE dump lacks knn_bruteforce - aborting oracle phase" >> "$STATUS"
   cat "$STATUS"
   exit 1
 fi

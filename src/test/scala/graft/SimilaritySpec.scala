@@ -146,6 +146,71 @@ class SimilaritySpec extends SparkSpec {
       s"served index scan must carry a static cell IN-set, got:\n${scans.mkString("\n")}")
   }
 
+  test("IVF writes coalesce per cell; appends bound fragmentation; compactIvf restores it") {
+    import org.apache.spark.sql.functions.{col, max => smax}
+    val e = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_frag").toString
+    def filesPerCell(assigned: String): Map[String, Int] = {
+      val root = java.nio.file.Paths.get(assigned)
+      val s = java.nio.file.Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(p => p.getFileName.toString.startsWith("cell="))
+          .map { p =>
+            val c = java.nio.file.Files.list(p)
+            try p.getFileName.toString ->
+              c.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+            finally c.close()
+          }.toMap
+      } finally s.close()
+    }
+    // fresh build: ONE file per cell (the write path shuffles by cell —
+    // without it every task writes a sliver into every cell dir; the
+    // r12 sf100 build left 46 504 files for 2 M rows and serving paid
+    // ~15 s/batch opening them)
+    Similarity.writeIvfPartitioned(Similarity.buildIvf(e), dir)
+    val fresh = filesPerCell(s"$dir/assigned")
+    assert(fresh.nonEmpty && fresh.values.forall(_ == 1),
+      s"fresh layout must be one file per cell, got $fresh")
+    // three appends: at most one NEW file per affected cell per batch
+    val maxId = e.agg(smax("vec_id")).head.getLong(0)
+    (1 to 3).foreach { i =>
+      Similarity.appendToIvfPartitioned(dir,
+        e.withColumn("vec_id", col("vec_id") + (maxId + 1) * i))
+    }
+    val grown = filesPerCell(s"$dir/assigned")
+    assert(grown.values.forall(_ <= 4),
+      s"3 appends may add at most 3 files per cell, got ${grown.values.max}")
+    // fabricate a fragmented STORE version (the flat layout above, with
+    // its per-append files, is exactly the shape continuous ingest
+    // leaves) and compact it: v2 is ~one file per cell, rows identical
+    val store = java.nio.file.Files.createTempDirectory("graft_ivf_store").toString + "/ivf"
+    val v1 = java.nio.file.Paths.get(store, "v00000001")
+    java.nio.file.Files.createDirectories(v1)
+    def cp(src: String, dst: java.nio.file.Path): Unit = {
+      val s = java.nio.file.Paths.get(src)
+      val w = java.nio.file.Files.walk(s)
+      try w.forEach { p =>
+        val d = dst.resolve(s.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(d)
+        else java.nio.file.Files.copy(p, d)
+      } finally w.close()
+    }
+    cp(s"$dir/assigned", v1.resolve("assigned"))
+    cp(s"$dir/centroids", v1.resolve("centroids"))
+    val before = Similarity.loadIvfVersioned(spark, store)
+    val rowsBefore = before.assigned.orderBy(col("vec_id")).collect().map(_.toSeq).toSeq
+    val v2 = Similarity.compactIvf(spark, store)
+    assert(v2 === 2L)
+    val compacted = filesPerCell(
+      java.nio.file.Paths.get(store, "v00000002", "assigned").toString)
+    assert(compacted.values.forall(_ == 1),
+      s"compacted version must be one file per cell, got $compacted")
+    val after = Similarity.loadIvfVersioned(spark, store)
+    assert(after.assigned.orderBy(col("vec_id")).collect().map(_.toSeq).toSeq === rowsBefore,
+      "compaction must not change a single row")
+  }
+
   test("int8 quantization bounds codes and round-trip error") {
     import org.apache.spark.sql.functions.{col, expr}
     val q = Similarity.quantizeInt8(Tables.embeddings(spark, sfDir))

@@ -9,11 +9,15 @@ import graft.sources.{ResultCache, ServingLayouts, SnapshotTable}
   * stage debris and superseded layouts accumulated until someone did).
   * One invocation sweeps, in dependency order:
   *
-  *   1. '''versioned IVF stores''' inside live serving-layout homes
-  *      ([[graft.ops.Similarity.vacuumIvfVersions]]): all but the
-  *      newest `keepVersions` quantizer versions + crashed-rebuild
+  *   1. '''versioned ANN serving stores''' — float IVF, SQ8 and PQ
+  *      homes all carry the same `v<NNNNNNNN>`/atomic-rename store
+  *      since r16 ([[graft.ops.Similarity.vacuumIvfVersions]]): all
+  *      but the newest `keepVersions` versions + crashed-rebuild
   *      `.tmp-*` stagings — swept BEFORE the layout vacuum so version
-  *      GC never races the reclamation of its own parent directory;
+  *      GC never races the reclamation of its own parent directory.
+  *      Under `--compact-ivf` a fragmented store republishes coalesced
+  *      as v+1, and a fragmented pre-versioned FLAT home (the r12
+  *      shape) MIGRATES: rows republished as v1, flat dirs reclaimed;
   *   2. '''serving layouts''' ([[ServingLayouts.vacuum]]): dedup/ANN
   *      layout homes no process has served from within the retention
   *      window, plus crashed builders' `.stage-*`/`.debris-*` dirs;
@@ -37,7 +41,8 @@ import graft.sources.{ResultCache, ServingLayouts, SnapshotTable}
   *     [--cache-root <path>]   result-cache roots to sweep (TTL 300s)
   *     [--cache-ttl-ms N]
   *     [--scratch-age-ms N]    retention for dead scratch roots (default 7d)
-  *     [--compact-ivf]         republish the ivf store compacted before its vacuum
+  *     [--compact-ivf]         compact fragmented serving stores (ivf/sq8/pq)
+  *                             before their vacuum; migrates legacy flat homes
   * }}}
   *
   * Prints ONE JSON line of reclaimed counts. Liveness contract: every
@@ -51,14 +56,17 @@ object Maintain {
   case class Report(ivfVersions: Int, layouts: Int, snapshots: Int, cacheDirs: Int,
                     geometryDrift: Option[(Int, Int, Boolean)] = None,
                     scratchRoots: Int = 0,
-                    ivfFragmentation: Option[(Long, Long, Boolean)] = None) {
+                    ivfFragmentation: Option[(Long, Long, Boolean)] = None,
+                    sq8Fragmentation: Option[(Long, Long, Boolean)] = None,
+                    pqFragmentation: Option[(Long, Long, Boolean)] = None,
+                    legacyFlatReclaimed: Int = 0) {
     def json(corpusDir: String): String = {
       val drift = geometryDrift match {
         case Some((stored, derived, rec)) =>
           s"""{"stored_cells":$stored,"derived_cells":$derived,"rebuild_recommended":$rec}"""
         case None => "null"
       }
-      val frag = ivfFragmentation match {
+      def fragJson(f: Option[(Long, Long, Boolean)]): String = f match {
         case Some((files, cells, rec)) =>
           s"""{"files":$files,"cells":$cells,"compact_recommended":$rec}"""
         case None => "null"
@@ -66,7 +74,10 @@ object Maintain {
       s"""{"metric":"maintain","corpus":"$corpusDir","ivf_versions_reclaimed":$ivfVersions,""" +
         s""""layouts_reclaimed":$layouts,"snapshot_files_reclaimed":$snapshots,""" +
         s""""cache_dirs_reclaimed":$cacheDirs,"scratch_roots_reclaimed":$scratchRoots,""" +
-        s""""ivf_geometry":$drift,"ivf_fragmentation":$frag}"""
+        s""""legacy_flat_reclaimed":$legacyFlatReclaimed,""" +
+        s""""ivf_geometry":$drift,"ivf_fragmentation":${fragJson(ivfFragmentation)},""" +
+        s""""sq8_fragmentation":${fragJson(sq8Fragmentation)},""" +
+        s""""pq_fragmentation":${fragJson(pqFragmentation)}}"""
     }
   }
 
@@ -81,57 +92,112 @@ object Maintain {
           scratchAgeMs: Long = 7L * 24 * 3600 * 1000,
           compactIvfStore: Boolean = false): Report = {
     // Fragmentation probe FIRST (pre-sweep state — the signal that
-    // justifies action, reported as found): continuous ingest adds up
-    // to one file per affected cell per batch, so files/cell grows
-    // with ingest history and serving latency becomes file-open
+    // justifies action, reported as found): continuous ingest and
+    // append-accumulating builds add files per cell, so files/cell
+    // grows with history and serving latency becomes file-open
     // overhead (measured, r15: 46 k slivers put ~15 s on every serving
     // batch at sf10). Threshold 8 files/cell ≈ where the measured
     // ~0.3 ms/open overhead reached scan parity.
-    def fragOf: Option[(Long, Long, Boolean)] =
-      ServingLayouts.existingDirFor("ivf", corpusDir).flatMap { home =>
-        val store = home + "/ivf"
-        graft.ops.Similarity.ivfVersions(spark, store).lastOption.map { v =>
-          val assigned = java.nio.file.Paths.get(store, f"v$v%08d", "assigned")
-          var files = 0L
-          var cells = 0L
-          if (java.nio.file.Files.isDirectory(assigned)) {
-            val s = java.nio.file.Files.list(assigned)
-            try {
-              import scala.jdk.CollectionConverters._
-              s.iterator().asScala.foreach { p =>
-                if (p.getFileName.toString.startsWith("cell=")) {
-                  cells += 1
-                  val c = java.nio.file.Files.list(p)
-                  try files += c.iterator().asScala
-                    .count(_.getFileName.toString.endsWith(".parquet"))
-                  finally c.close()
+    import java.nio.file.{Files, Paths}
+    def countCellFiles(dataDir: java.nio.file.Path): (Long, Long) = {
+      var files = 0L
+      var cells = 0L
+      if (Files.isDirectory(dataDir)) {
+        val s = Files.list(dataDir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.foreach { p =>
+            if (p.getFileName.toString.startsWith("cell=")) {
+              cells += 1
+              val c = Files.list(p)
+              try files += c.iterator().asScala
+                .count(_.getFileName.toString.endsWith(".parquet"))
+              finally c.close()
+            }
+          }
+        } finally s.close()
+      }
+      (files, cells)
+    }
+    def fragOf(fc: (Long, Long)): (Long, Long, Boolean) =
+      (fc._1, fc._2, fc._2 > 0 && fc._1 > fc._2 * 8)
+
+    // Probe + (under --compact-ivf, when fragmented) compact + version
+    // vacuum, PER SERVING STORE — all three families (float ivf, sq8,
+    // pq) carry versioned stores since r16. A pre-versioned FLAT home
+    // (the r12 shape: data dirs at the home top level) is probed the
+    // same way and, when --compact-ivf finds it fragmented, MIGRATED:
+    // its rows republish coalesced as v1 of the versioned store and
+    // the superseded flat dirs are reclaimed. The migration trade is
+    // the vacuum's own: a concurrent server still holding the flat
+    // reader loses its files and rebuilds on its next serve — run on
+    // the owner's cadence. Compaction stays GATED on the probe (r15
+    // review: an unconditional republish would full-rewrite the corpus
+    // per cron tick forever); with the default keepIvfVersions=2 the
+    // fragmented version survives one extra cycle for pinned readers —
+    // pass --keep-ivf 1 to reclaim it in the same run.
+    case class StoreSweep(frag: Option[(Long, Long, Boolean)],
+                          versionsReclaimed: Int, legacyReclaimed: Int)
+    def sweepStore(kind: String, storeSub: String, dataSub: String,
+                   legacyDirs: Seq[String],
+                   compact: String => Long,
+                   migrate: (String, String) => Long): StoreSweep =
+      ServingLayouts.existingDirFor(kind, corpusDir) match {
+        case None => StoreSweep(None, 0, 0)
+        case Some(home) =>
+          val store = s"$home/$storeSub"
+          val versions = graft.ops.Similarity.ivfVersions(spark, store)
+          if (versions.nonEmpty) {
+            val frag = fragOf(countCellFiles(
+              Paths.get(store, f"v${versions.last}%08d", dataSub)))
+            if (compactIvfStore && frag._3) compact(store)
+            StoreSweep(Some(frag),
+              graft.ops.Similarity.vacuumIvfVersions(spark, store, keepIvfVersions), 0)
+          } else if (Files.isDirectory(Paths.get(home, dataSub))) {
+            val frag = fragOf(countCellFiles(Paths.get(home, dataSub)))
+            var legacy = 0
+            if (compactIvfStore && frag._3) {
+              migrate(home, store)
+              legacyDirs.foreach { d =>
+                val p = Paths.get(home, d)
+                if (Files.exists(p)) {
+                  graft.sources.ServingLayouts.deleteTree(p)
+                  legacy += 1
                 }
               }
-            } finally s.close()
-          }
-          (files, cells, cells > 0 && files > cells * 8)
-        }
+            }
+            StoreSweep(Some(frag),
+              if (graft.ops.Similarity.ivfVersions(spark, store).nonEmpty)
+                graft.ops.Similarity.vacuumIvfVersions(spark, store, keepIvfVersions)
+              else 0,
+              legacy)
+          } else if (Files.isDirectory(Paths.get(store))) {
+            // empty versioned store dir: reclaim crashed-publish stagings
+            StoreSweep(None,
+              graft.ops.Similarity.vacuumIvfVersions(spark, store, keepIvfVersions), 0)
+          } else StoreSweep(None, 0, 0)
       }
-    val frag = fragOf
-    // (1) versioned IVF stores live INSIDE the "ivf" layout home —
-    // probe without creating, and only sweep a store that exists.
-    // `--compact-ivf` republishes the latest version through the
-    // cell-coalescing write path (Similarity.compactIvf) ONLY when the
-    // probe above recommends it — an unconditional republish would do
-    // a full corpus read + write per cron tick forever (r15 review).
-    // With the default keepIvfVersions=2 the fragmented version
-    // survives one extra cycle for pinned readers; pass --keep-ivf 1
-    // to reclaim it in the same run.
-    val ivfReclaimed = ServingLayouts.existingDirFor("ivf", corpusDir) match {
-      case Some(home) =>
-        val store = home + "/ivf"
-        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(store))) {
-          if (compactIvfStore && frag.exists(_._3))
-            graft.ops.Similarity.compactIvf(spark, store)
-          graft.ops.Similarity.vacuumIvfVersions(spark, store, keepIvfVersions)
-        } else 0
-      case None => 0
-    }
+
+    val ivfSweep = sweepStore("ivf", "ivf", "assigned", Nil,
+      s => graft.ops.Similarity.compactIvf(spark, s),
+      (_, _) => 0L) // the float store predates flat layouts — no migration source
+    val sq8Sweep = sweepStore("sq8", "ivf", "assigned",
+      Seq("assigned", "centroids", "_index_version"),
+      s => graft.ops.Similarity.compactIvf(spark, s),
+      (home, store) => graft.ops.Similarity.writeIvfVersioned(
+        graft.ops.Similarity.IvfIndex(
+          spark.read.parquet(s"$home/centroids"),
+          spark.read.parquet(s"$home/assigned")), store))
+    val pqSweep = sweepStore("ivfpq", "pq", "codes",
+      Seq("codes", "codebooks", "centroids"),
+      s => graft.ops.Similarity.compactIvfPq(spark, s),
+      (home, store) => {
+        val (c, p, cd) = graft.ops.Similarity.loadIvfPq(spark, home)
+        graft.ops.Similarity.writeIvfPqVersioned(c, p.codebooks, cd, store)
+      })
+    val frag = ivfSweep.frag
+    val ivfReclaimed =
+      ivfSweep.versionsReclaimed + sq8Sweep.versionsReclaimed + pqSweep.versionsReclaimed
     val layoutsReclaimed = ServingLayouts.vacuum(layoutAgeMs)
     val snapReclaimed = snapshotPaths.map(p =>
       SnapshotTable.vacuum(spark, p, snapshotKeep)).sum
@@ -163,7 +229,8 @@ object Maintain {
     // The report carries the PRE-sweep fragmentation (the condition
     // that was found and, under --compact-ivf, acted on in this run).
     Report(ivfReclaimed, layoutsReclaimed, snapReclaimed, cacheReclaimed, drift,
-      scratchReclaimed, frag)
+      scratchReclaimed, frag, sq8Sweep.frag, pqSweep.frag,
+      sq8Sweep.legacyReclaimed + pqSweep.legacyReclaimed)
   }
 
   def main(args: Array[String]): Unit = {

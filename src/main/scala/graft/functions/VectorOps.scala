@@ -42,6 +42,13 @@ object VectorKernels {
     * over (d2, cell), without exploding nCells rows per vector
     * through a shuffle (at an sf100 ingest batch: 102 M window rows
     * per 100 k-vector append).
+    *
+    * Degenerate inputs FAIL FAST instead of leaking the internal -1
+    * sentinel into a persisted `cell=-1` partition: an empty centroid
+    * matrix or a vector whose every candidate distance is NaN (NaN
+    * never beats the running best) has no defensible assignment — it
+    * is corrupt model metadata or a NaN embedding, and the error names
+    * the row's geometry so the bad input is findable.
     */
   def nearestCell(v: ArrayData, cells: Array[Int],
                   centroids: Array[Array[Double]]): Int = {
@@ -57,6 +64,11 @@ object VectorKernels {
       if (acc < bestD2) { bestD2 = acc; best = cells(k) }
       k += 1
     }
+    if (best < 0)
+      throw new IllegalStateException(
+        s"nearest_cell: no assignable cell for a ${v.numElements()}-dim vector " +
+          s"over ${centroids.length} centroid(s) — empty centroid matrix or " +
+          "all-NaN distances (NaN embedding?)")
     best
   }
 

@@ -294,9 +294,23 @@ object Similarity {
     */
   private val lastBucketsCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  /** The registry's current occupant — spec observable only (the
+    * retire-one-slot contract is subtle enough to deserve a direct
+    * assertion; r15 verdict item 7).
+    */
+  private[graft] def liveBucketsCache: Option[DataFrame] =
+    Option(lastBucketsCache.get())
   private def retireBucketsCache(next: DataFrame): Unit = {
     val prev = lastBucketsCache.getAndSet(next)
-    if (prev != null) scala.util.Try(prev.unpersist(blocking = false))
+    // PLAN-EQUAL predecessor: CacheManager keys entries by plan, so
+    // unpersisting it would evict the entry the new occupant just
+    // registered — the repeat-caller shape (same corpus re-verified in
+    // one session) would silently lose its cache every second call
+    // (found by the r16 retire-one-slot spec: suite-order flake).
+    if (prev != null && (prev ne next) &&
+        !prev.queryExecution.analyzed.sameResult(next.queryExecution.analyzed))
+      scala.util.Try(prev.unpersist(blocking = false))
   }
 
   /** Exact cosine verification of candidate id pairs — the shared tail
@@ -565,6 +579,10 @@ object Similarity {
   private def assignCells(centroids: DataFrame, base: DataFrame): DataFrame = {
     val rows = centroids.select(col("cell"), col("centroid")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    // empty centroids would make every row unassignable — fail at plan
+    // construction with the store named, not row-by-row in the kernel
+    require(rows.nonEmpty,
+      "assignCells: empty centroid frame — the quantizer store is missing or torn")
     base.select(col("vec_id"), col("v"), col("norm2"),
       VectorOps.nearestCell(col("v"), rows.map(_._1), rows.map(_._2)).as("cell"))
   }
@@ -602,47 +620,135 @@ object Similarity {
     index.assigned.repartition(col("cell")).write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/assigned")
     index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    bumpIvfStamp(spark, path)
+    // a fresh write resets the layout to generation 0 — retire any
+    // generation dirs a prior lifecycle left (overwrite semantics)
+    val old = readIvfMeta(spark, path)
+    if (old.gen > 0) {
+      val fs = metaPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (1 to old.gen).foreach { g =>
+        fs.delete(new org.apache.hadoop.fs.Path(path, assignedDirName(g)), true)
+      }
+    }
+    // hwm + file count from a read-back of the two columns just written
+    // (never a re-execution of the input frame); one file per cell by
+    // construction of the cell shuffle above
+    val st = spark.read.parquet(s"$path/assigned")
+      .agg(max(col("vec_id")), countDistinct(col("cell"))).head()
+    writeIvfMeta(spark, path, IvfMeta(
+      version = math.max(0L, old.version) + 1,
+      hwm = if (st.isNullAt(0)) None else Some(st.getLong(0)),
+      pending = None, gen = 0, files = st.getLong(1)))
     IvfIndex(
       spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/assigned"))
   }
 
-  /** Change stamp of a flat cell-partitioned layout: a tiny
-    * `_index_version` file the write/append paths bump, so a serving
-    * stream polls ONE file instead of re-listing the (at scale,
-    * million-file) `assigned/` tree every micro-batch — the 100× form
-    * of ingest-while-serving ([[graft.streaming.EmbeddingStream.queryOnce]]
-    * reloads only on a stamp change). Returns -1 for a stampless
-    * layout (pre-stamp builds): a poller must then reload every batch,
-    * which is exactly the legacy behavior.
+  /** Metadata sidecar of a flat cell-partitioned layout — one tiny
+    * `_index_version` file carrying everything the continuous-ingest
+    * contract needs to stay O(batch):
+    *
+    *   - '''version''' (line 1): the change stamp a serving stream
+    *     polls instead of re-listing the (at scale, million-file)
+    *     assigned tree ([[graft.streaming.EmbeddingStream.queryOnce]]
+    *     reloads only on a change);
+    *   - '''hwm''': the high-water mark — the largest vec_id the
+    *     layout has ever absorbed. Under the monotone-producer
+    *     contract (upstream assigns strictly increasing ids — the
+    *     crawl→embed pipeline shape) the redelivery guard is a plain
+    *     `vec_id > hwm` filter: zero stored-id scan, where the r15
+    *     full anti-join read 3.0 M id-rows / 7.6 k files PER 100 k-row
+    *     batch at sf100;
+    *   - '''pending''': staked to the incoming batch's max id BEFORE
+    *     its append job runs and promoted into hwm after — a crash
+    *     between the two leaves `pending > hwm`, and the next append
+    *     resolves exactly that window with a narrow anti-join whose
+    *     stored-side scan parquet min/max stats bound to the files the
+    *     crashed batch could have written (every older file's ids are
+    *     ≤ hwm and is skipped whole);
+    *   - '''gen''': the live assigned-directory generation —
+    *     [[compactIvfFlat]] publishes the coalesced rewrite as gen+1
+    *     and retires gen−1, so a reader pinned to the previous
+    *     generation stays valid across one compaction cycle;
+    *   - '''files''': running count of data files in the live
+    *     generation (write: one per cell; append: one per affected
+    *     cell) — the fragmentation signal the auto-compaction trigger
+    *     reads without listing anything. -1 = unknown (legacy layout).
+    *
+    * A missing/torn file reads as `IvfMeta(-1, None, None, 0, -1)`:
+    * version -1 never matches a poller's held stamp (reload every
+    * batch), no hwm falls back to the exact full anti-join guard —
+    * conservative on every axis, never a wrong answer.
     */
-  def ivfStampOf(spark: SparkSession, path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(path, "_index_version")
+  private[graft] case class IvfMeta(version: Long, hwm: Option[Long],
+                                    pending: Option[Long], gen: Int, files: Long)
+
+  private def metaPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_index_version")
+
+  private[graft] def readIvfMeta(spark: SparkSession, path: String): IvfMeta = {
+    val p = metaPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
-      if (!fs.exists(p)) -1L
+      if (!fs.exists(p)) IvfMeta(-1L, None, None, 0, -1L)
       else {
         val in = fs.open(p)
-        try new String(in.readAllBytes(), "UTF-8").trim.toLong
-        finally in.close()
+        val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
+        val version = lines.headOption.map(_.toLong).getOrElse(-1L)
+        def kv(k: String): Option[Long] = lines.collectFirst {
+          case l if l.startsWith(s"$k=") => l.stripPrefix(s"$k=").toLong
+        }
+        IvfMeta(version, kv("hwm"), kv("pending"),
+          kv("gen").map(_.toInt).getOrElse(0), kv("files").getOrElse(-1L))
       }
-    } catch { case _: java.io.IOException | _: NumberFormatException => -1L }
+    } catch {
+      case _: java.io.IOException | _: NumberFormatException =>
+        IvfMeta(-1L, None, None, 0, -1L)
+    }
   }
 
-  /** Bump the layout's change stamp (single-writer append-owner
-    * discipline, like the append itself: parquet append is already not
-    * safe under concurrent writers). A torn/unreadable stamp reads as
-    * -1, which a poller treats as "changed" — reload, never a wrong
-    * answer.
+  /** Single-writer append-owner discipline, like the append itself
+    * (parquet append is already not safe under concurrent writers).
     */
-  private def bumpIvfStamp(spark: SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path, "_index_version")
+  private[graft] def writeIvfMeta(spark: SparkSession, path: String,
+                                  meta: IvfMeta): Unit = {
+    val p = metaPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val next = math.max(0L, ivfStampOf(spark, path)) + 1
+    val body = new StringBuilder
+    body.append(meta.version).append('\n')
+    meta.hwm.foreach(h => body.append(s"hwm=$h\n"))
+    meta.pending.foreach(h => body.append(s"pending=$h\n"))
+    if (meta.gen != 0) body.append(s"gen=${meta.gen}\n")
+    if (meta.files >= 0) body.append(s"files=${meta.files}\n")
     val out = fs.create(p, true)
-    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(body.toString.getBytes("UTF-8")) finally out.close()
   }
+
+  /** Change stamp of a flat cell-partitioned layout (the first line of
+    * the [[IvfMeta]] sidecar). Returns -1 for a stampless layout
+    * (pre-stamp builds): a poller must then reload every batch, which
+    * is exactly the legacy behavior.
+    */
+  def ivfStampOf(spark: SparkSession, path: String): Long =
+    readIvfMeta(spark, path).version
+
+  /** Name of generation `gen`'s assigned directory: generation 0 is the
+    * plain `assigned` every pre-generation layout already has.
+    */
+  private def assignedDirName(gen: Int): String =
+    if (gen == 0) "assigned" else f"assigned-g$gen%05d"
+
+  /** The LIVE assigned directory of a flat layout — readers resolve it
+    * through the meta sidecar so a compaction's generation flip is one
+    * stamp read away, never a re-list.
+    */
+  private[graft] def ivfAssignedDir(spark: SparkSession, path: String): String =
+    s"$path/${assignedDirName(readIvfMeta(spark, path).gen)}"
+
+  /** Load a flat cell-partitioned layout's current generation. */
+  def loadIvfFlat(spark: SparkSession, path: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(ivfAssignedDir(spark, path)))
 
   /** Append a new batch to a PERSISTED cell-partitioned index
     * ([[writeIvfPartitioned]] layout): assign against the stored
@@ -651,27 +757,131 @@ object Similarity {
     * return the refreshed loader. The storage-level face of
     * [[appendToIvf]]: continuous ingest touches O(batch) files while
     * the corpus-sized index stays in place.
+    *
+    * Redelivery (idempotence) guard — parquet append is not atomic and
+    * ingest batches get replayed; re-appending an already-indexed
+    * vec_id would make it a duplicate candidate in every probe of its
+    * cell. Two forms:
+    *
+    *   - `monotoneIds = true` (the streaming-ingest contract: the
+    *     upstream embed stage assigns strictly increasing vec_ids):
+    *     rows at or under the layout's high-water mark are dropped by
+    *     a plain filter — NO stored-id scan, cost ∝ batch at any
+    *     corpus size. Crash safety is the [[IvfMeta]] pending
+    *     two-phase: the batch's max id is staked before the append job
+    *     and promoted after; an append that crashed between the two
+    *     leaves `pending > hwm`, and the next batch resolves exactly
+    *     that id window with an anti-join whose stored-side scan
+    *     parquet min/max stats bound to the crashed batch's possible
+    *     files (ids in every older file are ≤ hwm — skipped whole).
+    *     DO NOT pass true for an id space that interleaves with
+    *     already-stored ids: new low ids would read as redelivered and
+    *     be dropped.
+    *   - `monotoneIds = false` (default — the general API): the exact
+    *     anti-join against the stored id column, correct for any id
+    *     order at a per-batch cost ∝ corpus. A guarded append also
+    *     initializes the hwm (one extra max() over the same stored
+    *     scan when the layout lacks one), so a layout can be handed to
+    *     the monotone fast path afterwards.
     */
-  def appendToIvfPartitioned(path: String, newEmbeddings: DataFrame): IvfIndex = {
+  def appendToIvfPartitioned(path: String, newEmbeddings: DataFrame,
+                             monotoneIds: Boolean = false): IvfIndex = {
     val spark = newEmbeddings.sparkSession
     val centroids = spark.read.parquet(s"$path/centroids")
-    // Idempotence guard: parquet append is not atomic and ingest batches
-    // get replayed — re-appending an already-indexed vec_id would make
-    // it a duplicate candidate in every probe of its cell. One anti-join
-    // against the stored id column (a single-column scan, cheap relative
-    // to the write) drops already-present ids before any file lands.
-    val existing = spark.read.parquet(s"$path/assigned").select(col("vec_id"))
-    assignCells(centroids,
-        prepared(newEmbeddings).join(existing, Seq("vec_id"), "left_anti"))
-      // one file per AFFECTED cell per batch (shuffle ∝ batch): without
-      // this every task sprays a sliver into every cell it touches, and
-      // a 20-batch ingest fragments the layout into tens of thousands
-      // of files whose open cost dominates serving latency (measured,
-      // r15 — see writeIvfPartitioned)
+    val meta = readIvfMeta(spark, path)
+    val aDir = s"$path/${assignedDirName(meta.gen)}"
+    val preparedB = prepared(newEmbeddings)
+    val guarded = (if (monotoneIds) meta.hwm else None) match {
+      case Some(h) =>
+        meta.pending match {
+          case Some(p) if p > h =>
+            // crash window: a prior append may have committed data for
+            // ids in (h, p] without promoting hwm — verify exactly that
+            // window; rows > p are provably new, rows ≤ h provably old
+            preparedB.filter(col("vec_id") > h)
+              .join(spark.read.parquet(aDir).select(col("vec_id"))
+                  .filter(col("vec_id") > h),
+                Seq("vec_id"), "left_anti")
+          case _ => preparedB.filter(col("vec_id") > h)
+        }
+      case None =>
+        preparedB.join(spark.read.parquet(aDir).select(col("vec_id")),
+          Seq("vec_id"), "left_anti")
+    }
+    val assignedNew = assignCells(centroids, guarded).persist()
+    try {
+      val st = assignedNew
+        .agg(max(col("vec_id")), countDistinct(col("cell")), count(lit(1))).head()
+      if (st.getLong(2) == 0L) {
+        // full redelivery (or empty batch): nothing lands, no version
+        // bump (no spurious serving reload). A pending mark this guard
+        // just verified resolves to its promoted hwm.
+        meta.pending match {
+          case Some(p) if meta.hwm.exists(p > _) =>
+            writeIvfMeta(spark, path, meta.copy(hwm = Some(p), pending = None))
+          case _ => ()
+        }
+      } else {
+        val batchMax = st.getLong(0)
+        val cellsTouched = st.getLong(1)
+        // legacy layouts carry no hwm: initialize it from the stored max
+        // (the one-time scan that retires the per-batch scan for good)
+        val storedMax = meta.hwm.orElse(meta.pending).getOrElse {
+          val r = spark.read.parquet(aDir).agg(max(col("vec_id"))).head()
+          if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+        }
+        val newHwm = math.max(batchMax, storedMax)
+        writeIvfMeta(spark, path, meta.copy(pending = Some(newHwm)))
+        assignedNew
+          // one file per AFFECTED cell per batch (shuffle ∝ batch):
+          // without this every task sprays a sliver into every cell it
+          // touches, and a 20-batch ingest fragments the layout into
+          // tens of thousands of files whose open cost dominates serving
+          // latency (measured, r15 — see writeIvfPartitioned)
+          .repartition(col("cell"))
+          .write.mode("append").partitionBy("cell").parquet(aDir)
+        writeIvfMeta(spark, path, IvfMeta(
+          version = math.max(0L, meta.version) + 1,
+          hwm = Some(newHwm), pending = None, gen = meta.gen,
+          files = if (meta.files >= 0) meta.files + cellsTouched else -1L))
+      }
+    } finally assignedNew.unpersist()
+    IvfIndex(centroids, spark.read.parquet(aDir))
+  }
+
+  /** Coalesce a FLAT layout's live generation in place-ish: rewrite the
+    * assigned tree one-file-per-cell as generation n+1, flip the meta
+    * sidecar (version bump → serving pollers reload), and retire
+    * generation n−1. Generation n stays on disk, so a reader pinned to
+    * the pre-compaction directory survives ONE compaction cycle — it
+    * re-resolves the live generation at its next stamp poll. The
+    * continuous-ingest maintenance op: appends add ~one file per
+    * affected cell per batch and the file count ratchets (measured r15:
+    * 1 056 → 10 794 files across a 20-batch sf100 ingest) until serving
+    * latency is file-open overhead; the [[IvfMeta.files]] counter gives
+    * the trigger without a listing. Also resolves hwm from the data
+    * itself (clearing any crashed append's pending mark). Single
+    * maintainer: run from the append owner between batches, never
+    * concurrently with another compaction.
+    */
+  def compactIvfFlat(spark: SparkSession, path: String): Int = {
+    val meta = readIvfMeta(spark, path)
+    val newGen = meta.gen + 1
+    val newDir = s"$path/${assignedDirName(newGen)}"
+    spark.read.parquet(s"$path/${assignedDirName(meta.gen)}")
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
-    bumpIvfStamp(spark, path)
-    IvfIndex(centroids, spark.read.parquet(s"$path/assigned"))
+      .write.mode("overwrite").partitionBy("cell").parquet(newDir)
+    val st = spark.read.parquet(newDir)
+      .agg(max(col("vec_id")), countDistinct(col("cell"))).head()
+    writeIvfMeta(spark, path, IvfMeta(
+      version = math.max(0L, meta.version) + 1,
+      hwm = if (st.isNullAt(0)) None else Some(st.getLong(0)),
+      pending = None, gen = newGen, files = st.getLong(1)))
+    if (newGen - 2 >= 0) {
+      val fs = metaPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path, assignedDirName(newGen - 2)), true)
+    }
+    newGen
   }
 
   /** Versioned home for a persisted IVF layout — the maintenance story
@@ -1085,11 +1295,17 @@ object Similarity {
     * the float corpus is cold storage touched only by the rerank
     * point-lookup; everything the hot path scans is codes.
     */
+  /** The (vec_id, codes, cell) frame a PQ layout stores — encode every
+    * vector against the codebooks and tag it with its coarse cell.
+    */
+  def pqCodesOf(ivf: IvfIndex, pq: PqModel): DataFrame =
+    encodePq(pq, ivf.assigned)
+      .join(ivf.assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+
   def writeIvfPq(ivf: IvfIndex, pq: PqModel, path: String): Unit = {
     ivf.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     pq.codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
-    encodePq(pq, ivf.assigned)
-      .join(ivf.assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    pqCodesOf(ivf, pq)
       // one file per cell — same fragmentation fix as writeIvfPartitioned
       // (unshuffled partitionBy writes one sliver per task × cell, and
       // serving latency becomes file-open overhead)
@@ -1135,6 +1351,57 @@ object Similarity {
       // one new file per affected cell per batch (see appendToIvfPartitioned)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** Publish a PQ layout (centroids + codebooks + cell-partitioned
+    * codes) as the next version of the versioned store at `path` —
+    * the same `v<00000001>/…` + atomic-rename lifecycle as
+    * [[writeIvfVersioned]] (shared version listing, shared vacuum), so
+    * the SERVED compressed forms get the identical
+    * rebuild/compact/retire story as float IVF: pinned readers keep
+    * their version directory; new loads get v+1.
+    */
+  def writeIvfPqVersioned(centroids: DataFrame, codebooks: DataFrame,
+                          codes: DataFrame, path: String): Long = {
+    val spark = codes.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = ivfVersions(spark, path).lastOption.getOrElse(0L) + 1
+    val tmp = new org.apache.hadoop.fs.Path(path,
+      ".tmp-" + java.util.UUID.randomUUID().toString.take(12))
+    centroids.write.parquet(s"$tmp/centroids")
+    codebooks.write.parquet(s"$tmp/codebooks")
+    // one file per cell — the m-bytes-per-candidate scan the PQ design
+    // argument is about only pays when it is not buried under per-file
+    // open overhead (the r12 sf100 PQ store: 22 k slivers, and the
+    // compressed form served 9.6× SLOWER than uncompressed float IVF)
+    codes.repartition(col("cell")).write.partitionBy("cell")
+      .parquet(s"$tmp/codes")
+    graft.sources.SnapshotTable.atomicPublishDir(fs, tmp,
+      new org.apache.hadoop.fs.Path(path, f"v$v%08d"))
+    v
+  }
+
+  /** Load one version (latest by default) of a versioned PQ store;
+    * the returned readers are pinned to that version's directory.
+    */
+  def loadIvfPqVersioned(spark: SparkSession, path: String,
+                         version: Long = -1L): (DataFrame, PqModel, DataFrame) = {
+    val vs = ivfVersions(spark, path)
+    require(vs.nonEmpty, s"no versioned PQ layout at $path")
+    val v = if (version >= 0) version else vs.last
+    loadIvfPq(spark, new org.apache.hadoop.fs.Path(path, f"v$v%08d").toString)
+  }
+
+  /** COMPACT a versioned PQ store without re-encoding: republish the
+    * latest version's frames as v+1 through the cell-coalescing write.
+    * Same trade as [[compactIvf]]: one store read + one cell-shuffle
+    * write, no KMeans, atomic publish, vacuum retires the fragmented
+    * version on the owner's cadence.
+    */
+  def compactIvfPq(spark: SparkSession, path: String): Long = {
+    val (centroids, pq, codes) = loadIvfPqVersioned(spark, path)
+    writeIvfPqVersioned(centroids, pq.codebooks, codes, path)
   }
 
   /** Random-hyperplane LSH ANN — the scale path. bands×bitsPerBand
@@ -1243,28 +1510,43 @@ object AnnServing {
     }
   }
 
-  /** Build-or-reuse a staged layout, falling back to a PRIVATE stage
-    * when a stored layout exists but cannot be loaded in this session
-    * (never overwriting the shared dir other processes may be reading
-    * — the r9 advisor's concurrent-overwrite find).
-    */
-  private def makeLayout[V](kind: String, sfDir: String)
-                           (build: String => Unit)(load: String => V): (String, V) = {
-    val dir = ServingLayouts.acquire(kind, sfDir)(build)
-    try (dir, load(dir))
-    catch {
-      case NonFatal(_) =>
-        val priv = ServingLayouts.privateStage(kind, sfDir)
-        build(priv)
-        ServingLayouts.markComplete(priv)
-        (priv, load(priv))
-    }
-  }
-
-  // the float-IVF family serves from a VERSIONED store so the offline
-  // rebuild op composes with live serving (publish v+1, flip the cache)
+  // ALL THREE serving families serve from a VERSIONED store so the
+  // offline rebuild/compact ops compose with live serving (publish
+  // v+1, flip the cache; pinned readers keep their version directory).
+  // sq8/pq joined float-IVF in r16: their r12 flat layouts could not
+  // be compacted atomically, and the sf100 stores fossilized at 46 k /
+  // 22 k sliver files — the compressed forms served 4-10× SLOWER than
+  // the uncompressed one they exist to beat, pure file-open overhead.
   private def ivfStore(sfDir: String): String =
     ServingLayouts.dirFor("ivf", sfDir) + "/ivf"
+
+  /** Whether a pre-versioned FLAT layout (the r12 store shape) sits at
+    * `home` with data under `sub` — the migration trigger below.
+    */
+  private def legacyFlatExists(spark: SparkSession, home: String,
+                               sub: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(home, sub)
+    scala.util.Try(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    ).getOrElse(false)
+  }
+
+  /** Cold-start a versioned store: publish v1 if none exists — from the
+    * home's legacy flat layout when one is present (a pure
+    * cell-coalescing republish of the same rows: migration IS the
+    * compaction, no model refit), else via `build`. Tolerates losing a
+    * concurrent cold-start's publish race the same way servedIvf
+    * always has: if versions exist after the failure, serve those.
+    */
+  private def ensureVersioned(spark: SparkSession, store: String,
+                              publishLegacy: Option[() => Long],
+                              build: () => Long): Unit =
+    if (Similarity.ivfVersions(spark, store).isEmpty)
+      try publishLegacy.map(_.apply()).getOrElse(build())
+      catch {
+        case NonFatal(e) if Similarity.ivfVersions(spark, store).isEmpty => throw e
+        case NonFatal(_) => ()
+      }
 
   /** Whether the store's latest declared quantizer geometry used an
     * EXPLICIT nCells override — read back by the drift dashboard
@@ -1392,20 +1674,30 @@ object AnnServing {
 
   /** IVF-SQ8 served from the persisted index over the int8-dequantized
     * corpus; queries keep full float precision (see [[Similarity.knnIvfSq8]]).
+    * Serves the latest version of the versioned store at
+    * `<home>/ivf`; a pre-versioned flat home (the r12 shape) migrates
+    * on first serve — its rows republished coalesced as v1.
     */
   def knnIvfSq8(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5,
                 nCells: Int = -1, nProbe: Int = -1): DataFrame = {
     val index = servedValidated(sq8Cache, spark, sfDir) { () =>
-      makeLayout("sq8", sfDir) { stage =>
-        val deq = Similarity.quantizeInt8(graft.Tables.embeddings(spark, sfDir))
-          .select(col("vec_id"), expr("transform(codes, c -> c * scale)").as("embedding"))
-        Similarity.writeIvfPartitioned(
-          Similarity.buildIvf(deq, cellsForBuild(spark, sfDir, nCells)), stage)
-        ()
-      } { dir =>
-        IvfIndex(spark.read.parquet(s"$dir/centroids"),
-          spark.read.parquet(s"$dir/assigned"))
-      }
+      val home = ServingLayouts.dirFor("sq8", sfDir)
+      val store = home + "/ivf"
+      ensureVersioned(spark, store,
+        publishLegacy =
+          if (legacyFlatExists(spark, home, "assigned"))
+            Some(() => Similarity.writeIvfVersioned(IvfIndex(
+              spark.read.parquet(s"$home/centroids"),
+              spark.read.parquet(s"$home/assigned")), store))
+          else None,
+        build = () => {
+          val deq = Similarity.quantizeInt8(graft.Tables.embeddings(spark, sfDir))
+            .select(col("vec_id"), expr("transform(codes, c -> c * scale)").as("embedding"))
+          Similarity.writeIvfVersioned(
+            Similarity.buildIvf(deq, cellsForBuild(spark, sfDir, nCells)), store)
+        })
+      ServingLayouts.markComplete(home)
+      (home, Similarity.loadIvfVersioned(spark, store))
     }
     val queries = queriesOf(Similarity.prepared(graft.Tables.embeddings(spark, sfDir)), nQueries)
     // equi-join form for the same reason as knnIvf: a 10-query batch's
@@ -1423,23 +1715,36 @@ object AnnServing {
                nCells: Int = -1, nProbe: Int = -1, mSubs: Int = -1,
                kCentroids: Int = -1, rerank: Int = -1): DataFrame = {
     val layout = servedValidated(pqCache, spark, sfDir) { () =>
-      makeLayout("ivfpq", sfDir) { stage =>
-        val emb = graft.Tables.embeddings(spark, sfDir)
-        // one count() pays for all build-time derivations (cells +
-        // codebook width + sub-quantizer count); serving reads geometry
-        // back from the layout
-        val n = emb.count()
-        val cells = if (nCells > 0) nCells else graft.ops.LshGeometry.ivf(n)._1
-        val kc = if (kCentroids > 0) kCentroids else graft.ops.LshGeometry.pq(n)
-        val dim = Similarity.prepared(emb).select(size(col("v"))).head().getInt(0)
-        val m = if (mSubs > 0) mSubs else graft.ops.LshGeometry.pqSubs(dim, n)
-        val index = Similarity.buildIvf(emb, cells)
-        val pq = Similarity.trainPq(emb, m, kc)
-        Similarity.writeIvfPq(index, pq, stage)
-      } { dir =>
-        val (c, p, cd) = Similarity.loadIvfPq(spark, dir)
+      val home = ServingLayouts.dirFor("ivfpq", sfDir)
+      val store = home + "/pq"
+      ensureVersioned(spark, store,
+        publishLegacy =
+          if (legacyFlatExists(spark, home, "codes"))
+            Some(() => {
+              val (c, p, cd) = Similarity.loadIvfPq(spark, home)
+              Similarity.writeIvfPqVersioned(c, p.codebooks, cd, store)
+            })
+          else None,
+        build = () => {
+          val emb = graft.Tables.embeddings(spark, sfDir)
+          // one count() pays for all build-time derivations (cells +
+          // codebook width + sub-quantizer count); serving reads geometry
+          // back from the layout
+          val n = emb.count()
+          val cells = if (nCells > 0) nCells else graft.ops.LshGeometry.ivf(n)._1
+          val kc = if (kCentroids > 0) kCentroids else graft.ops.LshGeometry.pq(n)
+          val dim = Similarity.prepared(emb).select(size(col("v"))).head().getInt(0)
+          val m = if (mSubs > 0) mSubs else graft.ops.LshGeometry.pqSubs(dim, n)
+          val index = Similarity.buildIvf(emb, cells)
+          val pq = Similarity.trainPq(emb, m, kc)
+          Similarity.writeIvfPqVersioned(index.centroids, pq.codebooks,
+            Similarity.pqCodesOf(index, pq), store)
+        })
+      ServingLayouts.markComplete(home)
+      (home, {
+        val (c, p, cd) = Similarity.loadIvfPqVersioned(spark, store)
         PqLayout(c, p, cd)
-      }
+      })
     }
     val base = Similarity.prepared(graft.Tables.embeddings(spark, sfDir))
     Similarity.queryIvfPq(layout.centroids, layout.pq, layout.codes,

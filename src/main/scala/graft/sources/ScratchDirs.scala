@@ -82,6 +82,43 @@ object ScratchDirs {
     root
   }
 
+  /** [[acquire]] variant for callers that manipulate the root with
+    * java.nio local-path APIs (hardlink cloning, Files.walk):
+    * GRAFT_SCRATCH is honored only when it names a LOCAL path —
+    * scheme-less, or `file://` (normalized to its path) — and a
+    * cluster-FS scratch root (hdfs://, s3a://) falls back to a
+    * driver-local temp dir instead of handing java.nio a URI it would
+    * misparse as a relative path (r15 advisor: StreamBench under
+    * `GRAFT_SCRATCH=file:///x` wrote to a bogus `file:/x` relative
+    * dir). The returned path is always java.nio-usable; marker +
+    * exit-hook registration are identical to [[acquire]].
+    */
+  def acquireLocal(spark: SparkSession, tag: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val localBase = sys.env.get("GRAFT_SCRATCH").map(_.trim).filter(_.nonEmpty)
+      .flatMap {
+        case s if !s.contains("://") => Some(s)
+        case s if s.startsWith("file:") =>
+          scala.util.Try(new java.net.URI(s).getPath).toOption.filter(_ != null)
+        case _ => None // cluster FS: this work is local-only by contract
+      }
+    val root = localBase match {
+      case Some(b) =>
+        val r = s"${b.stripSuffix("/")}/$tag-${java.util.UUID.randomUUID().toString.take(12)}"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(r))
+        r
+      case None =>
+        java.nio.file.Files.createTempDirectory(tag).toAbsolutePath.toString
+    }
+    scala.util.Try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(root, Marker),
+        s"pid=${ProcessHandle.current().pid()}\n".getBytes("UTF-8"))
+    }
+    live.add((root, conf))
+    armHook()
+    root
+  }
+
   /** Refresh a root's liveness stamp (the [[Marker]] mtime). Long
     * multi-hour occupants (the sliced verify calls this per slice)
     * keep their root visibly alive to [[sweep]], whose age gate reads

@@ -16,12 +16,14 @@ import graft.ops.Similarity
   * their files land.
   *
   * Exactly-once is layered: the checkpoint makes each FILE processed
-  * once per checkpoint lineage, and the append's vec_id anti-join
-  * guard makes redelivery with a fresh/lost checkpoint a no-op rather
-  * than a duplicate-candidate source — both layers are spec-driven.
-  * The quantizer stays FIXED across appends (spec-proven ≡
-  * KMeans.transform); drift shows up in ivf_cell_stats and triggers an
-  * offline retrain, never an in-stream one.
+  * once per checkpoint lineage, and the append's high-water-mark
+  * redelivery guard ([[graft.ops.Similarity.appendToIvfPartitioned]],
+  * monotone form — one filter against the layout's stored hwm, cost
+  * ∝ batch and never corpus) makes redelivery with a fresh/lost
+  * checkpoint a no-op rather than a duplicate-candidate source — both
+  * layers are spec-driven. The quantizer stays FIXED across appends
+  * (spec-proven ≡ KMeans.transform); drift shows up in ivf_cell_stats
+  * and triggers an offline retrain, never an in-stream one.
   */
 object EmbeddingStream {
 
@@ -30,11 +32,37 @@ object EmbeddingStream {
     * `Trigger.AvailableNow` processes the backlog and terminates; a
     * live deployment swaps in a processing-time trigger on the same
     * DAG and checkpoint.
+    *
+    * `monotoneIds = true` is the pipeline contract (the upstream embed
+    * stage assigns strictly increasing vec_ids), and what keeps the
+    * redelivery guard O(batch) — pass false for an out-of-order id
+    * space to fall back to the exact stored-id anti-join (cost ∝
+    * corpus per batch).
+    *
+    * `autoCompactFilesPerCell > 0` arms the fragmentation trigger: an
+    * append leaves up to one new file per affected cell, so a
+    * long-running ingest ratchets the layout's file count (measured
+    * r15: 1 056 → 10 794 files over a 20-batch sf100 ingest) and
+    * serving latency silently degrades into file-open overhead. When
+    * the layout's running file count exceeds `threshold × nCells`, the
+    * batch is followed by [[graft.ops.Similarity.compactIvfFlat]] — a
+    * generation-flip rewrite concurrent readers survive (they hold the
+    * previous generation, retired only one compaction later). 8 ≈
+    * where the measured ~0.3 ms/open overhead reaches scan parity.
+    * 0 disables (default): compaction cost sits on the ingest lane, so
+    * it is the operator's explicit choice here or via Maintain.
     */
   def ingestOnce(spark: SparkSession, srcDir: String, indexPath: String,
-                 checkpointDir: String, maxFilesPerTrigger: Int = 0): Unit = {
+                 checkpointDir: String, maxFilesPerTrigger: Int = 0,
+                 monotoneIds: Boolean = true,
+                 autoCompactFilesPerCell: Int = 0,
+                 timingSink: (Long, String, Double) => Unit = (_, _, _) => ()): Unit = {
     val schema = spark.read.parquet(srcDir).schema
     val reader = spark.readStream.schema(schema)
+    // the trigger denominator: cells are fixed model metadata (the
+    // quantizer never refits in-stream), so count them once per drain
+    lazy val nCells =
+      spark.read.parquet(s"$indexPath/centroids").count()
     (if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
     else reader)
@@ -43,8 +71,26 @@ object EmbeddingStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Similarity.appendToIvfPartitioned(indexPath, batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        def staged[T](stage: String)(body: => T): T = {
+          val t0 = System.nanoTime()
+          val r = body
+          timingSink(batchId, stage, (System.nanoTime() - t0) / 1e6)
+          r
+        }
+        staged("append") {
+          Similarity.appendToIvfPartitioned(indexPath, batch, monotoneIds)
+        }
+        if (autoCompactFilesPerCell > 0) {
+          val meta = Similarity.readIvfMeta(spark, indexPath)
+          // files < 0 = legacy layout without a counter: the trigger
+          // stays quiet until a write/compact initializes it
+          if (meta.files >= 0 && nCells > 0 &&
+              meta.files > autoCompactFilesPerCell * nCells)
+            staged("auto_compact") {
+              Similarity.compactIvfFlat(spark, indexPath)
+            }
+        }
         ()
       }
       .start()
@@ -79,7 +125,8 @@ object EmbeddingStream {
   def queryOnce(spark: SparkSession, srcDir: String, indexPath: String,
                 destPath: String, checkpointDir: String, k: Int = 5,
                 nProbe: Int = 4, maxFilesPerTrigger: Int = 0,
-                timingSink: (Long, String, Double) => Unit = (_, _, _) => ()): Int = {
+                timingSink: (Long, String, Double) => Unit = (_, _, _) => (),
+                servedPairBound: Long = 1000000L): Int = {
     val schema = spark.read.parquet(srcDir).schema
     val reader = spark.readStream.schema(schema)
     val src = (if (maxFilesPerTrigger > 0)
@@ -106,9 +153,12 @@ object EmbeddingStream {
         val stamp = staged("stamp_poll")(Similarity.ivfStampOf(spark, indexPath))
         if (served == null || stamp < 0 || stamp != servedStamp) {
           staged("index_load") {
-            served = Similarity.IvfIndex(
-              spark.read.parquet(s"$indexPath/centroids"),
-              spark.read.parquet(s"$indexPath/assigned"))
+            // loadIvfFlat, not a bare `assigned` read: the live
+            // generation is resolved through the meta sidecar, so a
+            // compaction's generation flip (stamp bump) lands here like
+            // any append — and a reader pinned to the PREVIOUS
+            // generation stays valid until the compaction after next
+            served = Similarity.loadIvfFlat(spark, indexPath)
           }
           servedStamp = stamp
           loads += 1
@@ -133,10 +183,15 @@ object EmbeddingStream {
         // sf1 batch p50 878 ms with it vs 891 before it existed).
         staged("probe_score_write") {
           val nQ = batch.count()
-          val served =
-            if (nQ * nProbe <= 1000000L) Similarity.queryIvfServed(index, queries, k, nProbe)
+          // `scored`, not `served`: the outer `var served` two scopes up
+          // is the cached IvfIndex — shadowing it here invited a future
+          // edit to silently grab the DataFrame instead (r15 advisor)
+          // servedPairBound parameterized so the fallback-equivalence
+          // spec can force each side of the boundary on one batch size
+          val scored =
+            if (nQ * nProbe <= servedPairBound) Similarity.queryIvfServed(index, queries, k, nProbe)
             else Similarity.queryIvf(index, queries, k, nProbe)
-          served.write.mode("overwrite").parquet(s"$destPath/batch_id=$batchId")
+          scored.write.mode("overwrite").parquet(s"$destPath/batch_id=$batchId")
         }
       }
       .start()

@@ -724,4 +724,102 @@ class SimilaritySpec extends SparkSpec {
     AnnServing.rebuildServedIvf(spark, dir)
     assert(AnnServing.ivfGeometryDrift(spark, dir) === Some((expect, expect, false)))
   }
+
+  test("legacy flat sq8/pq stores migrate to versioned on first serve, row-identically") {
+    import graft.ops.AnnServing
+    import graft.sources.ServingLayouts
+    import org.apache.spark.sql.functions.col
+    // r16: the compressed serving families joined float-IVF's versioned
+    // store (the r12 flat layouts could not be compacted atomically and
+    // fossilized at 46k/22k slivers at sf100). A pre-versioned flat
+    // home must keep serving: first serve republishes its rows
+    // coalesced as v1 — migration IS the compaction, no model refit —
+    // and the results are the flat layout's own, row for row.
+    val corpus = java.nio.file.Files.createTempDirectory("graft_migr_corpus")
+    def copyRec(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(src)) {
+        java.nio.file.Files.createDirectories(dst)
+        val s = java.nio.file.Files.list(src)
+        try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+          .foreach(c => copyRec(c, dst.resolve(c.getFileName)))
+        finally s.close()
+      } else java.nio.file.Files.copy(src, dst)
+    }
+    copyRec(java.nio.file.Paths.get(sfDir, "embeddings.parquet"),
+      corpus.resolve("embeddings.parquet"))
+    val dir = corpus.toString
+    val e = Tables.embeddings(spark, dir)
+    val queries = Similarity.prepared(e).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm2").as("qn2"))
+
+    // ---- sq8: fabricate the legacy flat home (the r12 store shape) ----
+    val sq8Home = ServingLayouts.dirFor("sq8", dir)
+    val deq = Similarity.quantizeInt8(e)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.expr("transform(codes, c -> c * scale)").as("embedding"))
+    Similarity.writeIvfPartitioned(Similarity.buildIvf(deq, 16), sq8Home)
+    ServingLayouts.markComplete(sq8Home)
+    val sq8Expected = Similarity.queryIvf(Similarity.loadIvfFlat(spark, sq8Home),
+      queries, 5, graft.ops.LshGeometry.ivfProbe(16), excludeSelf = true)
+      .collect().map(_.toSeq).toSeq
+    val sq8Served = AnnServing.knnIvfSq8(spark, dir).collect().map(_.toSeq).toSeq
+    assert(Similarity.ivfVersions(spark, s"$sq8Home/ivf") === Seq(1L),
+      "first serve must publish the flat rows as v1 of the versioned store")
+    assert(sq8Served === sq8Expected && sq8Served.nonEmpty,
+      "migration must serve the flat layout's rows identically")
+    // v1 is the COALESCED form: one file per cell
+    val v1assigned = java.nio.file.Paths.get(sq8Home, "ivf", "v00000001", "assigned")
+    import scala.jdk.CollectionConverters._
+    val cellDirs = java.nio.file.Files.list(v1assigned).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("cell=")).toSeq
+    assert(cellDirs.nonEmpty && cellDirs.forall { d =>
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet")) == 1
+      finally s.close()
+    }, "the migrated version must be one file per cell")
+
+    // ---- pq: same lifecycle over the codes layout ----
+    val pqHome = ServingLayouts.dirFor("ivfpq", dir)
+    val ivf = Similarity.buildIvf(e, 16)
+    val pq = Similarity.trainPq(e)
+    Similarity.writeIvfPq(ivf, pq, pqHome)
+    ServingLayouts.markComplete(pqHome)
+    val (fc, fpq, fcodes) = Similarity.loadIvfPq(spark, pqHome)
+    val pqExpected = Similarity.queryIvfPq(fc, fpq, fcodes, queries,
+      Similarity.prepared(e), 5, graft.ops.LshGeometry.ivfProbe(16),
+      graft.ops.LshGeometry.pqRerank(16), excludeSelf = true)
+      .collect().map(_.toSeq).toSeq
+    val pqServed = AnnServing.knnIvfPq(spark, dir).collect().map(_.toSeq).toSeq
+    assert(Similarity.ivfVersions(spark, s"$pqHome/pq") === Seq(1L))
+    assert(pqServed === pqExpected && pqServed.nonEmpty)
+  }
+
+  test("lsh bucket cache: a second call retires exactly the previous occupant") {
+    import org.apache.spark.sql.functions.col
+    // r15 verdict item 7: the one-slot retire logic is subtle enough to
+    // deserve its own direct assertion — two successive single-pass
+    // verifies, the first call's cache must be GONE after the second.
+    val e = Tables.embeddings(spark, sfDir)
+    Similarity.embeddingNearDupsLsh(e).collect()
+    val c1 = Similarity.liveBucketsCache
+      .getOrElse(fail("the single-pass verify must register its bucket cache"))
+    assert(c1.storageLevel.useMemory || c1.storageLevel.useDisk,
+      "the registered occupant is persist-marked")
+    Similarity.embeddingNearDupsLsh(e.filter(col("vec_id") % 2 === 0)).collect()
+    val c2 = Similarity.liveBucketsCache
+      .getOrElse(fail("the second call must register its own cache"))
+    assert(c2 ne c1, "the slot must hold the NEW call's cache")
+    assert(c2.storageLevel.useMemory || c2.storageLevel.useDisk)
+    assert(!c1.storageLevel.useMemory && !c1.storageLevel.useDisk,
+      "the previous occupant must be unpersisted — one live cache per JVM")
+    // PLAN-EQUAL repeat (same corpus re-verified): CacheManager keys by
+    // plan, so retiring the predecessor would evict the new entry too —
+    // the retire must skip it and the cache must survive
+    Similarity.embeddingNearDupsLsh(e.filter(col("vec_id") % 2 === 0)).collect()
+    val c3 = Similarity.liveBucketsCache.get
+    assert(c3.storageLevel.useMemory || c3.storageLevel.useDisk,
+      "a plan-equal repeat call must keep its cache live")
+    assert(c2.storageLevel.useMemory || c2.storageLevel.useDisk,
+      "retiring a plan-equal predecessor must not evict the shared entry")
+  }
 }

@@ -721,4 +721,192 @@ class StreamingSpec extends SparkSpec {
     CorpusStream.dsirScoreOnce(spark, src, modelPath, dest, ckpt)
     assert(spark.read.parquet(dest).count() === batch.size)
   }
+
+  test("monotone hwm guard: lost-checkpoint redelivery is a no-op with ZERO stored-id scan") {
+    import graft.ops.Similarity
+    import graft.streaming.EmbeddingStream
+    // r15 verdict item 2: the full anti-join guard read the ENTIRE
+    // stored vec_id column per batch (3.0 M rows / 7.6 k files at
+    // sf100) — cost ∝ corpus, contradicting the row's own contract.
+    // Under the monotone-producer contract the guard is one filter
+    // against the layout's high-water mark: this spec proves (a) the
+    // no-op, (b) that NO stored-id rows are scanned doing it.
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val base = emb.filter(col("vec_id") < n / 2)
+    val late = emb.filter(col("vec_id") >= n / 2)
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_hwm_idx").toString
+    Similarity.writeIvfPartitioned(Similarity.buildIvf(base), idxPath)
+    assert(Similarity.readIvfMeta(spark, idxPath).hwm === Some(n / 2 - 1),
+      "a fresh write must record the layout's high-water mark")
+    val src = java.nio.file.Files.createTempDirectory("graft_hwm_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hwm_ck").toString
+    late.coalesce(1).write.mode("overwrite").parquet(src)
+    EmbeddingStream.ingestOnce(spark, src, idxPath, ckpt)
+    assert(spark.read.parquet(s"$idxPath/assigned").count() === n)
+    assert(Similarity.readIvfMeta(spark, idxPath).hwm === Some(n - 1),
+      "the append must promote the high-water mark")
+    // lost checkpoint → full redelivery. Tap every executed scan of the
+    // stored assigned tree: the hwm guard must produce the no-op from
+    // the metadata sidecar alone.
+    val scannedRows = new java.util.concurrent.atomic.AtomicLong(0)
+    val tap = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def walk(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a +: walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: walk(q.plan)
+        case other => other +: (other.children ++ other.subqueries).flatMap(walk)
+      }
+      override def onSuccess(f: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             ns: Long): Unit =
+        walk(qe.executedPlan).foreach {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains(s"$idxPath/assigned")) =>
+            scannedRows.addAndGet(s.metrics.get("numOutputRows").map(_.value).getOrElse(0L))
+          case _ => ()
+        }
+      override def onFailure(f: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_hwm_ck2").toString
+    spark.listenerManager.register(tap)
+    try {
+      EmbeddingStream.ingestOnce(spark, src, idxPath, ckpt2)
+      // the execution listener delivers asynchronously — give the bus a
+      // beat before reading the accumulated scan mass
+      Thread.sleep(2000)
+    } finally spark.listenerManager.unregister(tap)
+    assert(spark.read.parquet(s"$idxPath/assigned").count() === n,
+      "redelivery must be a no-op")
+    assert(scannedRows.get() === 0L,
+      s"the hwm guard must not scan stored ids on redelivery, scanned ${scannedRows.get()}")
+  }
+
+  test("hwm pending two-phase: a crash between data commit and promote still dedups exactly") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val base = emb.filter(col("vec_id") < n / 2)
+    val batchA = emb.filter(col("vec_id") >= n / 2)
+    val idx = java.nio.file.Files.createTempDirectory("graft_pend_idx").toString
+    Similarity.writeIvfPartitioned(Similarity.buildIvf(base), idx)
+    val h = n / 2 - 1
+    // CASE 1 — crash AFTER the append's data job committed, BEFORE the
+    // promote: batchA's rows are on disk, hwm still h, pending staked.
+    Similarity.appendToIvfPartitioned(idx, batchA, monotoneIds = true)
+    val done = Similarity.readIvfMeta(spark, idx)
+    assert(done.hwm === Some(n - 1) && done.pending.isEmpty)
+    Similarity.writeIvfMeta(spark, idx,
+      done.copy(hwm = Some(h), pending = Some(n - 1)))
+    // redelivery: the recovery anti-join verifies exactly the (h, n-1]
+    // window — nothing lands twice, and the mark resolves
+    Similarity.appendToIvfPartitioned(idx, batchA, monotoneIds = true)
+    val assigned = spark.read.parquet(s"$idx/assigned")
+    assert(assigned.count() === n, "no duplicates after crash-window redelivery")
+    assert(assigned.select("vec_id").distinct().count() === n)
+    val resolved = Similarity.readIvfMeta(spark, idx)
+    assert(resolved.hwm === Some(n - 1) && resolved.pending.isEmpty,
+      "the verified pending mark must promote into hwm")
+    // CASE 2 — crash BEFORE the data job: pending staked, no rows on
+    // disk. Redelivery must land the batch exactly once.
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_pend_idx2").toString
+    Similarity.writeIvfPartitioned(Similarity.buildIvf(base), idx2)
+    val m2 = Similarity.readIvfMeta(spark, idx2)
+    Similarity.writeIvfMeta(spark, idx2, m2.copy(pending = Some(n - 1)))
+    Similarity.appendToIvfPartitioned(idx2, batchA, monotoneIds = true)
+    assert(spark.read.parquet(s"$idx2/assigned").count() === n,
+      "a staked-but-uncommitted batch must land on redelivery")
+    // and the grown layout equals the in-memory append cell-for-cell
+    val mem = Similarity.appendToIvf(Similarity.IvfIndex(
+      spark.read.parquet(s"$idx2/centroids"),
+      spark.read.parquet(s"$idx2/assigned").filter(col("vec_id") < n / 2)), batchA)
+    assert(spark.read.parquet(s"$idx2/assigned").select("vec_id", "cell")
+        .as[(Long, Int)].collect().toSet ===
+      mem.assigned.select("vec_id", "cell").as[(Long, Int)].collect().toSet)
+  }
+
+  test("auto-compaction bounds the layout's file count; a pinned reader survives the flip") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    import graft.streaming.EmbeddingStream
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val base = emb.filter(col("vec_id") < n / 4)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ac_idx").toString
+    Similarity.writeIvfPartitioned(Similarity.buildIvf(base), idx)
+    val nCells = spark.read.parquet(s"$idx/centroids").count()
+    // a reader loaded BEFORE any compaction — generation 0
+    val pinned = Similarity.loadIvfFlat(spark, idx)
+    // three single-file batches at threshold 2: files/cell walks
+    // 1→2→3 (trigger: 3 > 2) → compact to gen 1 → 1→2 — exactly one
+    // flip, so the pinned gen-0 reader must stay valid throughout
+    val src = java.nio.file.Files.createTempDirectory("graft_ac_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ac_ck").toString
+    (1 to 3).foreach { i =>
+      emb.withColumn("vec_id", col("vec_id") + n * i).coalesce(1)
+        .write.mode("append").parquet(src)
+      Thread.sleep(1100) // distinct mtimes → distinct micro-batches
+    }
+    EmbeddingStream.ingestOnce(spark, src, idx, ckpt, maxFilesPerTrigger = 1,
+      autoCompactFilesPerCell = 2)
+    val meta = Similarity.readIvfMeta(spark, idx)
+    assert(meta.gen === 1, s"expected exactly one generation flip, got ${meta.gen}")
+    assert(meta.files <= 2 * nCells,
+      s"file count must stay bounded without a manual step: ${meta.files} files / $nCells cells")
+    // the pinned pre-compaction reader still serves (its directory is
+    // retained until the compaction after next)
+    assert(pinned.assigned.count() >= base.count())
+    // the live generation holds every row exactly once
+    val live = Similarity.loadIvfFlat(spark, idx)
+    assert(live.assigned.count() === base.count() + 3 * n)
+    assert(live.assigned.select("vec_id").distinct().count() === base.count() + 3 * n)
+    // rows survived the flip cell-for-cell ≡ the in-memory append
+    val mem = Similarity.appendToIvf(
+      Similarity.IvfIndex(pinned.centroids,
+        Similarity.loadIvfFlat(spark, idx).assigned.limit(0)),
+      emb.withColumn("vec_id", col("vec_id") + n))
+    val memSet = mem.assigned.select("vec_id", "cell").as[(Long, Int)].collect().toSet
+    val liveSet = live.assigned.filter(col("vec_id") >= n && col("vec_id") < 2 * n)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toSet
+    assert(liveSet === memSet, "compaction must preserve assignments exactly")
+    // ONE MORE compaction retires generation 0 — the documented
+    // retention: a reader more than one compaction behind rebuilds
+    Similarity.compactIvfFlat(spark, idx)
+    assert(Similarity.readIvfMeta(spark, idx).gen === 2)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "assigned")),
+      "generation n-2 must be retired")
+    assert(Similarity.loadIvfFlat(spark, idx).assigned.count() === base.count() + 3 * n)
+  }
+
+  test("served-query backfill fallback (equi-join form) equals the pruned served form") {
+    import graft.ops.Similarity
+    import graft.streaming.EmbeddingStream
+    // r15 verdict item 6: queryOnce falls back to the single-pass
+    // equi-join form above the probe-pair bound (a backfill-sized batch
+    // covers ~every cell, where static pruning is a pure loss). The
+    // fallback must be invisible in the rows: drive the SAME drain
+    // through each side of the boundary and compare outputs exactly.
+    val emb = Tables.embeddings(spark, sfDir)
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_fb_idx").toString
+    Similarity.writeIvfPartitioned(Similarity.buildIvf(emb), idxPath)
+    val queries = emb.filter(col("vec_id") < 12)
+    val src = java.nio.file.Files.createTempDirectory("graft_fb_src").toString
+    queries.repartition(2).write.mode("overwrite").parquet(src)
+    def drained(tag: String, bound: Long): Seq[Seq[Any]] = {
+      val dest = java.nio.file.Files.createTempDirectory(s"graft_fb_$tag").toString + "/out"
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_fb_ck_$tag").toString
+      EmbeddingStream.queryOnce(spark, src, idxPath, dest, ckpt,
+        maxFilesPerTrigger = 1, servedPairBound = bound)
+      spark.read.parquet(dest).drop("batch_id")
+        .orderBy("query_id", "rnk").collect().toSeq.map(_.toSeq)
+    }
+    val served = drained("served", Long.MaxValue) // every batch under the bound
+    val fallback = drained("fallback", 0L)        // every batch above it
+    assert(served.nonEmpty && served === fallback,
+      "the backfill fallback must serve row-identical results")
+  }
 }

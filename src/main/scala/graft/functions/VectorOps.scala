@@ -108,6 +108,34 @@ object VectorKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Asymmetric-distance (ADC) score of one PQ-coded candidate against
+    * one query's flattened m×k lookup tables — the IVF-PQ scoring
+    * kernel ([[graft.ops.Similarity.queryIvfPq]]). `tdot`/`tnorm` are
+    * (sub, cid)-ordered flat arrays (index s·k + code), so the score is
+    * m indexed lookups summed left-to-right: adot/√anorm2, the cosine
+    * numerator/denominator the rerank ordering uses. The previous shape
+    * posexploded every candidate into m (query, sub, code) rows, joined
+    * the exploded stream against the table and re-aggregated — at an
+    * sf100 probe that was ~80 M exploded rows through a join and a
+    * hash-agg shuffle PER 10-query batch (measured r16: 31 s of the
+    * 31.5 s serving wall). This form is one codegen'd projection over
+    * the candidate rows: zero explosion, zero re-aggregation.
+    */
+  def pqAdcScore(codes: ArrayData, tdot: ArrayData, tnorm: ArrayData,
+                 k: Int): Double = {
+    val m = codes.numElements()
+    var adot = 0.0
+    var an2 = 0.0
+    var s = 0
+    while (s < m) {
+      val idx = s * k + codes.getInt(s)
+      adot += tdot.getDouble(idx)
+      an2 += tnorm.getDouble(idx)
+      s += 1
+    }
+    adot / math.sqrt(an2)
+  }
+
   /** Plane-sign tables for [[hyperplaneBands]], cached per (planes,
     * dims): the ±1 entries depend only on (plane, dim), but the first
     * implementation recomputed the mix64 parity PER ROW — at the
@@ -277,6 +305,38 @@ case class PqEncode(child: Expression, cids: Array[Array[Int]],
   override def prettyName: String = "pq_encode"
 }
 
+/** pq_adc_score(codes, tdot, tnorm) → double: one candidate's ADC
+  * cosine score from its m codes and the query's flattened (sub,
+  * cid)-ordered lookup tables. `k` (codebook width) is plan-time
+  * geometry. See [[VectorKernels.pqAdcScore]].
+  */
+case class PqAdcScore(codes: Expression, tdot: Expression, tnorm: Expression,
+                      k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def first: Expression = codes
+  override def second: Expression = tdot
+  override def third: Expression = tnorm
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (codes.dataType, tdot.dataType, tnorm.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_score requires (array<int>, array<double>, array<double>), " +
+          s"got ${a.catalogString}, ${b.catalogString}, ${c.catalogString}")
+    }
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    VectorKernels.pqAdcScore(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, c) => s"graft.functions.VectorKernels.pqAdcScore($a, $b, $c, $k)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression): PqAdcScore =
+    copy(codes = f, tdot = s, tnorm = t)
+  override def prettyName: String = "pq_adc_score"
+}
+
 object VectorOps {
   def vecDot(a: Column, b: Column): Column =
     Shims.column(DotProduct(Shims.expression(a), Shims.expression(b)))
@@ -290,4 +350,7 @@ object VectorOps {
   def pqEncode(v: Column, cids: Array[Array[Int]],
                centroids: Array[Array[Array[Double]]], subDim: Int): Column =
     Shims.column(PqEncode(Shims.expression(v), cids, centroids, subDim))
+  def pqAdcScore(codes: Column, tdot: Column, tnorm: Column, k: Int): Column =
+    Shims.column(PqAdcScore(Shims.expression(codes), Shims.expression(tdot),
+      Shims.expression(tnorm), k))
 }

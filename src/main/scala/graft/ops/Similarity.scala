@@ -1251,8 +1251,6 @@ object Similarity {
                  queries: DataFrame, rerankCorpus: DataFrame, k: Int = 5,
                  nProbe: Int = 4, rerank: Int = 50,
                  excludeSelf: Boolean = false): DataFrame = {
-    val codeRows = codes
-      .select(col("vec_id"), col("cell"), posexplode(col("codes")).as(Seq("sub", "code")))
     // coarse probe: each query's nProbe nearest cells (same as queryIvf)
     val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("d2", VectorOps.vecNorm2(zip_with(col("qv"), col("centroid"),
@@ -1261,20 +1259,39 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))))
       .filter(col("pr") <= nProbe)
       .select(col("query_id"), col("cell"))
-    // ADC lookup table: per (query, sub, centroid) partial dot + norm²
-    val adc = subVectors(queries, "query_id", "qv", pq.mSubs, pq.subDim)
+    // ADC lookup tables, ONE broadcast row per query: the per-(sub, cid)
+    // partial dot/norm² pairs flattened (sub, cid)-ordered into two
+    // m×k arrays, so a candidate scores with m indexed lookups inside
+    // the codegen'd [[graft.functions.PqAdcScore]] kernel. The previous
+    // shape posexploded every candidate into m (sub, code) rows, joined
+    // the exploded stream against a (query, sub, cid) table and
+    // re-aggregated the partials — at an sf100 probe that was ~80 M
+    // exploded rows through a join + hash-agg shuffle per 10-query
+    // batch, and it was the whole serving wall (measured r16: 31.5 s
+    // total, vs 3.9 s for float IVF over the SAME candidate mass; the
+    // kernel form scores candidate rows 1:1 with zero re-aggregation).
+    val kWidth = (pq.codebooks.count() / math.max(1, pq.mSubs)).toInt
+    val adcTab = subVectors(queries, "query_id", "qv", pq.mSubs, pq.subDim)
       .join(broadcast(pq.codebooks), Seq("sub"))
       .select(col("query_id"), col("sub"), col("cid"),
         VectorOps.vecDot(col("subv"), col("centroid")).as("pdot"),
         VectorOps.vecNorm2(col("centroid")).as("pnorm2"))
-    val scored = broadcast(probes).join(codeRows, Seq("cell"))
+      // lexicographic struct sort = (sub, cid) order = flat index s·k+cid
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("cid"),
+        col("pdot"), col("pnorm2")))).as("t"))
+      .select(col("query_id"),
+        expr("transform(t, x -> x.pdot)").as("tdot"),
+        expr("transform(t, x -> x.pnorm2)").as("tnorm"))
+    val scored = broadcast(probes).join(codes, Seq("cell"))
       .filter(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
-      .join(broadcast(adc).withColumnRenamed("cid", "code"), Seq("query_id", "sub", "code"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("pdot")).as("adot"), sum(col("pnorm2")).as("anorm2"))
+      .join(broadcast(adcTab), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorOps.pqAdcScore(col("codes"), col("tdot"), col("tnorm"), kWidth)
+          .as("adc_score"))
       .withColumn("approx_rnk", row_number().over(
         Window.partitionBy(col("query_id"))
-          .orderBy((col("adot") / sqrt(col("anorm2"))).desc, col("vec_id"))))
+          .orderBy(col("adc_score").desc, col("vec_id"))))
       .filter(col("approx_rnk") <= rerank)
       .select(col("query_id"), col("vec_id"))
     scored

@@ -1351,23 +1351,68 @@ object Similarity {
     * metadata — no refit, no touch of existing code files), and append
     * new code files into only the affected `cell=` directories. The
     * continuous-ingest shape for the quantized index, symmetric to
-    * [[appendToIvfPartitioned]]: cost ∝ batch, never corpus; periodic
-    * codebook refit is an offline rebuild like any index retrain.
+    * [[appendToIvfPartitioned]] — including the redelivery guard: under
+    * `monotoneIds` it is one filter against the layout's stamped
+    * high-water mark (zero stored-id scan, the pending two-phase mark
+    * closing the append/promote crash window with a stats-bounded
+    * narrow anti-join); without the contract it stays the exact
+    * anti-join against the stored vec_id column — a replayed batch
+    * would duplicate code rows, and duplicate candidates can displace
+    * true neighbors in the ADC rerank shortlist. The hwm is MAINTAINED
+    * on every append (one-time stored-max scan for a legacy layout),
+    * so a caller can adopt the contract later without a migration.
     */
-  def appendToIvfPq(path: String, newEmbeddings: DataFrame): Unit = {
+  def appendToIvfPq(path: String, newEmbeddings: DataFrame,
+                    monotoneIds: Boolean = false): Unit = {
     val spark = newEmbeddings.sparkSession
     val (centroids, pq, codes) = loadIvfPq(spark, path)
-    // Idempotence guard (same as [[appendToIvfPartitioned]]): a replayed
-    // batch would duplicate code rows, and duplicate candidates can
-    // displace true neighbors in the ADC rerank shortlist. Anti-join the
-    // batch against the stored vec_id column before writing.
-    val assigned = assignCells(centroids,
-      prepared(newEmbeddings).join(codes.select(col("vec_id")), Seq("vec_id"), "left_anti"))
-    encodePq(pq, assigned)
-      .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
-      // one new file per affected cell per batch (see appendToIvfPartitioned)
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    val meta = readIvfMeta(spark, path)
+    val preparedB = prepared(newEmbeddings)
+    val guarded = (if (monotoneIds) meta.hwm else None) match {
+      case Some(h) =>
+        meta.pending match {
+          case Some(p) if p > h =>
+            // crash window: a prior append may have committed code rows
+            // for ids in (h, p] without promoting hwm — verify exactly
+            // that window (parquet stats prune files whose vec_id range
+            // lies wholly below h); rows ≤ h are provably old
+            preparedB.filter(col("vec_id") > h)
+              .join(codes.select(col("vec_id")).filter(col("vec_id") > h),
+                Seq("vec_id"), "left_anti")
+          case _ => preparedB.filter(col("vec_id") > h)
+        }
+      case None =>
+        preparedB.join(codes.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    }
+    val assigned = assignCells(centroids, guarded).persist()
+    try {
+      val st = assigned.agg(max(col("vec_id")), count(lit(1))).head()
+      if (st.getLong(1) == 0L) {
+        // full redelivery (or empty batch): nothing lands; a pending
+        // mark this guard just verified resolves to its promoted hwm
+        meta.pending match {
+          case Some(p) if meta.hwm.exists(p > _) =>
+            writeIvfMeta(spark, path, meta.copy(hwm = Some(p), pending = None))
+          case _ => ()
+        }
+      } else {
+        val batchMax = st.getLong(0)
+        val storedMax = meta.hwm.orElse(meta.pending).getOrElse {
+          val r = codes.agg(max(col("vec_id"))).head()
+          if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+        }
+        val newHwm = math.max(batchMax, storedMax)
+        writeIvfMeta(spark, path, meta.copy(pending = Some(newHwm)))
+        encodePq(pq, assigned)
+          .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+          // one new file per affected cell per batch (see appendToIvfPartitioned)
+          .repartition(col("cell"))
+          .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+        writeIvfMeta(spark, path, meta.copy(
+          version = math.max(0L, meta.version) + 1,
+          hwm = Some(newHwm), pending = None))
+      }
+    } finally assigned.unpersist()
   }
 
   /** Publish a PQ layout (centroids + codebooks + cell-partitioned

@@ -458,6 +458,71 @@ class SimilaritySpec extends SparkSpec {
     assert(stored === mem)
   }
 
+  test("IVF-PQ monotone hwm guard: redelivery is a no-op with zero stored-code scan; crash window dedups") {
+    import org.apache.spark.sql.functions.col
+    // r16: appendToIvfPq gets the same O(batch) redelivery guard as the
+    // float path — under the monotone-producer contract the guard is one
+    // filter vs the stamped hwm (the general anti-join read the FULL
+    // stored vec_id column per batch; at sf100 that is 2 M rows).
+    val e = Tables.embeddings(spark, sfDir)
+    val n = e.count()
+    val initial = e.filter(col("vec_id") < n / 2)
+    val batch = e.filter(col("vec_id") >= n / 2)
+    val ivf = Similarity.buildIvf(initial)
+    val pq = Similarity.trainPq(initial)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_hwm").toString
+    Similarity.writeIvfPq(ivf, pq, dir)
+    Similarity.appendToIvfPq(dir, batch, monotoneIds = true)
+    val m1 = Similarity.readIvfMeta(spark, dir)
+    assert(m1.hwm === Some(n - 1) && m1.pending.isEmpty,
+      "the first monotone append must initialize and promote the hwm")
+    assert(spark.read.parquet(s"$dir/codes").count() === n)
+    // lost checkpoint → full redelivery: the guard must no-op from the
+    // sidecar alone, scanning ZERO stored code rows
+    val scannedRows = new java.util.concurrent.atomic.AtomicLong(0)
+    val tap = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def walk(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a +: walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: walk(q.plan)
+        case other => other +: (other.children ++ other.subqueries).flatMap(walk)
+      }
+      override def onSuccess(f: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             ns: Long): Unit =
+        walk(qe.executedPlan).foreach {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains(s"$dir/codes")) =>
+            scannedRows.addAndGet(s.metrics.get("numOutputRows").map(_.value).getOrElse(0L))
+          case _ => ()
+        }
+      override def onFailure(f: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(tap)
+    try {
+      Similarity.appendToIvfPq(dir, batch, monotoneIds = true)
+      Thread.sleep(2000) // listener delivery is async
+    } finally spark.listenerManager.unregister(tap)
+    assert(spark.read.parquet(s"$dir/codes").count() === n, "redelivery must be a no-op")
+    assert(scannedRows.get() === 0L,
+      s"the hwm guard must not scan stored codes on redelivery, scanned ${scannedRows.get()}")
+    // crash AFTER data commit, BEFORE promote: pending staked, rows on
+    // disk — redelivery verifies exactly the (h, hwm] window, no dupes
+    val done = Similarity.readIvfMeta(spark, dir)
+    Similarity.writeIvfMeta(spark, dir,
+      done.copy(hwm = Some(n / 2 - 1), pending = Some(n - 1)))
+    Similarity.appendToIvfPq(dir, batch, monotoneIds = true)
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() === n && codes.select("vec_id").distinct().count() === n,
+      "no duplicate code rows after crash-window redelivery")
+    val resolved = Similarity.readIvfMeta(spark, dir)
+    assert(resolved.hwm === Some(n - 1) && resolved.pending.isEmpty,
+      "the verified pending mark must promote into hwm")
+  }
+
   test("recall report scores every served family with consistent counts and sane floors") {
     import graft.ops.AnnServing
     val r = AnnServing.recallReport(spark, sfDir)

@@ -45,6 +45,12 @@ jrun() {
 }
 step() { echo "[r16stream] $* $(date -u +%H:%M:%S)"; }
 
+step "stream bench sf1 (all workloads, 20 batches, cache-conditioned)"
+SPARK_GRAFT_CPUS=16 GRAFT_BENCH_DROP_CACHES=1 \
+SPARK_GRAFT_STREAM_OUT=/tmp/stream_sf1_r16.json \
+  jrun 24g graft.StreamBench /root/repo/data/sf1 20 > /tmp/r16_stream_sf1.out 2>&1
+step "sf1 done rc=$?"
+
 step "stream bench sf10 (all workloads, 20 batches, cache-conditioned)"
 SPARK_GRAFT_CPUS=32 GRAFT_BENCH_DROP_CACHES=1 \
 SPARK_GRAFT_STREAM_OUT=/tmp/stream_sf10_r16.json \

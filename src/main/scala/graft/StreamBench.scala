@@ -116,7 +116,21 @@ object StreamBench {
     // fits a bench window.
     val workloads = sys.env.getOrElse("SPARK_GRAFT_STREAM_WORKLOADS",
       "corpus,embedding,query").split(",").map(_.trim).toSet
-    val spark = GraftSession.builder(defaultCpus = "8").getOrCreate()
+    // Long-running-driver posture, same rationale as Bench: a session
+    // driving ~100 streaming micro-batches (each an append shuffle,
+    // plus full-layout compaction rewrites at sf100) accumulates
+    // shuffle files until the DRIVER GCs — measured live: 21 GB of
+    // blockmgr spill during one sf100 ingest+drain on an 80 GB heap
+    // that never felt pressure, which is a disk-exhaustion kill on
+    // this host and a local-disk bill on a real cluster. The periodic
+    // GC keeps the ContextCleaner backlog batch-sized.
+    val spark = GraftSession.builder(defaultCpus = "8")
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      .config("spark.sql.ui.retainedExecutions", "16")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "2000")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // ScratchDirs, not a bare temp dir: the work dir holds staged
     // sources + the cloned/growing index (8.5 GB at sf100) — the exit
@@ -133,6 +147,27 @@ object StreamBench {
     def staged(df: org.apache.spark.sql.DataFrame, name: String): String = {
       val dir = s"$work/$name"
       df.repartition(nBatches).write.parquet(dir)
+      dir
+    }
+
+    // Staging for the MONOTONE-producer lane (the embedding ingest):
+    // the hwm redelivery guard's contract is that batch k's ids all
+    // exceed batch k−1's — a round-robin staging violates it (batch 1
+    // carries ~the global max id, so the guard filters every later
+    // batch as redelivered: measured live as appended_twin share 0.013
+    // and 429 post-ingest files instead of ~5k). Range-partition the
+    // source so each file holds one contiguous ascending id range, then
+    // stamp ascending mtimes in range order: the file source replays a
+    // backlog oldest-mtime-first, so delivery order = id order, which
+    // is exactly what a real id-assigning embed stage produces.
+    def stagedMonotone(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      val dir = s"$work/$name"
+      df.repartitionByRange(nBatches, col("vec_id")).write.parquet(dir)
+      val partFiles = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val base = System.currentTimeMillis() - partFiles.length * 1000L
+      partFiles.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(base + i * 1000L) }
       dir
     }
 
@@ -249,7 +284,7 @@ object StreamBench {
       // ---- workload 2: embedding ingest (append into stored IVF cells) ----
       if (workloads("embedding")) {
         val newVecs = embTable.withColumn("vec_id", col("vec_id") + maxVec + 1)
-        val embSrc = staged(newVecs, "emb_src")
+        val embSrc = stagedMonotone(newVecs, "emb_src")
         val embTap = new ProgressTap(touchWork)
         // scan attribution for the append's redelivery guard: under the
         // monotone high-water-mark guard a steady-state batch scans NO
@@ -340,9 +375,14 @@ object StreamBench {
         // exactly once no matter how many micro-batches it serves
         parts += s""""ann_query_index_loads":$qLoads"""
 
-        val (wServed, wBatches, wP50, wP99, wWall, wLoads, _, _) = drain("warm")
+        val (wServed, wBatches, wP50, wP99, wWall, wLoads, wStageJson, wScanJson) =
+          drain("warm")
         parts += s""""ann_query_warm":${block(wServed, wBatches,
           if (wWall > 0) wServed / wWall else 0.0, wP50, wP99, wWall)}"""
+        // warm drains carry the same attribution as cold: when warm ≠
+        // cold beyond cache effects, the stage/scan split names the owner
+        parts += s""""ann_query_warm_stage_ms":$wStageJson"""
+        parts += s""""ann_query_warm_index_scan":$wScanJson"""
         parts += s""""ann_query_warm_index_loads":$wLoads"""
 
         // ingest-while-serving proof: every streamed-in vector is an

@@ -37,7 +37,13 @@ object EmbeddingStream {
     * stage assigns strictly increasing vec_ids), and what keeps the
     * redelivery guard O(batch) — pass false for an out-of-order id
     * space to fall back to the exact stored-id anti-join (cost ∝
-    * corpus per batch).
+    * corpus per batch). The contract must hold at FILE granularity:
+    * the file source replays a backlog oldest-modification-time-first,
+    * so every id in a later-landed file must exceed every id in an
+    * earlier one (true for an id-assigning producer writing files in
+    * sequence; NOT true for a round-robin re-staging of an existing
+    * table — the guard would then filter the out-of-order remainder as
+    * redelivered). Interleaved landings ⇒ use `monotoneIds = false`.
     *
     * `autoCompactFilesPerCell > 0` arms the fragmentation trigger: an
     * append leaves up to one new file per affected cell, so a

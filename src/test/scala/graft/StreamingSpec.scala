@@ -785,6 +785,60 @@ class StreamingSpec extends SparkSpec {
       s"the hwm guard must not scan stored ids on redelivery, scanned ${scannedRows.get()}")
   }
 
+  test("hwm guard over a multi-file monotone backlog: every batch lands; out-of-order needs the anti-join form") {
+    import graft.ops.Similarity
+    import graft.streaming.EmbeddingStream
+    // The guard's contract holds at FILE granularity (the file source
+    // replays oldest-mtime-first). A round-robin staging of the same
+    // rows violates it and the guard silently filters later batches as
+    // redelivered — the shape that bit the stream bench live (twin
+    // share 0.013). This pins both sides: an id-ranged ascending
+    // backlog fully lands under monotoneIds; the interleaved staging
+    // of the SAME rows fully lands only under the anti-join fallback.
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val base = emb.filter(col("vec_id") < n / 2)
+    val late = emb.filter(col("vec_id") >= n / 2)
+    def freshIndex(): String = {
+      val p = java.nio.file.Files.createTempDirectory("graft_mono_idx").toString
+      Similarity.writeIvfPartitioned(Similarity.buildIvf(base), p)
+      p
+    }
+    def stage(parts: Seq[org.apache.spark.sql.DataFrame]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_mono_src").toString
+      parts.zipWithIndex.foreach { case (df, i) =>
+        df.coalesce(1).write.parquet(s"$dir/f$i")
+        val f = new java.io.File(s"$dir/f$i").listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(dir, f"chunk-$i%02d.parquet"))
+        new java.io.File(dir, f"chunk-$i%02d.parquet")
+          .setLastModified(1700000000000L + i * 1000L)
+      }
+      dir
+    }
+    val mid = (n / 2 + n) / 2
+    // ascending id ranges in mtime order — the contract
+    val okSrc = stage(Seq(
+      late.filter(col("vec_id") < mid), late.filter(col("vec_id") >= mid)))
+    val idx1 = freshIndex()
+    EmbeddingStream.ingestOnce(spark, okSrc, idx1,
+      java.nio.file.Files.createTempDirectory("graft_mono_ck1").toString,
+      maxFilesPerTrigger = 1)
+    assert(spark.read.parquet(s"$idx1/assigned").count() === n,
+      "an ascending multi-file backlog must fully land under the hwm guard")
+    // the SAME rows interleaved (high range first) — contract violated:
+    // the exact anti-join form must land them all
+    val badSrc = stage(Seq(
+      late.filter(col("vec_id") >= mid), late.filter(col("vec_id") < mid)))
+    val idx2 = freshIndex()
+    EmbeddingStream.ingestOnce(spark, badSrc, idx2,
+      java.nio.file.Files.createTempDirectory("graft_mono_ck2").toString,
+      maxFilesPerTrigger = 1, monotoneIds = false)
+    assert(spark.read.parquet(s"$idx2/assigned").count() === n,
+      "an out-of-order backlog must fully land under the anti-join form")
+  }
+
   test("hwm pending two-phase: a crash between data commit and promote still dedups exactly") {
     import spark.implicits._
     import graft.ops.Similarity

@@ -587,6 +587,24 @@ object Similarity {
       VectorOps.nearestCell(col("v"), rows.map(_._1), rows.map(_._2)).as("cell"))
   }
 
+  /** CPU-spread for the row-local kernels on NARROW batch sources. A
+    * streamed micro-batch usually arrives as ONE parquet file — one row
+    * group, so the scan cannot split it — and a plain-filter guard (the
+    * monotone hwm form) keeps that single partition all the way into
+    * the assign/encode kernel: at sf100 that put a 26-GFLOP argmin
+    * (100 k × 1024 centroids × 256 dims) on ONE thread, measured 40-56 s
+    * per append vs ~10 s for everything else in the batch. (The r15
+    * anti-join guard was accidentally immune: its shuffle spread the
+    * batch before the kernel.) One batch-sized round-robin exchange
+    * (~200 MB at sf100) buys the kernel full parallelism; skipped when
+    * the batch already arrives at least as wide as the session's cores,
+    * so multi-file batches and the anti-join form pay nothing.
+    */
+  private def spreadForKernel(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Incremental index growth — the continuous-ingest shape for ANN,
     * symmetric to dedup_incremental: a new embedding batch is assigned
     * to the EXISTING coarse quantizer (centroids are fixed model
@@ -808,7 +826,7 @@ object Similarity {
         preparedB.join(spark.read.parquet(aDir).select(col("vec_id")),
           Seq("vec_id"), "left_anti")
     }
-    val assignedNew = assignCells(centroids, guarded).persist()
+    val assignedNew = assignCells(centroids, spreadForKernel(guarded)).persist()
     try {
       val st = assignedNew
         .agg(max(col("vec_id")), countDistinct(col("cell")), count(lit(1))).head()
@@ -1384,7 +1402,7 @@ object Similarity {
       case None =>
         preparedB.join(codes.select(col("vec_id")), Seq("vec_id"), "left_anti")
     }
-    val assigned = assignCells(centroids, guarded).persist()
+    val assigned = assignCells(centroids, spreadForKernel(guarded)).persist()
     try {
       val st = assigned.agg(max(col("vec_id")), count(lit(1))).head()
       if (st.getLong(1) == 0L) {

@@ -576,14 +576,25 @@ object Similarity {
     * and the lowest-cell tie-break are bit-identical to the old
     * `norm2(zip_with(v, c, _-_))` + window(d2, cell) form.
     */
-  private def assignCells(centroids: DataFrame, base: DataFrame): DataFrame = {
+  private def assignCells(centroids: DataFrame, base: DataFrame,
+                          spreadKernel: Boolean = false): DataFrame = {
     val rows = centroids.select(col("cell"), col("centroid")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
     // empty centroids would make every row unassignable — fail at plan
     // construction with the store named, not row-by-row in the kernel
     require(rows.nonEmpty,
       "assignCells: empty centroid frame — the quantizer store is missing or torn")
-    base.select(col("vec_id"), col("v"), col("norm2"),
+    // gate the spread on the QUANTIZER's per-row argmin cost (nCells ×
+    // dim flops): at sf100 geometry (1024 × 256) the exchange bought
+    // back ~28 s of single-threaded kernel per 100 k batch, but at sf1
+    // (128 × 256, a 0.1 s kernel) the same exchange ADDED ~1 s of fixed
+    // stage cost per micro-batch — measured both ways in the r16 stream
+    // campaign. 131072 = 512 cells × 256 dims, the decade boundary
+    // where single-file batches stop being cheap to assign in place.
+    val input = if (spreadKernel &&
+        rows.length.toLong * rows.head._2.length >= 131072L)
+      spreadForKernel(base) else base
+    input.select(col("vec_id"), col("v"), col("norm2"),
       VectorOps.nearestCell(col("v"), rows.map(_._1), rows.map(_._2)).as("cell"))
   }
 
@@ -826,7 +837,7 @@ object Similarity {
         preparedB.join(spark.read.parquet(aDir).select(col("vec_id")),
           Seq("vec_id"), "left_anti")
     }
-    val assignedNew = assignCells(centroids, spreadForKernel(guarded)).persist()
+    val assignedNew = assignCells(centroids, guarded, spreadKernel = true).persist()
     try {
       val st = assignedNew
         .agg(max(col("vec_id")), countDistinct(col("cell")), count(lit(1))).head()
@@ -1402,7 +1413,7 @@ object Similarity {
       case None =>
         preparedB.join(codes.select(col("vec_id")), Seq("vec_id"), "left_anti")
     }
-    val assigned = assignCells(centroids, spreadForKernel(guarded)).persist()
+    val assigned = assignCells(centroids, guarded, spreadKernel = true).persist()
     try {
       val st = assigned.agg(max(col("vec_id")), count(lit(1))).head()
       if (st.getLong(1) == 0L) {

@@ -28,6 +28,7 @@ object Explain {
         println(s"===== $n =====")
         df.explain("formatted")
       }
+      // reps=0: plan-dump only (the r16 plans/ artifact capture)
       (1 to reps).foreach { r =>
         val t0 = System.nanoTime()
         val cnt = fn(spark, sfDir).count()

@@ -71,6 +71,17 @@ object Corpus {
           .when(col("bucket") < 230, "val")
           .otherwise("test"))
 
+  /** [[splitAssign]]'s `split` column as a row-local expression — the
+    * assignment is a pure function of doc_id, so consumers that only
+    * need the label attach it in-row instead of equi-joining the
+    * [[splitAssign]] frame back onto the corpus (guide §2.4: that join
+    * is a removable shuffle — same md5 arithmetic, bit-identical label).
+    */
+  private def splitCol(salt: String = "graft-split-v1") = {
+    val b = hashBucket256(salt)
+    when(b < 205, "train").when(b < 230, "val").otherwise("test")
+  }
+
   /** Deterministic stratified sample: within each stratum (`lang`),
     * rank docs by a content hash and keep the top ceil(frac·n) — an
     * exact per-stratum rate, reproducible across runs. One shuffle on
@@ -149,10 +160,14 @@ object Corpus {
     */
   def tfidfTopTerms(documents: DataFrame, k: Int = 5): DataFrame = {
     val words = filter(split(normText, " "), w => w =!= "")
+    // lazily materialized: tf feeds BOTH the df aggregation and the
+    // scoring join, and Catalyst has no cross-branch subplan reuse —
+    // without it the tokenize+explode+count subtree runs twice per call
     val tf = documents
       .select(col("doc_id"), explode(words).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = documents.agg(count(lit(1)).as("__n"))
     tf
@@ -177,20 +192,28 @@ object Corpus {
     * shingles (graft.functions.ShingleHashes) leave the row.
     */
   def contamination(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    // lazily materialized: the bench branch and the corpus branch both
+    // derive from this stream — without it the normalize+shingle kernel
+    // runs once per branch
     val sh = documents
       .withColumn("__sh", Hashes.shingleHashes(split(normText, " "), 3))
       .filter(size(col("__sh")) > 0)
       .select(col("doc_id"), size(col("__sh")).cast("long").as("n_shingles"),
         explode(col("__sh")).as("s"))
+      .localCheckpoint(false)
     val bench = broadcast(
       sh.filter(col("doc_id") % 20 === 0).select(col("s")).distinct())
     val corpus = sh.filter(col("doc_id") % 20 =!= 0)
-    val hits = corpus.join(bench, Seq("s"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
-    corpus
-      .select(col("doc_id"), col("n_shingles")).distinct()
-      .join(hits, Seq("doc_id"), "left")
-      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+    // ONE pass over the corpus shingle stream (r16): the broadcast LEFT
+    // join keeps every row (bench is distinct — multiplicity 1), so hit
+    // counting and the per-doc total come out of the same aggregate.
+    // Previously the corpus stream was computed twice (semi-join branch
+    // + a distinct totals branch) and re-joined — a full extra shingle
+    // pass plus a distinct shuffle, for numbers one groupBy already has.
+    corpus.join(bench.withColumn("__m", lit(1)), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_shingles")).as("n_shingles"),
+        count(col("__m")).as("n_contaminated"))
       .withColumn("contamination_rate",
         round(col("n_contaminated") / col("n_shingles"), 4))
       .withColumn("is_contaminated",
@@ -212,21 +235,30 @@ object Corpus {
     * never shuffles, and the held-out side is the small probe stream.
     */
   def splitLeakage(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val assigned = splitAssign(documents).select(col("doc_id"), col("split"))
+    // split is attached IN-ROW ([[splitCol]]) and the shingle stream is
+    // lazily materialized once (r16): previously the stream equi-joined
+    // the splitAssign frame back onto itself (a corpus-sized shuffle
+    // for a column that is a pure function of doc_id) and the
+    // normalize+shingle kernel then ran twice more — once per branch
+    // (train set / probe stream) of the final plan.
     val sh = documents
       .withColumn("__sh", Hashes.shingleHashes(split(normText, " "), 3))
       .filter(size(col("__sh")) > 0)
       .select(col("doc_id"), size(col("__sh")).cast("long").as("n_shingles"),
-        explode(col("__sh")).as("s"))
-      .join(assigned, Seq("doc_id"))
+        explode(col("__sh")).as("s"), splitCol().as("split"))
+      .localCheckpoint(false)
     val trainSh = sh.filter(col("split") === "train").select(col("s")).distinct()
     val heldOut = sh.filter(col("split") =!= "train")
-    val hits = heldOut.join(trainSh, Seq("s"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_leaked"))
-    heldOut
-      .select(col("doc_id"), col("split"), col("n_shingles")).distinct()
-      .join(hits, Seq("doc_id"), "left")
-      .withColumn("n_leaked", coalesce(col("n_leaked"), lit(0L)))
+    // ONE pass over the held-out shingle stream (r16): the LEFT join
+    // against the distinct train set keeps every probe row
+    // (multiplicity 1), so leak counting and the per-doc totals come
+    // out of one aggregate — previously the probe stream was computed
+    // twice (semi-join branch + a distinct totals branch) and re-joined.
+    heldOut.join(trainSh.withColumn("__m", lit(1)), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("split")).as("split"),
+        max(col("n_shingles")).as("n_shingles"),
+        count(col("__m")).as("n_leaked"))
       .withColumn("leak_fraction",
         round(col("n_leaked") / col("n_shingles"), 4))
       .withColumn("is_leaked",
@@ -253,18 +285,21 @@ object Corpus {
     */
   def splitLeakageBloom(documents: DataFrame, threshold: Double = 0.5,
                         fpp: Double = 0.03): DataFrame = {
-    val assigned = splitAssign(documents).select(col("doc_id"), col("split"))
+    // split attached IN-ROW and the shingle stream lazily materialized
+    // once — same r16 restructure as [[splitLeakage]]; the bloom keeps
+    // its two-branch shape because the probe-side pre-filter must not
+    // see the rows the totals branch needs.
     val sh = documents
       .withColumn("__sh", Hashes.shingleHashes(split(normText, " "), 3))
       .filter(size(col("__sh")) > 0)
       .select(col("doc_id"), size(col("__sh")).cast("long").as("n_shingles"),
-        explode(col("__sh")).as("s"))
-      .join(assigned, Seq("doc_id"))
+        explode(col("__sh")).as("s"), splitCol().as("split"))
+      .localCheckpoint(false)
     val trainSh = sh.filter(col("split") === "train").select(col("s")).distinct()
-    // shingles ≈ words ≈ chars/5; an over-estimate only lowers the fpp
+    // shingles ≈ words ≈ chars/5; an over-estimate only lowers the fpp.
+    // The train gate is the row-local [[splitCol]] — no splitAssign join.
     val estItems = documents
-      .join(assigned, Seq("doc_id"))
-      .filter(col("split") === "train")
+      .filter(splitCol() === "train")
       .agg(coalesce(sum(col("n_chars")), lit(0L)).cast("long"))
       .head().getLong(0) / 5
     val sketch = trainSh
@@ -300,9 +335,12 @@ object Corpus {
     * scoring join.
     */
   def vocabCoverage(documents: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    // lazily materialized: the vocabulary-selection pass and the
+    // scoring pass otherwise each re-run the normalize+tokenize kernel
     val toks = documents
       .select(col("doc_id"),
         explode(filter(split(normText, " "), w => w =!= "")).as("w"))
+      .localCheckpoint(false)
     val vocab = toks
       .groupBy(col("w")).agg(count(lit(1)).as("__c"))
       .orderBy(col("__c").desc, col("w"))
@@ -441,18 +479,29 @@ object Corpus {
     */
   def lmScore(documents: DataFrame): DataFrame = {
     val words = filter(split(normText, " "), w => w =!= "")
+    // r16 pass-count restructure (guide §1.2): the normalize+tokenize
+    // kernel previously ran FOUR times in one plan (bigram stream twice
+    // — count branch + scoring join —, unigram counts, vocabulary
+    // scalar). The token arrays and the bigram stream are lazily
+    // materialized once; the unigram table (one row per distinct word)
+    // is materialized because it feeds both the scoring join and the
+    // vocabulary scalar — which is just its row count (countDistinct of
+    // tokens ≡ count of distinct-word rows), saving the fourth pass
+    // outright.
     val toks = documents.select(col("doc_id"), words.as("ws"))
+      .localCheckpoint(false)
     val biRows = toks
       .select(col("doc_id"), explode(expr(
         "zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)), " +
           "slice(ws, 2, greatest(size(ws) - 1, 0)), " +
           "(a, b) -> struct(a AS w1, concat(a, ' ', b) AS bigram))")).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.bigram").as("bigram"))
+      .localCheckpoint(false)
     val c2 = biRows.groupBy(col("bigram")).agg(count(lit(1)).as("__c2"))
     val c1 = toks.select(explode(col("ws")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
-    val vocab = toks.select(explode(col("ws")).as("w"))
-      .agg(countDistinct(col("w")).as("__v"))
+      .localCheckpoint(false)
+    val vocab = c1.agg(count(lit(1)).as("__v"))
     biRows
       .join(c2, Seq("bigram"))
       .join(c1, Seq("w1"))
@@ -496,11 +545,15 @@ object Corpus {
     * pairs ever shuffle, never text.
     */
   def docOverlap(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    // lazily materialized: the count aggregation and the join probe side
+    // both derive from this stream — without it the normalize+shingle
+    // kernel runs twice per call
     val sh = documents
       .withColumn("__sh", Hashes.shingleHashes(split(normText, " "), 3))
       .filter(size(col("__sh")) > 0)
       .select(col("doc_id"), size(col("__sh")).cast("long").as("n_shingles"),
         explode(col("__sh")).as("s"))
+      .localCheckpoint(false)
     // rows are per-doc DISTINCT shingles, so count(*) per shingle = the
     // number of docs containing it
     val counts = sh.groupBy(col("s")).agg(count(lit(1)).as("__nd"))
@@ -549,10 +602,15 @@ object Corpus {
     */
   private[graft] def saltedEdgeView(pairs: DataFrame, hubSalts: Int,
                                     hubDegree: Long): (DataFrame, DataFrame) = {
-    val edges = pairs
-      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    // materialize the pair plan ONCE (r16): the symmetric union below
+    // otherwise re-runs the whole candidate-generation + verify plan
+    // for its mirrored branch (Catalyst has no cross-branch reuse)
+    val p = pairs.localCheckpoint(true)
+    val edges = p
+      .union(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst")
       .localCheckpoint(true)
+    org.apache.spark.sql.graft.Shims.unpersistCheckpoint(p)
     // Degree histogram ONCE (edges are static across rounds). Hubs are
     // ≤ |edges|/hubDegree keys by construction — broadcast-sized.
     val hubs = edges.groupBy(col("dst")).agg(count(lit(1)).as("__deg"))
@@ -594,8 +652,19 @@ object Corpus {
                         hubSalts: Int = 16, hubDegree: Long = 1000000L): DataFrame = {
     val (edges, hubs) = saltedEdgeView(pairs, hubSalts, hubDegree)
     val saltArray = array((0 until hubSalts).map(s => lit(s.toLong)): _*)
-    var labels = documents
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // Propagate over EDGE NODES only (r16, guide §1.2/§2.4): a doc with
+    // no near-dup edge is a singleton whose label provably never moves
+    // (viaEdges can only emit edge srcs), yet the old corpus-wide label
+    // table re-shuffled EVERY round for those immovable rows. The loop
+    // now carries one row per pair-graph node (edges are symmetric, so
+    // distinct src = all nodes); singletons attach in ONE final join.
+    // Per-round cost drops from O(corpus) to O(near-dup nodes) — at
+    // 100 TB the near-dup graph is orders of magnitude smaller than the
+    // corpus, and the loop is the only multi-pass stage of clustering.
+    var labels = edges
+      .select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
@@ -608,24 +677,35 @@ object Corpus {
       val viaEdges = edges
         .join(labelsForJoin, Seq("dst", "__salt"))
         .select(col("src").as("doc_id"), col("cluster_id"))
-      val updated = labels.union(viaEdges)
-        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+      // The previous label rides THROUGH the min-aggregate (r16):
+      // labels contributes exactly one row per doc, so max(__old)
+      // recovers the old label and min(cluster_id) sees the identical
+      // candidate multiset as before — convergence detection becomes a
+      // scan of the freshly checkpointed snapshot instead of a second
+      // corpus-sized equi-join per round (guide §2.4: remove shuffles
+      // outright).
+      val updated = labels.withColumn("__old", col("cluster_id"))
+        .unionByName(viaEdges.withColumn("__old", lit(null).cast("long")))
+        .groupBy(col("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"), max(col("__old")).as("__old"))
         .localCheckpoint(true)
-      changed = updated
-        .join(labels.withColumnRenamed("cluster_id", "__old"), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("__old"))
-        .count()
+      changed = updated.filter(col("cluster_id") =!= col("__old")).count()
       // superseded round state: `updated` is materialized and `changed`
       // counted, so the previous labels snapshot is dead — release it or
       // a diameter-d graph holds d corpus-sized label copies in storage
       org.apache.spark.sql.graft.Shims.unpersistCheckpoint(labels)
-      labels = updated
+      labels = updated.select(col("doc_id"), col("cluster_id"))
     }
     // edge/hub views die with the loop; only the final labels snapshot
     // (the result's backing store) survives the call
     org.apache.spark.sql.graft.Shims.unpersistCheckpoint(edges)
     org.apache.spark.sql.graft.Shims.unpersistCheckpoint(hubs)
-    labels
+    // singleton attach: docs outside the pair graph keep their own id —
+    // exactly the rows the old loop carried unchanged through every round
+    documents
+      .select(col("doc_id"))
+      .join(labels.withColumnRenamed("cluster_id", "__cl"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("__cl"), col("doc_id")))
       .withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("boolean"))
       .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
   }
@@ -770,8 +850,12 @@ object Corpus {
     */
   def dsirResample(weights: DataFrame,
                    salt: String = "graft-dsir-v1"): DataFrame = {
-    val maxW = broadcast(weights.agg(max(col("dsir_weight")).as("__max_w")))
-    weights
+    // lazily materialized: the max-weight scalar and the keep-filter
+    // both consume the scored frame — without it the whole DSIR scoring
+    // plan (token explode + two aggregations + model join) runs twice
+    val w = weights.localCheckpoint(false)
+    val maxW = broadcast(w.agg(max(col("dsir_weight")).as("__max_w")))
+    w
       .crossJoin(maxW)
       .withColumn("keep_p", round(exp(col("dsir_weight") - col("__max_w")), 6))
       .withColumn("u16", md5U16(salt))

@@ -96,8 +96,17 @@ object Curation {
     * doc_id-only.
     */
   def curateKeepBest(documents: DataFrame): DataFrame = {
+    // ONE quality pass serves both consumers (r16): minScore = 0.0
+    // keeps every doc (scores are ≥ 0 by construction), so the ranking
+    // input is unchanged and the gate is the same `≥ 0.75` cut the
+    // default qualityFilter applies — previously the full textStats
+    // kernel ran twice over the corpus (once for scores, once for the
+    // gate). Lazily materialized: the scores frame feeds the ranking
+    // join AND the gate semi-join in one plan, and Catalyst has no
+    // cross-branch subplan reuse.
     val scores = TextAnalysis.qualityFilter(documents, minScore = 0.0)
       .select(col("doc_id"), col("quality_score"))
+      .localCheckpoint(false)
     val best = Corpus.nearDupClusters(documents)
       .select(col("doc_id"), col("cluster_id"))
       .join(scores, Seq("doc_id"))
@@ -107,7 +116,8 @@ object Curation {
       .filter(col("__rn") === 1)
       .select("doc_id")
     documents
-      .join(TextAnalysis.qualityFilter(documents).select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(scores.filter(col("quality_score") >= 0.75).select("doc_id"),
+        Seq("doc_id"), "left_semi")
       .join(best, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }

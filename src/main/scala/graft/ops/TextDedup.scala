@@ -82,7 +82,12 @@ object TextDedup {
     * shuffle.
     */
   def ngramJaccard(documents: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingleRows(documents, n)
+    // lazily materialized: the self-join's probe side and its broadcast
+    // build side otherwise each re-run the shingle kernel (2 full
+    // normalize+shingle passes per call); this op is the declared
+    // small-scale exact baseline, so the exploded frame is bounded by
+    // its own size contract
+    val sh = shingleRows(documents, n).localCheckpoint(false)
     sh.as("a")
       .join(broadcast(sh.as("b")), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
@@ -106,11 +111,26 @@ object TextDedup {
     // parallelism, and a corpus arriving as one parquet file would run
     // the whole minhash computation in one task (see the embedding-LSH
     // twin for the measured cost of that at sf1)
+    // LAZY materialization of the two frames every downstream branch
+    // re-derives (r16, guide §1.2/§2.3 "don't compute things you throw
+    // away"): Catalyst has no cross-branch subplan reuse, so in the
+    // single final plan `withShingles` was recomputed 3× (signature
+    // branch + both verify sides) and `buckets` 2× (band self-join) —
+    // i.e. FOUR normalize+shingle kernel passes and TWO minhash
+    // signature passes over the corpus per call. localCheckpoint(lazy)
+    // computes each once at first action and serves the other branches
+    // from executor-local blocks — the staging write a production
+    // pipeline does anyway; lazy, so plan-only construction (the
+    // plan_audit contract) still runs no job, and each call builds a
+    // fresh RDD (no cross-run result reuse). Measured at sf0.1:
+    // dedup_minhash 1.03 → see OPTIMIZATION_r16.md (also feeds the
+    // whole curation family + dedup_clusters).
     val withShingles = documents
       .repartition(documents.sparkSession.sparkContext.defaultParallelism)
       .withColumn("shingles", hashedShingles(3))
       .filter(size(col("shingles")) > 0)
       .select(col("doc_id"), col("shingles"))
+      .localCheckpoint(false)
     // Candidate generation on (doc_id, bucket) ONLY: the shingle arrays
     // stay out of the band self-join and the candidate dedup shuffle
     // (at 100 TB the exploded index is two longs per row, not the
@@ -120,6 +140,7 @@ object TextDedup {
       .withColumn("minhash", Hashes.minhashSig(col("shingles"), bands * rows))
       .select(col("doc_id"),
         explode(Hashes.bandKeys(col("minhash"), bands, rows)).as("bucket"))
+      .localCheckpoint(false)
     val pairs = buckets.as("a")
       .join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
@@ -434,7 +455,11 @@ object TextDedup {
     if (n <= SimhashDirectMaxDocs) Int.MaxValue else DefaultSimhashHotCap
 
   private[graft] def candidatesFromKeys(keyed: DataFrame, hotCap: Int): DataFrame = {
-    val k2 = refinedKeys(keyed, hotCap)
+    // lazily materialized: both sides of the bucket self-join otherwise
+    // re-run the simhash kernel (normalize + fingerprint + keying) —
+    // one narrow (doc_id, sim, bkey, skey) frame computed once instead
+    // of twice per call
+    val k2 = refinedKeys(keyed, hotCap).localCheckpoint(false)
     k2.as("a")
       .join(k2.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.skey") === col("b.skey") &&

@@ -419,8 +419,12 @@ object Corpus {
         'avg_chars', avg_chars,
         'quality_pass_rate', quality_pass_rate,
         'exact_dup_rate', exact_dup_rate) AS (metric, value)""")
+    // lazily materialized: the bucket offsets, the total scalar and the
+    // rank spine all consume this histogram — without it the corpus
+    // groupBy runs three times per call
     val hist = documents.groupBy(col("n_chars")).agg(count(lit(1)).as("__cnt"))
       .withColumn("__b", (col("n_chars") / 1000).cast("int"))
+      .localCheckpoint(false)
     val offsets = hist.groupBy(col("__b")).agg(sum(col("__cnt")).as("__bc"))
       .withColumn("__off", coalesce(sum(col("__bc")).over(
         Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),

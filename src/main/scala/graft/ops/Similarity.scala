@@ -92,7 +92,10 @@ object Similarity {
     * from [[knnLsh]]-style bucketing instead.
     */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
-    val base = prepared(embeddings)
+    // lazily materialized: the streamed side and the broadcast build
+    // side both consume the prepared vectors — without it the
+    // cast+norm prep runs twice per call
+    val base = prepared(embeddings).localCheckpoint(false)
     // The n²/2 scan parallelizes over the STREAMED side's partitions;
     // a single-parquet-file corpus would run the whole cartesian in
     // one task (measured: ~15 min single-core at sf1 × 256 dims).
@@ -210,7 +213,11 @@ object Similarity {
         .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)).as("m"))
         .head().getLong(0)
     if (candMass <= slicePairs) {
-      val out = verifyCandidates(base, pairs, threshold).orderBy(col("a_id"), col("b_id"))
+      // base feeds BOTH vector sides of the verify join — lazily
+      // materialize the prepared vectors so cast+norm prep runs once
+      // (the sliced path already persists base internally)
+      val out = verifyCandidates(base.localCheckpoint(false), pairs, threshold)
+        .orderBy(col("a_id"), col("b_id"))
       // the lazy result serves from the cache (kernel ran once, above);
       // the one-slot retire bounds live caches at one per JVM — the
       // PREVIOUS call's cache is dropped, this call's is dropped by the
@@ -448,9 +455,11 @@ object Similarity {
     */
   def semDedup(embeddings: DataFrame, nCells: Int = 16,
                threshold: Double = 0.45): DataFrame = {
-    // the KMeans FIT in buildIvf is eager and runs once; the transform
-    // behind `assigned` is a narrow re-scan per use — nothing pins
-    val assigned = buildIvf(embeddings, nCells).assigned
+    // the KMeans FIT in buildIvf is eager and runs once; the assignment
+    // transform is lazily materialized (r16) because THREE branches of
+    // the final plan consume it (both self-join sides + the report
+    // spine) — without it the scan+assign kernel runs once per branch
+    val assigned = buildIvf(embeddings, nCells).assigned.localCheckpoint(false)
     val left = assigned.select(col("cell"), col("vec_id").as("a_id"),
       col("v").as("va"), col("norm2").as("na2"))
     val right = assigned.select(col("cell"), col("vec_id").as("b_id"),

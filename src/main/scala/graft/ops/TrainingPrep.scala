@@ -40,8 +40,13 @@ object TrainingPrep {
     */
   def seqPack(documents: DataFrame, budget: Int = 256,
               buckets: Int = 32): DataFrame = {
+    // lazily materialized: the max-id scalar, the main scan branch and
+    // the offsets branch all derive from this frame — without it the
+    // tokenize kernel runs three times per call (lazy, so the seq_pack
+    // plan-audit construction still runs no job)
     val toks = documents
       .select(col("doc_id"), size(words).cast("long").as("n_tokens"))
+      .localCheckpoint(false)
     val maxId = toks.agg(max(col("doc_id")).as("__max_id"))
     val bucketed = toks
       .join(broadcast(maxId))
@@ -121,11 +126,15 @@ object TrainingPrep {
                 budgetDocs: Long = 1000L): DataFrame = {
     val weights = mixWeights(documents, alpha, budgetDocs)
       .select(col("source"), col("n_docs"), col("target_n"))
+    // lazily materialized: the rank branch and the offsets branch both
+    // consume the hashed keying — without it the md5 keying pass runs
+    // twice per call
     val keyed = documents
       .select(col("doc_id"), col("source"))
       .withColumn("__h",
         md5(concat_ws("|", col("doc_id").cast("string"), lit("graft-mix-v1"))))
       .withColumn("__b", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+      .localCheckpoint(false)
     val ranked = keyed.withColumn("__rn",
       row_number().over(
         Window.partitionBy(col("source"), col("__b"))
@@ -173,6 +182,11 @@ object TrainingPrep {
         col("copy_idx").cast("string"), col("doc_id").cast("string"),
         lit("graft-mixpack-v1"))))
       .withColumn("__b", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+      // lazily materialized: the prefix-scan branch and the offsets
+      // branch both consume the expanded copy units — without it the
+      // whole mixSample manifest + tokenize + explode subtree runs
+      // twice per call
+      .localCheckpoint(false)
     val localCum = sum(col("n_tokens")).over(
       Window.partitionBy(col("copy_idx"), col("__b"))
         .orderBy(col("__h"), col("doc_id")))

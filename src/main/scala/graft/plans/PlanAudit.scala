@@ -108,8 +108,26 @@ object PlanAudit {
     * size: the pre-deploy gate a 100 TB operator runs before letting a
     * changed query near the cluster.
     */
-  def reportFor(frames: Seq[(String, DataFrame)]): DataFrame =
-    frames.map { case (n, f) => auditRow(n, f) }
-      .reduce(_.unionAll(_))
-      .orderBy(org.apache.spark.sql.functions.col("query"))
+  def reportFor(frames: Seq[(String, DataFrame)]): DataFrame = {
+    // Compile the audited plans CONCURRENTLY (guide §2.6 — overlap
+    // independent work): each audit is pure driver-side Catalyst
+    // compilation of an independent Dataset, serialized only by our own
+    // loop before this change. Catalyst planning is designed for
+    // concurrent sessions-threads (stateless rule batches, per-query
+    // trackers), so a small pool cuts the fleet audit's wall clock by
+    // the pool width without touching what any audit computes. The
+    // audits stay plan-only: no job starts on any of these threads.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, frames.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      Await.result(
+          Future.sequence(frames.map { case (n, f) => Future(auditRow(n, f)) }),
+          Duration.Inf)
+        .reduce(_.unionAll(_))
+        .orderBy(org.apache.spark.sql.functions.col("query"))
+    } finally pool.shutdown()
+  }
 }

@@ -610,17 +610,22 @@ object Corpus {
     // otherwise re-runs the whole candidate-generation + verify plan
     // for its mirrored branch (Catalyst has no cross-branch reuse)
     val p = pairs.localCheckpoint(true)
+    // LAZY: the symmetric view materializes inside the hubs job below
+    // (its first consumer) and the salted job reads the persisted
+    // blocks — an eager checkpoint here would be one more full
+    // materialization job for the same bytes (r16: the clusters family
+    // is serialized-job-count-bound once per-round cost is O(nodes))
     val edges = p
       .union(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst")
-      .localCheckpoint(true)
-    org.apache.spark.sql.graft.Shims.unpersistCheckpoint(p)
+      .localCheckpoint(false)
     // Degree histogram ONCE (edges are static across rounds). Hubs are
     // ≤ |edges|/hubDegree keys by construction — broadcast-sized.
     val hubs = edges.groupBy(col("dst")).agg(count(lit(1)).as("__deg"))
       .filter(col("__deg") >= hubDegree)
       .select(col("dst"), lit(true).as("__hub"))
       .localCheckpoint(true)
+    org.apache.spark.sql.graft.Shims.unpersistCheckpoint(p)
     val salted = edges.join(broadcast(hubs), Seq("dst"), "left")
       .withColumn("__salt",
         when(col("__hub"),
@@ -665,11 +670,15 @@ object Corpus {
     // Per-round cost drops from O(corpus) to O(near-dup nodes) — at
     // 100 TB the near-dup graph is orders of magnitude smaller than the
     // corpus, and the loop is the only multi-pass stage of clustering.
+    // LAZY snapshots throughout the loop (r16): each round's convergence
+    // count is the action that materializes that round's blocks, so a
+    // round costs ONE job instead of materialize + count (the init
+    // snapshot rides into round 1's job the same way)
     var labels = edges
       .select(col("src").as("doc_id"))
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var changed = 1L
     while (changed > 0) {
       // label rows replicated across all salts for hub dsts only
@@ -692,7 +701,8 @@ object Corpus {
         .unionByName(viaEdges.withColumn("__old", lit(null).cast("long")))
         .groupBy(col("doc_id"))
         .agg(min(col("cluster_id")).as("cluster_id"), max(col("__old")).as("__old"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
+      // this count is ALSO the action that persists `updated`'s blocks
       changed = updated.filter(col("cluster_id") =!= col("__old")).count()
       // superseded round state: `updated` is materialized and `changed`
       // counted, so the previous labels snapshot is dead — release it or

@@ -213,10 +213,13 @@ object Similarity {
         .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)).as("m"))
         .head().getLong(0)
     if (candMass <= slicePairs) {
-      // base feeds BOTH vector sides of the verify join — lazily
-      // materialize the prepared vectors so cast+norm prep runs once
-      // (the sliced path already persists base internally)
-      val out = verifyCandidates(base.localCheckpoint(false), pairs, threshold)
+      // base is NOT re-materialized here: both verify sides sit above
+      // the identical repartition exchange, which AQE's stage reuse
+      // computes once at runtime — an r16 A/B measured a checkpoint
+      // here as pure overhead (block writes with no second computation
+      // to save). The sliced path persists base because its consumers
+      // are separate JOBS, outside one query's stage-reuse scope.
+      val out = verifyCandidates(base, pairs, threshold)
         .orderBy(col("a_id"), col("b_id"))
       // the lazy result serves from the cache (kernel ran once, above);
       // the one-slot retire bounds live caches at one per JVM — the
